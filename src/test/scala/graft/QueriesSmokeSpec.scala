@@ -1,0 +1,25 @@
+package graft
+
+/** Every registered query must plan and return rows on the smallest scale
+  * factor (the detailed value check is the driver's DuckDB oracle — see
+  * tools/compare.py for the local replica). */
+class QueriesSmokeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs and returns rows on sf0.001") {
+      assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query has oracle SQL unless explicitly non-SQL-expressible") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // keep this list explicit so nothing silently loses its oracle
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+  }
+}
