@@ -23,9 +23,14 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Parity {
   private val D = DecimalType(27, 6)
+  private val D12 = DecimalType(27, 12)
 
   /** Order-independent, cross-engine-exact sum of a double expression. */
   def dsum(c: Column): Column = sum(c.cast(D)).cast(DoubleType)
+
+  /** Higher-precision variant (scale 12) for small-magnitude terms like
+    * embedding dot-product components. */
+  def dsum12(c: Column): Column = sum(c.cast(D12)).cast(DoubleType)
 
   /** Order-independent, cross-engine-exact mean (null-skipping, matching
     * pandas .mean() and SQL AVG null semantics). */
@@ -36,4 +41,6 @@ object Parity {
     s"CAST(SUM(CAST(($expr) AS DECIMAL(27,6))) AS DOUBLE)"
   def sqlDavg(expr: String): String =
     s"(${sqlDsum(expr)} / COUNT($expr))"
+  def sqlDsum12(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(27,12))) AS DOUBLE)"
 }

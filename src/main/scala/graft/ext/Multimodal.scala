@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media (image/audio/video) travels as an
+  * opaque `binary` column with typed metadata alongside, and per-batch
+  * decode/feature-extract runs inside `mapPartitions` — the Scala
+  * equivalent of a vectorized mapInPandas stage: one iterator per
+  * partition, so a real decoder would amortize codec/model init across
+  * the whole batch instead of paying it per row.
+  *
+  * The decode step itself is a STUB (no image/audio codecs in this
+  * container): [[StubDecoder]] produces deterministic fake features from
+  * the raw bytes. The Spark-side plumbing — schema, binary transport,
+  * partition-batch shape, feature vector output — is real and tested.
+  */
+object Multimodal {
+
+  /** Raw media row as shipped between stages. */
+  final case class MediaRow(doc_id: Long, media: Array[Byte])
+
+  /** Decoded features: fixed-width embedding plus parsed metadata. */
+  final case class MediaFeatures(doc_id: Long, byte_len: Long,
+    width: Int, height: Int, n_frames: Int, features: Array[Double])
+
+  /** STUB decoder — stands in for an image/audio codec. Deterministic:
+    * metadata is derived arithmetically from the payload length, and the
+    * "embedding" is per-stripe byte averages. Replace `decode` with a
+    * real codec call to productionize; everything around it stays. */
+  object StubDecoder {
+    val featureDim = 8
+
+    def decode(doc_id: Long, bytes: Array[Byte]): MediaFeatures = {
+      val len = bytes.length.toLong
+      val sums = new Array[Double](featureDim)
+      val counts = new Array[Long](featureDim)
+      var i = 0
+      while (i < bytes.length) {
+        val k = i % featureDim
+        sums(k) += (bytes(i) & 0xff) / 255.0
+        counts(k) += 1
+        i += 1
+      }
+      val feats = Array.tabulate(featureDim)(k =>
+        if (counts(k) == 0) 0.0 else sums(k) / counts(k))
+      MediaFeatures(doc_id, len,
+        width = (len % 640 + 64).toInt,
+        height = ((len * 7) % 480 + 48).toInt,
+        n_frames = (len % 16 + 1).toInt,
+        features = feats)
+    }
+  }
+
+  /** documents.text reinterpreted as an opaque media payload — the
+    * binary-column transport shape (schema: doc_id BIGINT, media BINARY). */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+
+  /** Batch decode: one decoder pass per partition (mapPartitions keeps
+    * the iterator lazy — constant memory per task regardless of
+    * partition size; scale the parallelism with input partitioning). */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      // real impl: init codec/model once here, then stream the batch
+      batch.map(r => StubDecoder.decode(r.doc_id, r.media))
+    }
+  }
+}

@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.engine.Tables
+import graft.ext.Multimodal
+
+/** Multimodal-column operators (see graft.ext.Multimodal). q50's metadata
+  * is arithmetic over the payload length, so it has a full oracle; q51
+  * exercises the mapPartitions batch-decode path, which is not
+  * SQL-expressible — the driver records its rows-only check. */
+object MultimodalQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // Typed metadata over an opaque binary column — pure projection, stays
+    // in whole-stage codegen, scales as a narrow map.
+    "q50_multimodal_meta" -> Q(
+      (s, d) => Multimodal.mediaTable(Tables.documents(s, d))
+        .select(col("doc_id"),
+          octet_length(col("media")).cast("long").as("byte_len"))
+        .withColumn("width", (col("byte_len") % 640 + 64).cast("int"))
+        .withColumn("height", ((col("byte_len") * 7) % 480 + 48).cast("int"))
+        .withColumn("n_frames", (col("byte_len") % 16 + 1).cast("int"))
+        .orderBy(col("doc_id")),
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |       CAST(octet_length(encode(text)) % 640 + 64 AS INTEGER) AS width,
+        |       CAST((octet_length(encode(text)) * 7) % 480 + 48 AS INTEGER) AS height,
+        |       CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Batch feature extraction through mapPartitions (stubbed decode; the
+    // batching/schema plumbing is the operator under test). No oracle —
+    // mapPartitions is outside ANSI SQL.
+    "q51_multimodal_features" -> Q(
+      (s, d) => {
+        val feats = Multimodal.decodeFeatures(
+          s, Multimodal.mediaTable(Tables.documents(s, d)))
+        feats.toDF()
+          .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+            col("n_frames"), col("features"))
+          .orderBy(col("doc_id"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.engine.{Parity, Tables}
+import graft.ext.TextOps
+import Parity.{davg, sqlDavg}
+import TextOps.{saltedHash, sqlSaltedHash, sqlTokens, tokens}
+
+/** Text-analysis + deduplication operators over `documents` — the
+  * LLM-training-data-pipeline surface (BASELINE.json north star): token
+  * statistics, quality scoring, heuristic language ID, fingerprinting,
+  * exact dedup, MinHash+LSH, n-gram Jaccard, SimHash.
+  *
+  * Scale design: every per-doc feature is a pure Column expression (narrow
+  * map, codegen); shuffles happen only at the named aggregation /
+  * inverted-index join steps. The candidate-pair stages are
+  * inverted-index or LSH-bucket joins — never an O(n²) cross join.
+  */
+object TextQueries {
+
+  // ---- shared SQL fragments (DuckDB mirror of TextOps) ----
+  private val sqlToks = sqlTokens("text")
+  private def sqlShingleCte(src: String = "documents"): String =
+    s"""sh AS (
+       |  SELECT doc_id, unnest(${TextOps.sqlShingleList("t")}) AS shingle
+       |  FROM (SELECT doc_id, $sqlToks AS t FROM $src))""".stripMargin
+
+  private val nHashes = 8
+  private def sigSelect: String =
+    (0 until nHashes).map(k => s"MIN(${sqlSaltedHash(k, "shingle")}) AS h$k").mkString(", ")
+
+  val defs: Map[String, Q] = Map(
+
+    // Token counting per language: counts, mean token length, vocab size.
+    "q30_token_stats" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val perDoc = docs.select(col("lang"), size(tokens(col("text"))).as("n_tok"))
+        val tok = docs.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        val a = perDoc.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          davg(col("n_tok").cast("double")).as("avg_tokens_per_doc"))
+        val b = tok.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_tokens"),
+          davg(length(col("tok")).cast("double")).as("avg_token_len"),
+          countDistinct(col("tok")).as("n_distinct_tokens"))
+        a.join(b, Seq("lang")).orderBy(col("lang"))
+      },
+      s"""WITH t AS (SELECT lang, $sqlToks AS toks FROM documents),
+         |a AS (SELECT lang, COUNT(*) AS n_docs,
+         |             ${sqlDavg("CAST(len(toks) AS DOUBLE)")} AS avg_tokens_per_doc
+         |      FROM t GROUP BY 1),
+         |tk AS (SELECT lang, unnest(toks) AS tok FROM t),
+         |b AS (SELECT lang, COUNT(*) AS n_tokens,
+         |             ${sqlDavg("CAST(length(tok) AS DOUBLE)")} AS avg_token_len,
+         |             COUNT(DISTINCT tok) AS n_distinct_tokens
+         |      FROM tk GROUP BY 1)
+         |SELECT a.lang, n_docs, avg_tokens_per_doc, n_tokens, avg_token_len, n_distinct_tokens
+         |FROM a JOIN b USING (lang) ORDER BY 1""".stripMargin),
+
+    // Quality scoring: length/punctuation/stopword components combined
+    // with arithmetic only (no transcendentals — cross-engine exact).
+    "q31_text_quality" -> Q(
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val stop = TextOps.lexicons.head._2 // english stopword list
+        val perDoc = Tables.documents(s, d)
+          .withColumn("n_tok", size(toks))
+          .where(col("n_tok") > 0)
+          .withColumn("tok_chars",
+            aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x))
+          .withColumn("avg_tok_len", col("tok_chars") / col("n_tok"))
+          .withColumn("stop_ratio",
+            size(filter(toks, t => t.isin(stop: _*))) / col("n_tok"))
+          .withColumn("punct_ratio",
+            (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))) / length(col("text")))
+          .withColumn("quality",
+            least(col("n_tok") / lit(100e0), lit(1e0)) * lit(0.4e0)
+              + least(col("avg_tok_len") / lit(8e0), lit(1e0)) * lit(0.3e0)
+              + (lit(1e0) - col("stop_ratio")) * lit(0.2e0)
+              + (lit(1e0) - col("punct_ratio")) * lit(0.1e0))
+        perDoc.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          davg(col("quality")).as("avg_quality"),
+          davg(col("n_tok").cast("double")).as("avg_tokens"))
+          .orderBy(col("source"))
+      },
+      s"""WITH pd AS (
+         |  SELECT source, len(toks) AS n_tok,
+         |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS tok_chars,
+         |         len(list_filter(toks, x -> x IN (${TextOps.lexicons.head._2.map(w => s"'$w'").mkString(", ")}))) AS stop_hits,
+         |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_cnt,
+         |         length(text) AS n_chars2
+         |  FROM (SELECT source, text, $sqlToks AS toks FROM documents)
+         |  WHERE len(toks) > 0),
+         |q AS (
+         |  SELECT source, n_tok,
+         |         LEAST(n_tok / 100e0, 1e0) * 0.4e0
+         |           + LEAST((tok_chars / n_tok) / 8e0, 1e0) * 0.3e0
+         |           + (1e0 - (stop_hits / n_tok)) * 0.2e0
+         |           + (1e0 - (punct_cnt / n_chars2)) * 0.1e0 AS quality
+         |  FROM pd)
+         |SELECT source, COUNT(*) AS n_docs, ${sqlDavg("quality")} AS avg_quality,
+         |       ${sqlDavg("CAST(n_tok AS DOUBLE)")} AS avg_tokens
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Heuristic language ID (marker-lexicon hits + CJK codepoint check)
+    // reported as a confusion matrix against the labeled lang column.
+    "q32_lang_confusion" -> Q(
+      (s, d) => {
+        val toks = tokens(col("text"))
+        def hits(words: Seq[String]) = size(filter(toks, t => t.isin(words: _*)))
+        val lex = TextOps.lexicons.toMap
+        val scored = Tables.documents(s, d)
+          .withColumn("s_en", hits(lex("en"))).withColumn("s_es", hits(lex("es")))
+          .withColumn("s_fr", hits(lex("fr"))).withColumn("s_de", hits(lex("de")))
+          .withColumn("pred_lang",
+            when(TextOps.hasCjk(col("text")), "zh")
+              .when(col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_de")) && col("s_en") > 0, "en")
+              .when(col("s_es") >= greatest(col("s_fr"), col("s_de")) && col("s_es") > 0, "es")
+              .when(col("s_fr") >= col("s_de") && col("s_fr") > 0, "fr")
+              .when(col("s_de") > 0, "de")
+              .otherwise("unknown"))
+        scored.groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred_lang"))
+      }, {
+        def h(l: String) = {
+          val ws = TextOps.lexicons.toMap.apply(l).map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(toks, x -> x IN ($ws)))"
+        }
+        s"""WITH sc AS (
+           |  SELECT lang, ${h("en")} AS s_en, ${h("es")} AS s_es,
+           |         ${h("fr")} AS s_fr, ${h("de")} AS s_de,
+           |         regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS is_cjk
+           |  FROM (SELECT lang, text, $sqlToks AS toks FROM documents)),
+           |p AS (
+           |  SELECT lang,
+           |         CASE WHEN is_cjk THEN 'zh'
+           |              WHEN s_en >= GREATEST(s_es, s_fr, s_de) AND s_en > 0 THEN 'en'
+           |              WHEN s_es >= GREATEST(s_fr, s_de) AND s_es > 0 THEN 'es'
+           |              WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+           |              WHEN s_de > 0 THEN 'de'
+           |              ELSE 'unknown' END AS pred_lang
+           |  FROM sc)
+           |SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
+    // Document fingerprinting: 60-bit content hash per doc (md5-derived so
+    // any engine reproduces it bit-for-bit).
+    "q33_doc_fingerprint" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("fp"),
+          col("n_chars"))
+        .orderBy(col("doc_id")),
+      """SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Exact deduplication accounting per language (hash-groupBy — the
+    // exact-dedup primitive; at scale the md5 group-by is one shuffle of
+    // 16-byte keys, not full texts).
+    "q40_dedup_exact" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"), md5(col("text")).as("h"))
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_distinct_texts"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs"))
+        .orderBy(col("lang")),
+      """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+        |       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // MinHash signatures: 8 salted-md5 min-hashes over distinct word
+    // 3-gram shingles (docs with < 3 tokens have no signature, same on
+    // both engines). Map-side combine makes the min-agg shuffle tiny.
+    "q41_minhash_signatures" -> Q(
+      (s, d) => TextOps.shingleIndex(Tables.documents(s, d))
+        .groupBy(col("doc_id"))
+        .agg((0 until nHashes).map(k => min(saltedHash(k, col("shingle"))).as(s"h$k")).head,
+          (1 until nHashes).map(k => min(saltedHash(k, col("shingle"))).as(s"h$k")): _*)
+        .orderBy(col("doc_id")),
+      s"""WITH ${sqlShingleCte()}
+         |SELECT doc_id, $sigSelect FROM sh GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // MinHash + LSH candidate pairs: 4 bands of 2 hashes; join docs per
+    // band bucket (never all-pairs), union bands, then filter by estimated
+    // similarity >= 0.5 from the full signature.
+    "q42_minhash_lsh_pairs" -> Q(
+      (s, d) => {
+        val sig = TextOps.shingleIndex(Tables.documents(s, d))
+          .groupBy(col("doc_id"))
+          .agg((0 until nHashes).map(k => min(saltedHash(k, col("shingle"))).as(s"h$k")).head,
+            (1 until nHashes).map(k => min(saltedHash(k, col("shingle"))).as(s"h$k")): _*)
+        val a = sig.select(col("doc_id").as("doc_a") +: (0 until nHashes).map(k => col(s"h$k").as(s"a$k")): _*)
+        val b = sig.select(col("doc_id").as("doc_b") +: (0 until nHashes).map(k => col(s"h$k").as(s"b$k")): _*)
+        val bands = Seq((0, 1), (2, 3), (4, 5), (6, 7))
+        val cands = bands.map { case (i, j) =>
+          a.join(b, col(s"a$i") === col(s"b$i") && col(s"a$j") === col(s"b$j")
+            && col("doc_a") < col("doc_b"))
+            .select(col("doc_a"), col("doc_b"),
+              (0 until nHashes).map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0)).reduce(_ + _).as("matches"))
+        }.reduce(_ unionAll _).distinct()
+        cands.withColumn("est_sim", col("matches") / lit(8e0))
+          .where(col("est_sim") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("est_sim"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      s"""WITH ${sqlShingleCte()},
+         |sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY 1),
+         |cand AS (
+         |${Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (i, j) =>
+           s"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |         ${(0 until nHashes).map(k => s"CAST(a.h$k = b.h$k AS INTEGER)").mkString(" + ")} AS matches
+              |  FROM sig a JOIN sig b ON a.h$i = b.h$i AND a.h$j = b.h$j AND a.doc_id < b.doc_id""".stripMargin
+         }.mkString("\n  UNION\n")}
+         |)
+         |SELECT doc_a, doc_b, matches / 8e0 AS est_sim FROM cand
+         |WHERE matches / 8e0 >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Exact n-gram Jaccard near-dup pairs via inverted-index join (shared
+    // shingles -> intersection counts; per-doc shingle counts close the
+    // formula) — no O(n²) stage; skew on ultra-common shingles is the
+    // known scale risk (mitigate with a doc-frequency cap upstream).
+    "q43_ngram_jaccard_pairs" -> Q(
+      (s, d) => {
+        val idx = TextOps.shingleIndex(Tables.documents(s, d))
+        val cnt = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = idx.select(col("doc_id").as("doc_a"), col("shingle"))
+          .join(idx.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+          .where(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+        inter
+          .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+          .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+          .withColumn("jaccard", col("n_common") / (col("na") + col("nb") - col("n_common")))
+          .where(col("jaccard") >= 0.8)
+          .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      s"""WITH ${sqlShingleCte()},
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |       n_common / (ca.n + cb.n - n_common) AS jaccard
+         |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+         |WHERE n_common / (ca.n + cb.n - n_common) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // SimHash: 32-bit near-dup fingerprint — per-bit +1/-1 votes over
+    // token hashes, bit set where the vote is positive.
+    "q44_simhash_fingerprints" -> Q(
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .withColumn("h", saltedHash(0, col("tok")))
+        val votes = tok.groupBy(col("doc_id")).agg(
+          sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as("b0"),
+          (1 until 32).map(j =>
+            sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")): _*)
+        votes.select(col("doc_id"),
+          (0 until 32).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${sqlSaltedHash(0, "tok")} AS h
+         |  FROM (SELECT doc_id, unnest($sqlToks) AS tok FROM documents)),
+         |votes AS (
+         |  SELECT doc_id,
+         |${(0 until 32).map(j => s"         SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n")}
+         |  FROM tok GROUP BY 1)
+         |SELECT doc_id,
+         |       CAST(${(0 until 32).map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
+         |FROM votes ORDER BY doc_id""".stripMargin)
+  )
+}
