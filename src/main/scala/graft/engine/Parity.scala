@@ -36,6 +36,12 @@ object Parity {
     * pandas .mean() and SQL AVG null semantics). */
   def davg(c: Column): Column = dsum(c) / count(c)
 
+  /** Scale-12 mean for inputs whose doubles can land on a DECIMAL(27,6)
+    * rounding tie (ratio-valued features like quality scores): at scale
+    * 12 the Spark HALF_UP vs DuckDB round-to-nearest difference is out of
+    * reach of any realistic input. */
+  def davg12(c: Column): Column = dsum12(c) / count(c)
+
   /** Oracle-SQL equivalents (DuckDB). */
   def sqlDsum(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(27,6))) AS DOUBLE)"
@@ -43,4 +49,6 @@ object Parity {
     s"(${sqlDsum(expr)} / COUNT($expr))"
   def sqlDsum12(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(27,12))) AS DOUBLE)"
+  def sqlDavg12(expr: String): String =
+    s"(${sqlDsum12(expr)} / COUNT($expr))"
 }

@@ -14,15 +14,27 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session flag required to scan the nanos-timestamped events parquet. */
+  val NanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
+
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** events.ts is physically TIMESTAMP(NANOS) parquet, which Spark 4 only
     * reads via the nanosAsLong escape hatch; normalize back to a proper
     * TimestampType (integer ns->us division — the data is us-grained, and
-    * going through double would lose precision at 1e18 magnitudes). */
+    * going through double would lose precision at 1e18 magnitudes).
+    *
+    * NOTE: reading events requires `spark.sql.legacy.parquet.nanosAsLong`
+    * for the whole session. Our own entry points (Bench/Verify/test
+    * SparkSpec) set it at session construction; for foreign sessions (the
+    * driver's) it is set here once, idempotently — this is a PERMANENT
+    * session-level change: any later parquet read of nanos timestamps in
+    * the same session sees them as longs. All graft readers handle that
+    * (this one normalizes back to TimestampType). */
   private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.getOption(NanosFlag).forall(_ != "true"))
+      spark.conf.set(NanosFlag, "true")
     val df = read(spark, sfDir, "events")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

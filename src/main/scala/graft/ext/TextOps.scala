@@ -5,12 +5,25 @@ import org.apache.spark.sql.functions._
 
 /** Text-pipeline building blocks for the LLM-data operators (dedup,
   * fingerprinting, language ID, quality scoring) — all pure Column
-  * expressions / narrow maps, so they run inside whole-stage codegen and
-  * scale linearly with no shuffle until the explicit aggregation step.
+  * expressions / narrow maps, so they run with no shuffle until the
+  * explicit aggregation step.
   *
-  * Hash family: the low 32 bits of md5 over a salted key. md5 is exactly
-  * reproducible in any engine (the DuckDB oracle mirrors it via
-  * ('0x' || substr(md5(k), 1, 8))::bigint), unlike engine-native hash().
+  * Evaluation-cost rule baked into this API: higher-order functions
+  * (transform/filter/aggregate) are not whole-stage-codegen'd, and any
+  * outer expression they reference is RE-EVALUATED per array element. So
+  * every derived array (tokens -> shingles -> hashes) must be
+  * materialized as its own projection column before the next step refers
+  * to it — [[withShingles]] does exactly that, and Catalyst keeps the
+  * stages separate because collapsing would duplicate non-cheap
+  * expressions. Skipping this (computing shingles straight over the
+  * split() expression) re-runs the regex tokenizer ~3x per shingle and
+  * turned out to dominate round-1 bench time.
+  *
+  * Hash family: md5 over a salted key, sliced into 32-bit chunks. md5 is
+  * exactly reproducible in any engine (the DuckDB oracle mirrors it via
+  * ('0x' || substr(md5(k), a, b))::bigint), unlike engine-native hash().
+  * One md5 yields four 32-bit hashes, so an 8-hash MinHash family costs
+  * two md5 evaluations per shingle, not eight.
   */
 object TextOps {
 
@@ -31,20 +44,36 @@ object TextOps {
   def sqlSaltedHash(salt: Int, expr: String): String =
     s"(('0x' || substr(md5('$salt:' || ($expr)), 1, 8))::BIGINT)"
 
-  /** Distinct word n-gram shingles as an array column — pure map, no
-    * shuffle (vs the window/lead formulation, which would shuffle by
-    * doc). Empty array when the doc has fewer than n tokens. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  /** Distinct word n-gram shingles over an ALREADY-MATERIALIZED token
+    * array column (`toks` must be a plain attribute, not an expression —
+    * see the class doc). Empty array when the doc has < n tokens. */
+  def shinglesOf(toks: Column, n: Int = 3): Column = {
     val grams = transform(
       sequence(lit(1), size(toks) - lit(n - 1)),
       i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))
     array_distinct(when(size(toks) >= n, grams).otherwise(array()))
   }
 
-  /** SQL mirror of [[shingles]] over a token-list variable `tVar` (DuckDB
-    * lists are 1-indexed; range(1, m) is empty when m < 2, covering the
-    * short-doc case). Use inside a CTE that binds `tVar` to sqlTokens. */
+  /** documents projected to (doc_id, extra..., sh) with tokens and
+    * shingles materialized stage-by-stage; docs with no shingles
+    * (< n tokens) are dropped, matching the exploded-index semantics.
+    *
+    * The short-doc guard is `size(toks) >= n`, NOT `size(sh) > 0`: the
+    * two are equivalent (n tokens always yield >= 1 distinct gram), but a
+    * predicate over `sh` would be pushed below the projections and
+    * re-inline the whole shingle pipeline into a per-row filter — the
+    * dominant cost of round-1's dedup queries. */
+  def withShingles(docs: DataFrame, extra: String*): DataFrame = {
+    val keep = col("doc_id") +: extra.map(col)
+    val n = 3
+    docs.select(keep :+ tokens(col("text")).as("toks"): _*)
+      .where(size(col("toks")) >= n)
+      .select(keep :+ shinglesOf(col("toks"), n).as("sh"): _*)
+  }
+
+  /** SQL mirror of [[withShingles]] over a token-list variable `tVar`
+    * (DuckDB lists are 1-indexed; range(1, m) is empty when m < 2,
+    * covering the short-doc case). */
   def sqlShingleList(tVar: String, n: Int = 3): String = {
     val gram = (0 until n).map(k => s"$tVar[i+$k]").mkString(" || ' ' || ")
     s"list_distinct(list_transform(range(1, len($tVar) - ${n - 2}), i -> $gram))"
@@ -52,7 +81,7 @@ object TextOps {
 
   /** Exploded (doc_id, shingle) inverted-index relation. */
   def shingleIndex(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+    withShingles(docs).select(col("doc_id"), explode(col("sh")).as("shingle"))
 
   /** Per-language marker lexicons for the heuristic language identifier.
     * Tiny on purpose: the operator is the deliverable; swap in real

@@ -1,25 +1,28 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.Q
-import graft.engine.{Parity, Tables}
-import Parity.{dsum12, sqlDsum12}
+import graft.engine.Tables
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
   * array<float> (64-dim), label): brute-force cosine top-k as the
   * baseline, sign-LSH bucketing and IVF-style coarse quantization as the
   * scale paths.
   *
-  * Numeric parity strategy: dot products and norms are computed
-  * relationally — explode to (vec_id, i, x), join on the position, sum
-  * per-element double products through Parity.dsum12 — so the result is
-  * order-independent and bit-identical to the DuckDB oracle. (A fused
-  * array expression — zip_with + aggregate — is faster per pair but its
-  * fold order is engine-specific; the relational form is also the shape
-  * that distributes: the small side broadcasts, the big side never
-  * shuffles until the final per-pair partial aggregation.)
+  * Numeric parity strategy: dot products and norms are FUSED array
+  * expressions — `zip_with` the two vectors, cast every elementwise
+  * double product to DECIMAL(27,12), and fold with decimal addition.
+  * Decimal addition is associative, so the fold order (Spark's
+  * left-to-right `aggregate` vs DuckDB's `list_sum`) cannot change the
+  * result, and the final decimal->double cast is deterministic — the
+  * same trick graft.engine.Parity uses across shuffle partitions, applied
+  * inside a single row. This keeps the whole dot product in one
+  * whole-stage-codegen'd projection: no explode, no position join, no
+  * per-pair shuffle — at corpus scale each candidate pair costs O(dim)
+  * in-register work instead of a 64-row join.
   *
   * "Hyperplanes"/centroids are the first `nSeeds` vectors by vec_id —
   * deterministic stand-ins for seeded random projections, so both engines
@@ -30,56 +33,61 @@ object EmbeddingQueries {
   private val dim = 64
   private val nSeeds = 8
   private val nQueries = 10
+  private val D12 = DecimalType(27, 12)
 
   // ---- Spark-side building blocks ----
-  private def exploded(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(col("vec_id"),
-      posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
 
-  private def norms(ex: DataFrame): DataFrame =
-    ex.groupBy(col("vec_id")).agg(sqrt(dsum12(col("x") * col("x"))).as("nrm"))
+  /** Order-independent exact dot product of two double-array columns.
+    * The fold re-casts each partial sum to DECIMAL(27,12): decimal
+    * addition at a fixed scale is exact (no new fractional digits), so
+    * the cast never rounds and the sum stays associative. */
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x * y).cast(D12)),
+      lit(0).cast(D12),
+      (acc, v) => (acc + v).cast(D12)).cast(DoubleType)
 
-  /** Pairwise dots for (left ⋈ right on position); both renamed first. */
-  private def dots(l: DataFrame, lId: String, r: DataFrame, rId: String): DataFrame =
-    l.select(col("vec_id").as(lId), col("i"), col("x").as("lx"))
-      .join(r.select(col("vec_id").as(rId), col("i"), col("x").as("rx")), Seq("i"))
-      .groupBy(col(lId), col(rId))
-      .agg(dsum12(col("lx") * col("rx")).as("dot"))
+  /** Base table with embedding as array<double> plus its norm — a narrow
+    * map over the scan (no shuffle at all). */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
 
-  // ---- DuckDB-side shared CTEs ----
-  private val sqlEx =
-    s"ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, range(1, ${dim + 1}) t(i))"
-  private val sqlNr =
-    s"nr AS (SELECT vec_id, sqrt(${sqlDsum12("x * x")}) AS nrm FROM ex GROUP BY 1)"
+  // ---- DuckDB-side shared fragments ----
+
+  /** SQL mirror of [[dotCol]] over two FLOAT[]-typed columns. */
+  private def sqlDot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> " +
+      s"CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(27,12)))) AS DOUBLE)"
+
+  private val sqlVecs =
+    s"vecs AS (SELECT vec_id, embedding AS v, sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings)"
 
   val defs: Map[String, Q] = Map(
 
     // Brute-force cosine top-k — the exact baseline every ANN variant is
-    // measured against. Query side is tiny and broadcasts; the corpus side
-    // is scanned once, never shuffled before the partial agg.
+    // measured against. The tiny query side broadcasts against the corpus
+    // scan; each pair's cosine is a fused projection, so the only shuffle
+    // is the final per-query top-k window.
     "q45_ann_bruteforce_topk" -> Q(
       (s, d) => {
-        val ex = exploded(s, d)
-        val nr = norms(ex)
-        val dt = dots(broadcast(ex.where(col("vec_id") < nQueries)), "query_id", ex, "cand_id")
-          .where(col("cand_id") =!= col("query_id"))
-        val cos = dt
-          .join(broadcast(nr.select(col("vec_id").as("query_id"), col("nrm").as("qn"))), Seq("query_id"))
-          .join(nr.select(col("vec_id").as("cand_id"), col("nrm").as("cn")), Seq("cand_id"))
-          .withColumn("cosine", col("dot") / (col("qn") * col("cn")))
+        val base = vecs(s, d)
+        val q = base.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+          .where(col("query_id") < nQueries)
+        val cand = base.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
+        val cos = cand.join(broadcast(q), col("cand_id") =!= col("query_id"))
+          .withColumn("cosine", dotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
         val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id").asc)
         cos.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
           .select(col("query_id"), col("rank"), col("cand_id").as("neighbor_id"), col("cosine"))
           .orderBy(col("query_id"), col("rank"))
       },
-      s"""WITH $sqlEx, $sqlNr,
-         |dt AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, ${sqlDsum12("q.x * c.x")} AS dot
-         |  FROM ex q JOIN ex c ON q.i = c.i AND q.vec_id < $nQueries AND c.vec_id <> q.vec_id
-         |  GROUP BY 1, 2),
+      s"""WITH $sqlVecs,
          |cos AS (
-         |  SELECT query_id, cand_id, dot / (nq.nrm * nc.nrm) AS cosine
-         |  FROM dt JOIN nr nq ON nq.vec_id = query_id JOIN nr nc ON nc.vec_id = cand_id)
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |         ${sqlDot("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+         |  FROM vecs q JOIN vecs c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id)
          |SELECT query_id, CAST(rn AS INTEGER) AS rank, cand_id AS neighbor_id, cosine
          |FROM (SELECT cos.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rn FROM cos) z
          |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
@@ -87,113 +95,108 @@ object EmbeddingQueries {
     // Sign-LSH near-dup search: 8-bit hyperplane-sign signature buckets
     // the corpus; pairs form only inside a bucket (the all-pairs cross
     // join never happens), then the top 20 bucket-local pairs by cosine.
+    // The signature is a narrow map (8 fused dots against broadcast
+    // seeds); the bucket self-join carries the vectors so the pair cosine
+    // is again a projection, not a join.
     "q46_lsh_bucket_pairs" -> Q(
       (s, d) => {
-        val ex = exploded(s, d)
-        val nr = norms(ex)
-        val seeds = ex.where(col("vec_id") < nSeeds)
-        val bitExprs = (0 until nSeeds).map(k =>
-          sum(when(col("seed") === k && col("dot") > 0, 1L << k).otherwise(0L)).as(s"s$k"))
-        val sig = dots(ex, "v", broadcast(seeds), "seed")
-          .groupBy(col("v")).agg(bitExprs.head, bitExprs.tail: _*)
-          .select(col("v"), (0 until nSeeds).map(k => col(s"s$k")).reduce(_ + _).as("bucket"))
-        val pairs = sig.select(col("v").as("doc_a"), col("bucket"))
-          .join(sig.select(col("v").as("doc_b"), col("bucket")), Seq("bucket"))
+        val base = vecs(s, d)
+        val seeds = base.select(col("vec_id").as("seed_id"), col("v").as("sv"))
+          .where(col("seed_id") < nSeeds)
+          .groupBy().agg(map_from_arrays(
+            collect_list(col("seed_id")), collect_list(col("sv"))).as("seeds"))
+        // Cached: both sides of the bucket self-join reuse ONE evaluation
+        // of the signature map (8 exact decimal dots per row is the
+        // expensive part; lambda-bearing subtrees defeat exchange-reuse
+        // canonicalization, so an exchange alone would compute it twice).
+        val sig = base.crossJoin(broadcast(seeds))
+          .withColumn("bucket",
+            (0 until nSeeds).map(k =>
+              when(dotCol(col("v"), element_at(col("seeds"), k.toLong)) > 0, lit(1L << k))
+                .otherwise(lit(0L))).reduce(_ + _))
+          .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+          .persist()
+        val a = sig.select(col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
+        val b = sig.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
+        a.join(b, Seq("bucket"))
           .where(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"), col("bucket"))
-        val pd = pairs
-          .join(ex.select(col("vec_id").as("doc_a"), col("i"), col("x").as("xa")), Seq("doc_a"))
-          .join(ex.select(col("vec_id").as("doc_b"), col("i"), col("x").as("xb")),
-            Seq("doc_b", "i"))
-          .groupBy(col("doc_a"), col("doc_b"), col("bucket"))
-          .agg(dsum12(col("xa") * col("xb")).as("dot"))
-        pd.join(broadcast(norms(ex)).select(col("vec_id").as("doc_a"), col("nrm").as("na")), Seq("doc_a"))
-          .join(broadcast(norms(ex)).select(col("vec_id").as("doc_b"), col("nrm").as("nb")), Seq("doc_b"))
-          .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+          .withColumn("cosine", dotCol(col("va"), col("vb")) / (col("na") * col("nb")))
           .select(col("doc_a"), col("doc_b"), col("bucket"), col("cosine"))
           .orderBy(col("cosine").desc, col("doc_a").asc, col("doc_b").asc)
           .limit(20)
       },
-      s"""WITH $sqlEx, $sqlNr,
+      s"""WITH $sqlVecs,
          |sd AS (
-         |  SELECT v.vec_id AS v, s.vec_id AS seed, ${sqlDsum12("v.x * s.x")} AS dot
-         |  FROM ex v JOIN ex s ON v.i = s.i AND s.vec_id < $nSeeds
-         |  GROUP BY 1, 2),
-         |sig AS (
-         |  SELECT v, CAST(${(0 until nSeeds).map(k =>
-             s"SUM(CASE WHEN seed = $k AND dot > 0 THEN ${1L << k} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS bucket
+         |  SELECT x.vec_id AS v_id, s.vec_id AS seed, ${sqlDot("x.v", "s.v")} AS dot
+         |  FROM vecs x JOIN vecs s ON s.vec_id < $nSeeds),
+         |sigb AS (
+         |  SELECT v_id, CAST(SUM(CASE WHEN dot > 0 THEN 1 << seed ELSE 0 END) AS BIGINT) AS bucket
          |  FROM sd GROUP BY 1),
+         |sig AS (
+         |  SELECT vec_id, v, nrm, bucket FROM vecs JOIN sigb ON sigb.v_id = vecs.vec_id),
          |pairs AS (
-         |  SELECT a.v AS doc_a, b.v AS doc_b, a.bucket
-         |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.v < b.v),
-         |pd AS (
-         |  SELECT doc_a, doc_b, bucket, ${sqlDsum12("xa.x * xb.x")} AS dot
-         |  FROM pairs
-         |  JOIN ex xa ON xa.vec_id = doc_a
-         |  JOIN ex xb ON xb.vec_id = doc_b AND xb.i = xa.i
-         |  GROUP BY 1, 2, 3)
-         |SELECT doc_a, doc_b, bucket, dot / (na.nrm * nb.nrm) AS cosine
-         |FROM pd JOIN nr na ON na.vec_id = doc_a JOIN nr nb ON nb.vec_id = doc_b
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, a.bucket,
+         |         ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+         |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT doc_a, doc_b, bucket, cosine FROM pairs
          |ORDER BY cosine DESC, doc_a ASC, doc_b ASC LIMIT 20""".stripMargin),
 
     // IVF-style coarse quantization: assign every vector to its nearest
     // centroid (here: the first 8 vectors as deterministic centroids),
     // then answer top-3 neighbor queries inside the probe's cell only —
-    // the classic recall-for-throughput trade at corpus scale.
+    // the classic recall-for-throughput trade at corpus scale. Centroid
+    // assignment is a narrow map (argmax over 8 fused dots); only the
+    // cell-local candidate join and the final top-k shuffle.
     "q47_ivf_topk" -> Q(
       (s, d) => {
-        val ex = exploded(s, d)
-        val nr = norms(ex)
-        val cents = ex.where(col("vec_id") < nSeeds)
-        val cd = dots(ex, "v", broadcast(cents), "cent")
-          .join(broadcast(nr.select(col("vec_id").as("v"), col("nrm").as("vn"))), Seq("v"))
-          .join(broadcast(nr.select(col("vec_id").as("cent"), col("nrm").as("cn"))), Seq("cent"))
-          .withColumn("ccos", col("dot") / (col("vn") * col("cn")))
-        val wAssign = Window.partitionBy(col("v")).orderBy(col("ccos").desc, col("cent").asc)
-        val assign = cd.withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
-          .select(col("v"), col("cent").as("cell"))
-        val qAssign = assign.where(col("v") < nQueries)
-          .select(col("v").as("query_id"), col("cell"))
-        val cands = qAssign.join(assign.select(col("v").as("cand_id"), col("cell")), Seq("cell"))
+        val base = vecs(s, d)
+        val cents = base.select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+          .where(col("cent_id") < nSeeds)
+          .groupBy().agg(
+            map_from_arrays(collect_list(col("cent_id")), collect_list(col("cv"))).as("cents"),
+            map_from_arrays(collect_list(col("cent_id")), collect_list(col("cnrm"))).as("cnorms"))
+        // argmax over the 8 centroid cosines via a fused array of structs:
+        // build [(ccos_k, k)], array_max picks (max ccos, max k on ties) —
+        // ties broken toward the SMALLER cent need care: negate k.
+        val assign = base.crossJoin(broadcast(cents))
+          .withColumn("scored", array((0 until nSeeds).map(k => struct(
+            (dotCol(col("v"), element_at(col("cents"), k.toLong))
+              / (col("nrm") * element_at(col("cnorms"), k.toLong))).as("ccos"),
+            lit(-k).as("negk"))): _*))
+          .withColumn("best", array_max(col("scored")))
+          .select(col("vec_id"), col("v"), col("nrm"), (-col("best.negk")).cast("long").as("cell"))
+          // cached: the query side (broadcast) and the candidate side both
+          // read ONE evaluation of the (8 dots per row) assignment map
+          .persist()
+        val qs = assign.where(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+        val cands = assign
+          .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"), col("cell"))
+        val cos = cands.join(broadcast(qs), Seq("cell"))
           .where(col("cand_id") =!= col("query_id"))
-        val pd = cands
-          .join(ex.select(col("vec_id").as("query_id"), col("i"), col("x").as("qx")), Seq("query_id"))
-          .join(ex.select(col("vec_id").as("cand_id"), col("i"), col("x").as("cx")), Seq("cand_id", "i"))
-          .groupBy(col("query_id"), col("cand_id"), col("cell"))
-          .agg(dsum12(col("qx") * col("cx")).as("dot"))
-          .join(broadcast(nr.select(col("vec_id").as("query_id"), col("nrm").as("qn"))), Seq("query_id"))
-          .join(broadcast(nr.select(col("vec_id").as("cand_id"), col("nrm").as("cn"))), Seq("cand_id"))
-          .withColumn("cosine", col("dot") / (col("qn") * col("cn")))
+          .withColumn("cosine", dotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
         val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id").asc)
-        pd.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+        cos.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
           .select(col("query_id"), col("cell"), col("rank"),
             col("cand_id").as("neighbor_id"), col("cosine"))
           .orderBy(col("query_id"), col("rank"))
       },
-      s"""WITH $sqlEx, $sqlNr,
-         |cd AS (
-         |  SELECT v.vec_id AS v, c.vec_id AS cent, ${sqlDsum12("v.x * c.x")} AS dot
-         |  FROM ex v JOIN ex c ON v.i = c.i AND c.vec_id < $nSeeds
-         |  GROUP BY 1, 2),
+      s"""WITH $sqlVecs,
          |ccos AS (
-         |  SELECT v, cent, dot / (nv.nrm * nc.nrm) AS ccos
-         |  FROM cd JOIN nr nv ON nv.vec_id = v JOIN nr nc ON nc.vec_id = cent),
+         |  SELECT x.vec_id AS v, c.vec_id AS cent,
+         |         ${sqlDot("x.v", "c.v")} / (x.nrm * c.nrm) AS ccos
+         |  FROM vecs x JOIN vecs c ON c.vec_id < $nSeeds),
          |assign AS (
-         |  SELECT v, cent AS cell
-         |  FROM (SELECT ccos.*, row_number() OVER (PARTITION BY v ORDER BY ccos DESC, cent ASC) AS rn FROM ccos) z
+         |  SELECT v AS vec_id, cell
+         |  FROM (SELECT v, cent AS cell, row_number() OVER (PARTITION BY v ORDER BY ccos DESC, cent ASC) AS rn FROM ccos) z
          |  WHERE rn = 1),
-         |cands AS (
-         |  SELECT q.v AS query_id, a.v AS cand_id, q.cell
-         |  FROM assign q JOIN assign a ON q.cell = a.cell AND q.v < $nQueries AND a.v <> q.v),
-         |pd AS (
-         |  SELECT query_id, cand_id, cell, ${sqlDsum12("qx.x * cx.x")} AS dot
-         |  FROM cands
-         |  JOIN ex qx ON qx.vec_id = query_id
-         |  JOIN ex cx ON cx.vec_id = cand_id AND cx.i = qx.i
-         |  GROUP BY 1, 2, 3),
          |cos AS (
-         |  SELECT query_id, cand_id, cell, dot / (nq.nrm * nc.nrm) AS cosine
-         |  FROM pd JOIN nr nq ON nq.vec_id = query_id JOIN nr nc ON nc.vec_id = cand_id)
+         |  SELECT q.vec_id AS query_id, a.vec_id AS cand_id, q.cell,
+         |         ${sqlDot("qv.v", "cv.v")} / (qv.nrm * cv.nrm) AS cosine
+         |  FROM assign q
+         |  JOIN assign a ON q.cell = a.cell AND q.vec_id < $nQueries AND a.vec_id <> q.vec_id
+         |  JOIN vecs qv ON qv.vec_id = q.vec_id
+         |  JOIN vecs cv ON cv.vec_id = a.vec_id)
          |SELECT query_id, cell, CAST(rn AS INTEGER) AS rank, cand_id AS neighbor_id, cosine
          |FROM (SELECT cos.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rn FROM cos) z
          |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin)

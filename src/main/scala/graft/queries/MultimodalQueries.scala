@@ -31,14 +31,18 @@ object MultimodalQueries {
 
     // Batch feature extraction through mapPartitions (stubbed decode; the
     // batching/schema plumbing is the operator under test). No oracle —
-    // mapPartitions is outside ANSI SQL.
+    // mapPartitions is outside ANSI SQL; the driver's rows-only check needs
+    // sortable scalar columns, so the feature vector is surfaced as
+    // f0..f7 doubles rather than a raw array.
     "q51_multimodal_features" -> Q(
       (s, d) => {
         val feats = Multimodal.decodeFeatures(
           s, Multimodal.mediaTable(Tables.documents(s, d)))
+        val fCols = (0 until Multimodal.StubDecoder.featureDim)
+          .map(k => element_at(col("features"), k + 1).as(s"f$k"))
         feats.toDF()
-          .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
-            col("n_frames"), col("features"))
+          .select(Seq(col("doc_id"), col("byte_len"), col("width"),
+            col("height"), col("n_frames")) ++ fCols: _*)
           .orderBy(col("doc_id"))
       },
       None)

@@ -1,10 +1,11 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.engine.{Parity, Tables}
 import graft.ext.TextOps
-import Parity.{davg, sqlDavg}
+import Parity.{davg, davg12, sqlDavg, sqlDavg12}
 import TextOps.{saltedHash, sqlSaltedHash, sqlTokens, tokens}
 
 /** Text-analysis + deduplication operators over `documents` — the
@@ -13,22 +14,47 @@ import TextOps.{saltedHash, sqlSaltedHash, sqlTokens, tokens}
   * exact dedup, MinHash+LSH, n-gram Jaccard, SimHash.
   *
   * Scale design: every per-doc feature is a pure Column expression (narrow
-  * map, codegen); shuffles happen only at the named aggregation /
-  * inverted-index join steps. The candidate-pair stages are
-  * inverted-index or LSH-bucket joins — never an O(n²) cross join.
+  * map), with each derived array (tokens, shingles, hash arrays)
+  * materialized as its own projection stage so nothing is re-evaluated
+  * per array element (see TextOps class doc — this is what makes MinHash
+  * a zero-shuffle map rather than an explode+groupBy). Shuffles happen
+  * only at the named aggregation / inverted-index join steps, and the
+  * candidate-pair stages are inverted-index or LSH-bucket joins — never
+  * an O(n²) cross join.
   */
 object TextQueries {
 
-  // ---- shared SQL fragments (DuckDB mirror of TextOps) ----
+  // ---- shared fragments ----
   private val sqlToks = sqlTokens("text")
-  private def sqlShingleCte(src: String = "documents"): String =
-    s"""sh AS (
-       |  SELECT doc_id, unnest(${TextOps.sqlShingleList("t")}) AS shingle
-       |  FROM (SELECT doc_id, $sqlToks AS t FROM $src))""".stripMargin
-
   private val nHashes = 8
-  private def sigSelect: String =
-    (0 until nHashes).map(k => s"MIN(${sqlSaltedHash(k, "shingle")}) AS h$k").mkString(", ")
+
+  /** Per-doc 8-hash MinHash signature, computed entirely as a narrow map:
+    * shingles -> two md5 arrays -> array_min over 32-bit slices. No
+    * explode, no shuffle — the signature table is ~n_docs rows of 9
+    * longs regardless of document length. */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val base = TextOps.withShingles(Tables.documents(s, d))
+      .withColumn("m0", transform(col("sh"), x => md5(concat(lit("0:"), x))))
+      .withColumn("m1", transform(col("sh"), x => md5(concat(lit("1:"), x))))
+    def h(k: Int) = array_min(transform(col(if (k < 4) "m0" else "m1"),
+      m => conv(substring(m, 1 + 8 * (k % 4), 8), 16, 10).cast("long"))).as(s"h$k")
+    base.select(col("doc_id") +: (0 until nHashes).map(h): _*)
+  }
+
+  /** DuckDB mirror of [[signatures]] as a `sig` CTE chain. */
+  private val sqlSigCtes: String = {
+    def h(k: Int) = {
+      val src = if (k < 4) "m0" else "m1"
+      s"list_min(list_transform($src, m -> ('0x' || substr(m, ${1 + 8 * (k % 4)}, 8))::BIGINT)) AS h$k"
+    }
+    s"""t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+       |s2 AS (SELECT doc_id, ${TextOps.sqlShingleList("tk")} AS sh FROM t),
+       |s3 AS (SELECT doc_id, list_transform(sh, x -> md5('0:' || x)) AS m0,
+       |              list_transform(sh, x -> md5('1:' || x)) AS m1
+       |       FROM s2 WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id, ${(0 until nHashes).map(h).mkString(",\n               ")}
+       |        FROM s3)""".stripMargin
+  }
 
   val defs: Map[String, Q] = Map(
 
@@ -82,7 +108,7 @@ object TextQueries {
               + (lit(1e0) - col("punct_ratio")) * lit(0.1e0))
         perDoc.groupBy(col("source")).agg(
           count(lit(1)).as("n_docs"),
-          davg(col("quality")).as("avg_quality"),
+          davg12(col("quality")).as("avg_quality"),
           davg(col("n_tok").cast("double")).as("avg_tokens"))
           .orderBy(col("source"))
       },
@@ -101,7 +127,7 @@ object TextQueries {
          |           + (1e0 - (stop_hits / n_tok)) * 0.2e0
          |           + (1e0 - (punct_cnt / n_chars2)) * 0.1e0 AS quality
          |  FROM pd)
-         |SELECT source, COUNT(*) AS n_docs, ${sqlDavg("quality")} AS avg_quality,
+         |SELECT source, COUNT(*) AS n_docs, ${sqlDavg12("quality")} AS avg_quality,
          |       ${sqlDavg("CAST(n_tok AS DOUBLE)")} AS avg_tokens
          |FROM q GROUP BY 1 ORDER BY 1""".stripMargin),
 
@@ -172,27 +198,26 @@ object TextQueries {
         |       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
 
-    // MinHash signatures: 8 salted-md5 min-hashes over distinct word
-    // 3-gram shingles (docs with < 3 tokens have no signature, same on
-    // both engines). Map-side combine makes the min-agg shuffle tiny.
+    // MinHash signatures: 8 min-hashes (two md5s sliced into four 32-bit
+    // chunks each) over distinct word 3-gram shingles (docs with < 3
+    // tokens have no signature, same on both engines). Zero-shuffle
+    // narrow map — see [[signatures]].
     "q41_minhash_signatures" -> Q(
-      (s, d) => TextOps.shingleIndex(Tables.documents(s, d))
-        .groupBy(col("doc_id"))
-        .agg((0 until nHashes).map(k => min(saltedHash(k, col("shingle"))).as(s"h$k")).head,
-          (1 until nHashes).map(k => min(saltedHash(k, col("shingle"))).as(s"h$k")): _*)
-        .orderBy(col("doc_id")),
-      s"""WITH ${sqlShingleCte()}
-         |SELECT doc_id, $sigSelect FROM sh GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => signatures(s, d).orderBy(col("doc_id")),
+      s"""WITH $sqlSigCtes
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin),
 
     // MinHash + LSH candidate pairs: 4 bands of 2 hashes; join docs per
     // band bucket (never all-pairs), union bands, then filter by estimated
     // similarity >= 0.5 from the full signature.
     "q42_minhash_lsh_pairs" -> Q(
       (s, d) => {
-        val sig = TextOps.shingleIndex(Tables.documents(s, d))
-          .groupBy(col("doc_id"))
-          .agg((0 until nHashes).map(k => min(saltedHash(k, col("shingle"))).as(s"h$k")).head,
-            (1 until nHashes).map(k => min(saltedHash(k, col("shingle"))).as(s"h$k")): _*)
+        // The signature table is tiny (n_docs x 9 longs) but expensive to
+        // derive (shingle+md5 pipeline), and all 8 band-join branches need
+        // it. Cache it: exchange-reuse canonicalization cannot unify
+        // lambda-bearing subtrees across the union's deduplicated
+        // branches, so without the cache the pipeline runs 8 times.
+        val sig = signatures(s, d).persist()
         val a = sig.select(col("doc_id").as("doc_a") +: (0 until nHashes).map(k => col(s"h$k").as(s"a$k")): _*)
         val b = sig.select(col("doc_id").as("doc_b") +: (0 until nHashes).map(k => col(s"h$k").as(s"b$k")): _*)
         val bands = Seq((0, 1), (2, 3), (4, 5), (6, 7))
@@ -207,8 +232,7 @@ object TextQueries {
           .select(col("doc_a"), col("doc_b"), col("est_sim"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      s"""WITH ${sqlShingleCte()},
-         |sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY 1),
+      s"""WITH $sqlSigCtes,
          |cand AS (
          |${Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (i, j) =>
            s"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -219,36 +243,47 @@ object TextQueries {
          |SELECT doc_a, doc_b, matches / 8e0 AS est_sim FROM cand
          |WHERE matches / 8e0 >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
 
-    // Exact n-gram Jaccard near-dup pairs via inverted-index join (shared
-    // shingles -> intersection counts; per-doc shingle counts close the
-    // formula) — no O(n²) stage; skew on ultra-common shingles is the
-    // known scale risk (mitigate with a doc-frequency cap upstream).
+    // Exact n-gram Jaccard near-dup pairs via inverted-index join — no
+    // O(n²) stage. The index carries 60-bit hashed shingles (longs, not
+    // strings: ~8 bytes/key through the shuffle instead of ~50-char
+    // grams) and each doc's shingle count rides along with the index
+    // rows, so the Jaccard formula closes inside the pair aggregation
+    // with no extra joins. Skew on ultra-common shingles is the known
+    // scale risk (mitigate with a doc-frequency cap upstream).
     "q43_ngram_jaccard_pairs" -> Q(
       (s, d) => {
-        val idx = TextOps.shingleIndex(Tables.documents(s, d))
-        val cnt = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = idx.select(col("doc_id").as("doc_a"), col("shingle"))
-          .join(idx.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+        // Cached: both sides of the self-join read one evaluation of the
+        // hash pipeline (n_docs rows of ~n_shingles longs each).
+        val base = TextOps.withShingles(Tables.documents(s, d))
+          .withColumn("hs", transform(col("sh"),
+            x => conv(substring(md5(concat(lit("g:"), x)), 1, 15), 16, 10).cast("long")))
+          .select(col("doc_id"), size(col("hs")).as("n"), col("hs"))
+          .persist()
+        val idx = base.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+        val inter = idx.select(col("doc_id").as("doc_a"), col("n").as("na"), col("h"))
+          .join(idx.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("h")), Seq("h"))
           .where(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+          .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+          .agg(count(lit(1)).as("n_common"))
         inter
-          .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-          .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
           .withColumn("jaccard", col("n_common") / (col("na") + col("nb") - col("n_common")))
           .where(col("jaccard") >= 0.8)
           .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      s"""WITH ${sqlShingleCte()},
-         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |s2 AS (SELECT doc_id, ${TextOps.sqlShingleList("tk")} AS sh FROM t),
+         |hs AS (SELECT doc_id, len(sh) AS n,
+         |              unnest(list_transform(sh, x -> ('0x' || substr(md5('g:' || x), 1, 15))::BIGINT)) AS h
+         |       FROM s2 WHERE len(sh) > 0),
          |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb, COUNT(*) AS n_common
+         |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
          |SELECT doc_a, doc_b, n_common,
-         |       n_common / (ca.n + cb.n - n_common) AS jaccard
-         |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-         |WHERE n_common / (ca.n + cb.n - n_common) >= 0.8
+         |       n_common / (na + nb - n_common) AS jaccard
+         |FROM inter
+         |WHERE n_common / (na + nb - n_common) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin),
 
     // SimHash: 32-bit near-dup fingerprint — per-bit +1/-1 votes over
