@@ -13,8 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private val registry: Map[String, Q] =
-    CoreQueries.defs ++ RelQueries.defs ++ TextQueries.defs ++
-      EmbeddingQueries.defs ++ MultimodalQueries.defs
+    CoreQueries.defs ++ ExtQueries.defs ++ RelQueries.defs ++
+      TextQueries.defs ++ EmbeddingQueries.defs ++ MultimodalQueries.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
