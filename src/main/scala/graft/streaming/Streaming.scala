@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+import graft.engine.Sinks
+
+/** W2 (SURVEY.md §2.6) — the reference's rerun-append-upsert batch loop
+  * re-expressed as Structured Streaming: a file source over the landed
+  * raw/staged directory, event-time watermarking, key dedup, tumbling
+  * windows, and a foreachBatch upsert sink (the streaming MERGE shape).
+  *
+  * Scale notes: dedup state is bounded by the watermark horizon (state
+  * eviction is what makes `dropDuplicates` viable on an unbounded
+  * stream); the window aggregate is the same `window()` expression the
+  * batch queries use (q08) — one definition, both execution modes.
+  */
+object Streaming {
+
+  /** File-source stream over landed JSON (the reference's raw layer,
+    * W2's micro-batch input). multiLine=true for one-document-per-file
+    * landed payloads (the reference's shape); false for JSONL batches. */
+  def jsonFileStream(spark: SparkSession, schema: StructType, dir: String,
+                     multiLine: Boolean = true): DataFrame =
+    spark.readStream.schema(schema).option("multiLine", multiLine).json(dir)
+
+  /** Exactly-once-per-key ingestion: watermark + dropDuplicates on the
+    * business key (the reference's ON CONFLICT (city,time) key,
+    * ETL_Multi_Lvl_API/load.py:117-163). Late events beyond the
+    * watermark are dropped along with their dedup state. */
+  def dedupByKey(stream: DataFrame, eventTimeCol: String, watermark: String,
+                 keys: Seq[String]): DataFrame =
+    stream.withWatermark(eventTimeCol, watermark)
+      .dropDuplicates(keys)
+
+  /** Streaming tumbling-hour mean — W1/A10/q08 in streaming mode. */
+  def hourlyAvg(stream: DataFrame, eventTimeCol: String, watermark: String,
+                keyCol: String, valueCol: String): DataFrame =
+    stream.withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), "1 hour"), col(keyCol))
+      .agg(avg(col(valueCol)).as("avg_value"), count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col(keyCol),
+        col("avg_value"), col("n"))
+
+  /** foreachBatch upsert sink: every micro-batch merges into the target
+    * parquet with last-write-wins per key — the streaming form of the
+    * reference's idempotent re-load. */
+  def upsertSink(stream: DataFrame, path: String, keys: Seq[String],
+                 orderCol: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Sinks.upsertParquet(batch.sparkSession, batch, path, keys, orderCol)
+      }
+}
