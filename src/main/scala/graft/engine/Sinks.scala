@@ -33,15 +33,17 @@ object Sinks {
     * nondeterministic under parallelism (SURVEY.md §7.4).
     * Reference: ETL_Multi_Lvl_API/load.py:117-163. */
   def upsertParquet(spark: SparkSession, batch: DataFrame, path: String,
-                    keys: Seq[String], orderCol: String): Unit = {
+                    keys: Seq[String], orderCol: Option[String] = None): Unit = {
     val existing =
       try spark.read.parquet(path).withColumn("_is_new", lit(0))
       catch { case _: Exception => null }
     val all =
       if (existing == null) batch.withColumn("_is_new", lit(1))
       else existing.unionByName(batch.withColumn("_is_new", lit(1)))
+    // conflict winner: highest recency column if given, the incoming
+    // batch on ties / by default (ON CONFLICT DO UPDATE semantics)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(orderCol).desc, col("_is_new").desc)
+      .orderBy(orderCol.map(c => col(c).desc).toSeq :+ col("_is_new").desc: _*)
     val merged = all.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn", "_is_new")
     // parquet overwrite of the path being read requires a materialization

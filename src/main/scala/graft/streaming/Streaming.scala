@@ -48,7 +48,7 @@ object Streaming {
     * parquet with last-write-wins per key — the streaming form of the
     * reference's idempotent re-load. */
   def upsertSink(stream: DataFrame, path: String, keys: Seq[String],
-                 orderCol: String): DataStreamWriter[Row] =
+                 orderCol: Option[String] = None): DataStreamWriter[Row] =
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .outputMode("append")

@@ -1,0 +1,58 @@
+package graft
+
+/** Physical-plan regression tests: these assert the plan PROPERTIES the
+  * 100 TB design depends on (dimension broadcasts, scan-level filter
+  * pushdown, column pruning, shuffle counts), not just result values —
+  * a correct-but-reshuffling plan is a perf bug at scale even when the
+  * rows match (SURVEY.md §4).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.count() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q23 brand stats: part dimension broadcasts; lineitem scan prunes columns") {
+    val p = plan("q23_brand_stats")
+    assert(p.contains("BroadcastHashJoin"), "dim join must broadcast")
+    val scan = p.linesIterator.find(l => l.contains("FileScan parquet") && l.contains("lineitem")).get
+    assert(!scan.contains("l_shipdate") && !scan.contains("l_comment"),
+      s"lineitem scan must prune to the 3 needed columns: $scan")
+  }
+
+  test("q20 pricing summary: shipdate filter reaches the parquet scan") {
+    val p = plan("q20_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter must push into the scan")
+  }
+
+  test("q22 region revenue: all four dimension joins broadcast") {
+    val p = plan("q22_region_revenue")
+    val n = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(n >= 4, s"expected >=4 broadcast joins, got $n")
+  }
+
+  test("q41 minhash signatures: narrow map — only the final sort exchanges") {
+    val p = plan("q41_minhash_signatures")
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1, s"signature pipeline must not shuffle before the output sort, got $exchanges exchanges")
+    assert(!p.contains("Generate"), "no explode in the signature path")
+  }
+
+  test("q45 brute-force ann: fused dots — no explode, query side broadcasts") {
+    val p = plan("q45_ann_bruteforce_topk")
+    assert(!p.contains("Generate"), "dot products must not explode the vectors")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the tiny query side must broadcast")
+  }
+
+  test("q01 flagship: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_worst_hour")
+    val hashAggs = "HashAggregate".r.findAllIn(p).length
+    assert(hashAggs >= 2, "expect partial+final hash aggregates")
+  }
+}

@@ -71,7 +71,7 @@ class StreamingSpec extends SparkSpec {
     def runOnce(): Unit = {
       val stream = Streaming.jsonFileStream(spark, schema, in.toString + "/*.json", multiLine = false)
         .withColumn("ingest_seq", col("value")) // deterministic recency proxy
-      val q = Streaming.upsertSink(stream, target, Seq("city"), "ingest_seq").start()
+      val q = Streaming.upsertSink(stream, target, Seq("city"), Some("ingest_seq")).start()
       q.awaitTermination(60000)
     }
     runOnce()
@@ -94,8 +94,8 @@ class StreamingSpec extends SparkSpec {
       org.apache.spark.sql.Row("mumbai", 2.0, 1L)),
       StructType(Seq(StructField("city", StringType),
         StructField("value", DoubleType), StructField("seq", LongType))))
-    Sinks.upsertParquet(spark, df, target, Seq("city"), "seq")
-    Sinks.upsertParquet(spark, df, target, Seq("city"), "seq")
+    Sinks.upsertParquet(spark, df, target, Seq("city"), Some("seq"))
+    Sinks.upsertParquet(spark, df, target, Seq("city"), Some("seq"))
     assert(spark.read.parquet(target).count() == 2)
   }
 }
