@@ -1,0 +1,53 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Column-facade over the custom Catalyst expressions. */
+object Exprs {
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  /** 8-hash MinHash signature (array<long>, null if < 3 tokens). */
+  def minhashSig(text: Column): Column = c(MinHashSignature(e(text)))
+
+  /** Distinct 3-gram shingle hashes (array<long>, null if < 3 tokens). */
+  def shingleHashes(text: Column): Column = c(ShingleHashes(e(text)))
+
+  /** Exact DECIMAL(27,12)-folded dot product of two array<double>. */
+  def decimalDot(a: Column, b: Column): Column = c(DecimalDotProduct(e(a), e(b)))
+}
+
+/** SparkSessionExtensions installer: exposes the custom expressions as
+  * SQL functions (`SELECT minhash_signature(text) ...`) for sessions
+  * built with `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.expressions.GraftExtensions`; use
+  * [[GraftExtensions.register]] for an already-running session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[MinHashSignature].getName, null, name, usage, "")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(text) - 8-hash MinHash signature as array<bigint>"),
+      (args: Seq[Expression]) => MinHashSignature(args.head)),
+    (FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(text) - distinct word 3-gram hashes as array<bigint>"),
+      (args: Seq[Expression]) => ShingleHashes(args.head)),
+    (FunctionIdentifier("decimal_dot"),
+      info("decimal_dot", "decimal_dot(a, b) - exact decimal-folded dot product of two double arrays"),
+      (args: Seq[Expression]) => DecimalDotProduct(args.head, args(1))))
+
+  /** Register the functions on a live session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, i, b) =>
+      ColumnBridge.registerFunction(spark, id.funcName, i, b)
+    }
+}

@@ -1,0 +1,129 @@
+package graft.expressions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled kernels for the text-dedup hot loop.
+  *
+  * The Column-expression formulation (tokens -> shingle strings -> md5
+  * arrays -> array_min slices) is semantically right but runs through
+  * interpreted higher-order functions: per-element lambda dispatch plus
+  * an intermediate string array per stage. These expressions compute the
+  * same values in one pass of straight JVM code — the (b) tier of the
+  * custom-op ladder (native Expression beats UDF beats mapPartitions).
+  *
+  * Hash family parity: chunk k of md5(salt:shingle) read as hex chars
+  * [8k+1, 8k+8] equals bytes [4k, 4k+4) big-endian unsigned — the DuckDB
+  * oracle mirror (('0x' || substr(md5(...), 1+8k, 8))::BIGINT) is
+  * unchanged. Equivalence against the Column pipeline is asserted in
+  * ExprEquivalenceSpec.
+  */
+object TextHash {
+
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private def md5(s: String): Array[Byte] = {
+    val d = digest.get()
+    d.reset()
+    d.digest(s.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Unsigned big-endian int from bytes [off, off+4) — == parsing md5 hex
+    * chars [8*(off/4)+1 .. +8] base 16. */
+  private def chunk32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  /** First 60 bits big-endian — == parsing the first 15 md5 hex chars. */
+  private def chunk60(b: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Whitespace tokens, empties removed — same result as
+    * filter(split(text, "\\s+"), _ != ""). */
+  def tokens(text: String): Array[String] =
+    text.split("\\s+").filter(_.nonEmpty)
+
+  /** 8-hash MinHash signature over word 3-gram shingles; null when the
+    * doc has < 3 tokens (the short-doc filter). Duplicate shingles can't
+    * change a min, so no distinct pass is needed. */
+  def minhash(text: UTF8String): GenericArrayData = {
+    val toks = tokens(text.toString)
+    if (toks.length < 3) return null
+    val mins = Array.fill(8)(Long.MaxValue)
+    var i = 0
+    while (i + 2 < toks.length) {
+      val sh = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+      val b0 = md5("0:" + sh)
+      val b1 = md5("1:" + sh)
+      var k = 0
+      while (k < 4) {
+        val v0 = chunk32(b0, 4 * k); if (v0 < mins(k)) mins(k) = v0
+        val v1 = chunk32(b1, 4 * k); if (v1 < mins(k + 4)) mins(k + 4) = v1
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 60-bit hashes of the DISTINCT word 3-gram shingles (salt "g:");
+    * null when the doc has < 3 tokens. Distinctness matters here — the
+    * array feeds intersection counts. */
+  def shingleHashes(text: UTF8String): GenericArrayData = {
+    val toks = tokens(text.toString)
+    if (toks.length < 3) return null
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + 2 < toks.length) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = chunk60(md5("g:" + it.next())); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** array<long>(8) MinHash signature of a text column (null if < 3
+  * tokens). Codegen emits a static call, so the projection stays inside
+  * whole-stage codegen. */
+case class MinHashSignature(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // null for docs with < 3 tokens
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minhash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.expressions.TextHash.minhash($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** array<long> of distinct 3-gram shingle hashes (null if < 3 tokens). */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // null for docs with < 3 tokens
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.shingleHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.expressions.TextHash.shingleHashes($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}

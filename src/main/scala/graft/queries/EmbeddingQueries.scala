@@ -37,15 +37,14 @@ object EmbeddingQueries {
 
   // ---- Spark-side building blocks ----
 
-  /** Order-independent exact dot product of two double-array columns.
-    * The fold re-casts each partial sum to DECIMAL(27,12): decimal
-    * addition at a fixed scale is exact (no new fractional digits), so
-    * the cast never rounds and the sum stays associative. */
+  /** Order-independent exact dot product of two double-array columns:
+    * elementwise products rounded to DECIMAL(27,12), folded with exact
+    * decimal addition (associative, so partition- and engine-order
+    * independent), cast back to double — computed by the compiled
+    * [[graft.expressions.DecimalDotProduct]] kernel (bit-equal to the
+    * zip_with/aggregate formulation per ExprEquivalenceSpec). */
   private def dotCol(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x * y).cast(D12)),
-      lit(0).cast(D12),
-      (acc, v) => (acc + v).cast(D12)).cast(DoubleType)
+    graft.expressions.Exprs.decimalDot(a, b)
 
   /** Base table with embedding as array<double> plus its norm — a narrow
     * map over the scan (no shuffle at all). */

@@ -28,18 +28,17 @@ object TextQueries {
   private val sqlToks = sqlTokens("text")
   private val nHashes = 8
 
-  /** Per-doc 8-hash MinHash signature, computed entirely as a narrow map:
-    * shingles -> two md5 arrays -> array_min over 32-bit slices. No
-    * explode, no shuffle — the signature table is ~n_docs rows of 9
-    * longs regardless of document length. */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    val base = TextOps.withShingles(Tables.documents(s, d))
-      .withColumn("m0", transform(col("sh"), x => md5(concat(lit("0:"), x))))
-      .withColumn("m1", transform(col("sh"), x => md5(concat(lit("1:"), x))))
-    def h(k: Int) = array_min(transform(col(if (k < 4) "m0" else "m1"),
-      m => conv(substring(m, 1 + 8 * (k % 4), 8), 16, 10).cast("long"))).as(s"h$k")
-    base.select(col("doc_id") +: (0 until nHashes).map(h): _*)
-  }
+  /** Per-doc 8-hash MinHash signature, computed entirely as a narrow map
+    * by the compiled [[graft.expressions.MinHashSignature]] kernel (one
+    * pass, inside whole-stage codegen; bit-equal to the Column pipeline
+    * per ExprEquivalenceSpec). No explode, no shuffle — the signature
+    * table is ~n_docs rows of 9 longs regardless of document length. */
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("sig", graft.expressions.Exprs.minhashSig(col("text")))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until nHashes).map(k => element_at(col("sig"), k + 1).as(s"h$k")): _*)
 
   /** DuckDB mirror of [[signatures]] as a `sig` CTE chain. */
   private val sqlSigCtes: String = {
@@ -253,10 +252,12 @@ object TextQueries {
     "q43_ngram_jaccard_pairs" -> Q(
       (s, d) => {
         // Cached: both sides of the self-join read one evaluation of the
-        // hash pipeline (n_docs rows of ~n_shingles longs each).
-        val base = TextOps.withShingles(Tables.documents(s, d))
-          .withColumn("hs", transform(col("sh"),
-            x => conv(substring(md5(concat(lit("g:"), x)), 1, 15), 16, 10).cast("long")))
+        // hash pipeline (n_docs rows of ~n_shingles longs each). The
+        // compiled ShingleHashes kernel replaces the HOF chain
+        // (bit-equal per ExprEquivalenceSpec).
+        val base = Tables.documents(s, d)
+          .withColumn("hs", graft.expressions.Exprs.shingleHashes(col("text")))
+          .where(col("hs").isNotNull)
           .select(col("doc_id"), size(col("hs")).as("n"), col("hs"))
           .persist()
         val idx = base.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.engine.Tables
+import graft.expressions.Exprs
+import graft.ext.TextOps
+
+/** The compiled kernels must be BIT-IDENTICAL to the Column-expression
+  * formulations they replace (same oracle SQL keeps passing only if so).
+  * Each test evaluates both forms over real testdata and diffs. */
+class ExprEquivalenceSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The original HOF formulation of the 8-hash signature (kept here as
+    * the executable spec of the hash family). */
+  private def columnSig(k: Int, src: String): Column =
+    array_min(transform(col(src), m =>
+      conv(substring(m, 1 + 8 * (k % 4), 8), 16, 10).cast("long")))
+
+  test("MinHashSignature == tokens->shingles->md5->array_min pipeline") {
+    val base = TextOps.withShingles(Tables.documents(spark, sf))
+      .withColumn("m0", transform(col("sh"), x => md5(concat(lit("0:"), x))))
+      .withColumn("m1", transform(col("sh"), x => md5(concat(lit("1:"), x))))
+    val old = base.select(col("doc_id") +:
+      (0 until 8).map(k => columnSig(k, if (k < 4) "m0" else "m1").as(s"h$k")): _*)
+    val neu = Tables.documents(spark, sf)
+      .withColumn("sig", Exprs.minhashSig(col("text")))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id") +: (0 until 8).map(k => element_at(col("sig"), k + 1).as(s"h$k")): _*)
+    assert(neu.count() == old.count())
+    assert(neu.exceptAll(old).count() == 0 && old.exceptAll(neu).count() == 0)
+  }
+
+  test("ShingleHashes == shingles->md5->conv pipeline (as multisets)") {
+    val old = TextOps.withShingles(Tables.documents(spark, sf))
+      .select(col("doc_id"), explode(transform(col("sh"),
+        x => conv(substring(md5(concat(lit("g:"), x)), 1, 15), 16, 10).cast("long"))).as("h"))
+    val neu = Tables.documents(spark, sf)
+      .withColumn("hs", Exprs.shingleHashes(col("text")))
+      .where(col("hs").isNotNull)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    assert(neu.exceptAll(old).count() == 0 && old.exceptAll(neu).count() == 0)
+  }
+
+  test("DecimalDotProduct == zip_with/aggregate decimal fold") {
+    val D12 = DecimalType(27, 12)
+    def oldDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x * y).cast(D12)), lit(0).cast(D12),
+        (acc, v) => (acc + v).cast(D12)).cast(DoubleType)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val both = vecs.select(col("vec_id"),
+      oldDot(col("v"), col("v")).as("d_old"),
+      Exprs.decimalDot(col("v"), col("v")).as("d_new"))
+    // bit-identical, not approximately equal
+    assert(both.where(col("d_old") =!= col("d_new")).count() == 0)
+    assert(both.where(col("d_new").isNull).count() == 0)
+  }
+
+  test("SQL function registration via GraftExtensions") {
+    graft.expressions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT size(minhash_signature('a b c d')) AS n, " +
+        "size(shingle_hashes('a b c d')) AS m, " +
+        "decimal_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0)
+    assert(r.getInt(0) == 8 && r.getInt(1) == 2 && r.getDouble(2) == 11.0)
+  }
+}
