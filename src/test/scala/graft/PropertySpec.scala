@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import graft.engine.Features
+import graft.expressions.TextHash
+
+/** Property-based checks (SURVEY.md §5): totality and boundary laws of
+  * the feature expressions, and structural invariants of the compiled
+  * text-hash kernels. ScalaCheck is driven programmatically (no
+  * scalatest bridge in the offline cache). */
+class PropertySpec extends SparkSpec {
+
+  private def check(p: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val word: Gen[String] = for {
+    n <- Gen.choose(1, 8)
+    cs <- Gen.listOfN(n, Gen.alphaNumChar)
+  } yield cs.mkString
+
+  private val doc: Gen[List[String]] = Gen.choose(0, 30).flatMap(Gen.listOfN(_, word))
+
+  test("minhash: null iff < 3 tokens; 8 chunks in [0, 2^32)") {
+    check(Prop.forAll(doc) { toks =>
+      val sig = TextHash.minhash(UTF8String.fromString(toks.mkString(" ")))
+      if (toks.length < 3) sig == null
+      else sig.numElements() == 8 &&
+        (0 until 8).forall { i => val v = sig.getLong(i); v >= 0 && v < (1L << 32) }
+    })
+  }
+
+  test("minhash is whitespace-normalization invariant") {
+    val seps = Gen.oneOf(" ", "  ", "\t", " \t ", "\n")
+    check(Prop.forAll(doc.suchThat(_.length >= 3), seps) { (toks, sep) =>
+      val a = TextHash.minhash(UTF8String.fromString(toks.mkString(" ")))
+      val b = TextHash.minhash(UTF8String.fromString(toks.mkString(sep)))
+      (0 until 8).forall(i => a.getLong(i) == b.getLong(i))
+    })
+  }
+
+  test("shingleHashes: distinct count bounded by n-2; superset under concat") {
+    check(Prop.forAll(doc.suchThat(_.length >= 3)) { toks =>
+      val t = toks.mkString(" ")
+      val hs = TextHash.shingleHashes(UTF8String.fromString(t))
+      val hs2 = TextHash.shingleHashes(UTF8String.fromString(t + " " + t))
+      val set1 = (0 until hs.numElements()).map(hs.getLong).toSet
+      val set2 = (0 until hs2.numElements()).map(hs2.getLong).toSet
+      hs.numElements() <= toks.length - 2 && set1.subsetOf(set2)
+    })
+  }
+
+  test("tempCategory: total on (-100,100], null outside, right-closed bins") {
+    val ref: Double => Option[String] = t =>
+      if (t <= -100 || t > 100) None
+      else if (t <= 0) Some("very_cold") else if (t <= 10) Some("cold")
+      else if (t <= 20) Some("mild") else if (t <= 30) Some("warm") else Some("hot")
+    val temps = Gen.oneOf(
+      Gen.choose(-150.0, 150.0),
+      Gen.oneOf(-100.0, 0.0, 10.0, 20.0, 30.0, 100.0, 100.0000001))
+    check(Prop.forAll(Gen.listOfN(64, temps)) { ts =>
+      val rows = spark.createDataFrame(
+        spark.sparkContext.parallelize(ts.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.DoubleType))))
+        .select(col("t"), Features.tempCategory(col("t")).as("c")).collect()
+      rows.forall(r => (if (r.isNullAt(1)) None else Some(r.getString(1))) == ref(r.getDouble(0)))
+    }, n = 10)
+  }
+
+  test("aqi: threshold gaps return Unknown; categories partition the line") {
+    val ref: Double => String = v =>
+      if (v <= 50) "Good"
+      else if (v >= 51 && v <= 100) "Moderate"
+      else if (v >= 101 && v <= 200) "Unhealthy"
+      else if (v >= 201 && v <= 300) "Very Unhealthy"
+      else if (v > 300) "Hazardous"
+      else "Unknown" // the deliberate gaps: (50,51), (100,101), (200,201), (300,301)
+    val vals = Gen.oneOf(Gen.choose(0.0, 400.0), Gen.choose(50.0, 51.0),
+      Gen.choose(100.0, 101.0), Gen.choose(200.0, 201.0), Gen.choose(300.0, 301.0))
+    check(Prop.forAll(Gen.listOfN(64, vals)) { vs =>
+      val rows = spark.createDataFrame(
+        spark.sparkContext.parallelize(vs.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType))))
+        .select(col("v"), Features.aqiCategory(col("v")).as("c")).collect()
+      rows.forall(r => r.getString(1) == ref(r.getDouble(0)))
+    }, n = 10)
+  }
+
+  test("severity: linear in pm2_5 with slope 5; nulls contribute zero") {
+    val df = spark.range(0, 50).toDF("i")
+      .withColumn("x", col("i").cast("double"))
+      .select(
+        Features.severity(col("x"), lit(null), lit(null), lit(null), lit(null), lit(null)).as("s1"),
+        Features.severity(col("x") + 1, lit(null), lit(null), lit(null), lit(null), lit(null)).as("s2"))
+      .collect()
+    assert(df.forall(r => r.getDouble(1) - r.getDouble(0) == 5.0))
+  }
+}
