@@ -117,6 +117,112 @@ object ExtQueries {
          |SELECT event_type, COUNT(*) AS n_deltas, ${sqlDavg12("delta")} AS avg_delta
          |FROM l WHERE delta IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // As-of join (an operator Spark lacks natively), expressed as a
+    // conditional running aggregate instead of a range join: for every
+    // purchase event, the most recent STRICTLY PRIOR click by the same
+    // user. One sort-shuffle on user_id — no per-pair join, no state
+    // explosion; this is the formulation that survives a 100x scale-up.
+    "q28_asof_prev_click" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .withColumn("prev_click_us",
+            max(when(col("event_type") === "click", unix_micros(col("ts")))).over(w))
+          .where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("prev_click_us"))
+          .orderBy(col("event_id"))
+      },
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, prev_click_us
+        |FROM (SELECT event_id, user_id, ts, event_type,
+        |             MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |               OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_us
+        |      FROM events) t
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin),
+
+    // Banded range join: pairs of events from the same user within 5
+    // minutes of each other. The naive theta join is O(n^2) per user; the
+    // scale path buckets time into band-width bins and joins each event
+    // to its own and the next bin (every qualifying pair lands in
+    // exactly one of the two bucket combinations), then applies the
+    // exact predicate. The oracle states the plain theta join — results
+    // must be identical, only the plan differs.
+    "q29_range_pairs" -> Q(
+      (s, d) => {
+        val bandUs = 5L * 60 * 1000000
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("bin", floor(col("us") / bandUs))
+        val left = ev.select(col("user_id"), col("event_id").as("id_a"),
+          col("us").as("us_a"), explode(array(col("bin"), col("bin") + 1)).as("jbin"))
+        val right = ev.select(col("user_id"), col("event_id").as("id_b"),
+          col("us").as("us_b"), col("bin").as("jbin"))
+        left.join(right, Seq("user_id", "jbin"))
+          // orient each unordered pair by TIME (earlier event on the
+          // exploded side): then the later event's bin is always bin or
+          // bin+1 of the earlier one, so every qualifying pair is found,
+          // and found exactly once (the two exploded bins are distinct)
+          .where((col("us_a") < col("us_b") ||
+              (col("us_a") === col("us_b") && col("id_a") < col("id_b"))) &&
+            col("us_b") - col("us_a") <= bandUs)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("user_id"))
+      },
+      """SELECT a.user_id, COUNT(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND ABS(epoch_us(a.ts) - epoch_us(b.ts)) <= 5 * 60 * 1000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Sessionization: gap > 30 min starts a new session; session ids via
+    // a running sum over the per-user timeline (single window, no
+    // iterative state) — the batch form of stream session windows.
+    "q34_sessionize" -> Q(
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gapUs = 30L * 60 * 1000000
+        val ev = Tables.events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+          .withColumn("sess_id", sum(col("new_sess")).over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+        ev.groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            davg(col("n_events").cast("double")).as("avg_events_per_session"),
+            davg(col("duration_us").cast("double")).as("avg_session_duration_us"))
+          .orderBy(col("user_id"))
+      },
+      s"""WITH g AS (
+         |  SELECT user_id, ts, event_id,
+         |         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |                   > 30 * 60 * 1000000
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, epoch_us(ts) AS us,
+         |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         |  FROM g),
+         |per AS (
+         |  SELECT user_id, sess_id, COUNT(*) AS n_events,
+         |         MAX(us) - MIN(us) AS duration_us
+         |  FROM s GROUP BY 1, 2)
+         |SELECT user_id, COUNT(*) AS n_sessions,
+         |       ${sqlDavg("CAST(n_events AS DOUBLE)")} AS avg_events_per_session,
+         |       ${sqlDavg("CAST(duration_us AS DOUBLE)")} AS avg_session_duration_us
+         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Semi-structured payload extraction: pull the numeric `k` property
     // out of the JSON props column and aggregate it — the reference's
     // raw-JSON parsing surface re-expressed as a queryable column
