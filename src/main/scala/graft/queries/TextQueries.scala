@@ -263,7 +263,12 @@ object TextQueries {
         val idx = base.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
         val inter = idx.select(col("doc_id").as("doc_a"), col("n").as("na"), col("h"))
           .join(idx.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("h")), Seq("h"))
-          .where(col("doc_a") < col("doc_b"))
+          .where(col("doc_a") < col("doc_b")
+            // size-ratio prune (set-similarity-join standard): jaccard
+            // <= min(na,nb)/max(na,nb), so pairs with 5*min < 4*max can
+            // never reach the 0.8 threshold — result-identical, so the
+            // oracle needs no mirror. Integer arithmetic, no rounding.
+            && col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
           .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
           .agg(count(lit(1)).as("n_common"))
         inter
@@ -286,6 +291,72 @@ object TextQueries {
          |FROM inter
          |WHERE n_common / (na + nb - n_common) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Regex ("BPE-ish") tokenization: class-based subword tokens
+    // (letter runs / digit runs / punctuation runs) via
+    // regexp_extract_all — the codegen'd tokenizer shape a real BPE
+    // pre-tokenizer uses — with per-language class distribution.
+    "q35_regex_tokens" -> Q(
+      (s, d) => {
+        val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+        val tok = Tables.documents(s, d)
+          .select(col("lang"), explode(regexp_extract_all(col("text"), lit(pat), lit(0))).as("tok"))
+          .withColumn("cls",
+            when(col("tok").rlike("^[a-zA-Z]+$"), "alpha")
+              .when(col("tok").rlike("^[0-9]+$"), "num")
+              .otherwise("punct"))
+        tok.groupBy(col("lang"), col("cls"))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("tok")).as("n_distinct"),
+            davg(length(col("tok")).cast("double")).as("avg_len"))
+          .orderBy(col("lang"), col("cls"))
+      },
+      s"""WITH tok AS (
+         |  SELECT lang, unnest(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, tok,
+         |         CASE WHEN regexp_full_match(tok, '[a-zA-Z]+') THEN 'alpha'
+         |              WHEN regexp_full_match(tok, '[0-9]+') THEN 'num'
+         |              ELSE 'punct' END AS cls
+         |  FROM tok)
+         |SELECT lang, cls, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct,
+         |       ${sqlDavg("CAST(length(tok) AS DOUBLE)")} AS avg_len
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Winnowing fingerprints (rolling-hash document fingerprinting):
+    // hash every k-char gram, take the min of each w-wide sliding window
+    // of those hashes, dedup — the classic local fingerprint selection
+    // (robust to insertions, unlike a whole-doc hash). Staged as
+    // materialized array columns; each stage is a narrow map.
+    "q36_winnow_fingerprints" -> Q(
+      (s, d) => {
+        val k = 8; val w = 4
+        val hs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .where(length(col("text")) >= k + w - 1)
+          .withColumn("hs", transform(
+            sequence(lit(1), length(col("text")) - (k - 1)),
+            i => conv(substring(md5(col("text").substr(i, lit(k))), 1, 8), 16, 10).cast("long")))
+        val fps = hs.withColumn("fps", array_distinct(transform(
+          sequence(lit(0), size(col("hs")) - w),
+          j => array_min(slice(col("hs"), j + 1, lit(w))))))
+        fps.select(col("doc_id"), size(col("fps")).as("n_fps"),
+          array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) - 6),
+        |           i -> ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 8))::BIGINT) AS hs
+        |  FROM documents WHERE length(text) >= 11),
+        |f AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(hs) - 2),
+        |           j -> list_min(list_slice(hs, CAST(j AS INTEGER), CAST(j + 3 AS INTEGER))))) AS fps
+        |  FROM h)
+        |SELECT doc_id, len(fps) AS n_fps, list_min(fps) AS min_fp, list_max(fps) AS max_fp
+        |FROM f ORDER BY doc_id""".stripMargin),
 
     // SimHash: 32-bit near-dup fingerprint — per-bit +1/-1 votes over
     // token hashes, bit set where the vote is positive.
