@@ -25,6 +25,19 @@ object Sinks {
     df.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", true).csv(path)
 
+  /** Bucketed catalog table: pre-shuffles the data into `n` buckets on
+    * the join/agg key at WRITE time, so every later co-bucketed join or
+    * aggregation on that key runs with ZERO exchanges — the storage-side
+    * answer to "this join shuffles 100 TB every night"
+    * (BucketingSpec asserts the shuffle-free plan). */
+  def bucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** S11 — upsert semantics (INSERT .. ON CONFLICT (keys) DO UPDATE) as
     * a deterministic last-write-wins merge: union the incoming batch
     * with the existing table and keep, per key, the row with the highest

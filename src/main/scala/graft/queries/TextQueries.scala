@@ -292,6 +292,84 @@ object TextQueries {
          |WHERE n_common / (na + nb - n_common) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // The full curation pipeline in ONE plan — what an LLM-data engine
+    // actually runs: exact dedup (keep lowest doc_id per content hash)
+    // -> near-dup removal (drop the higher doc_id of every MinHash-LSH
+    // pair with estimated similarity >= 0.5) -> quality floor -> per-
+    // language accounting. Composes the q40/q42/q31 operators; each
+    // stage stays distributed (hash group-bys, band joins, anti-join).
+    "q37_curation_pipeline" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // exact dedup: canonical doc per text hash
+        val canonical = docs.select(col("doc_id"), md5(col("text")).as("h"))
+          .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        // near-dup losers from the LSH candidate pairs
+        val sig = signatures(s, d).persist()
+        val a = sig.select(col("doc_id").as("doc_a") +: (0 until nHashes).map(k => col(s"h$k").as(s"a$k")): _*)
+        val b = sig.select(col("doc_id").as("doc_b") +: (0 until nHashes).map(k => col(s"h$k").as(s"b$k")): _*)
+        val losers = Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (i, j) =>
+          a.join(b, col(s"a$i") === col(s"b$i") && col(s"a$j") === col(s"b$j")
+            && col("doc_a") < col("doc_b"))
+            .select(col("doc_b"),
+              (0 until nHashes).map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0)).reduce(_ + _).as("matches"))
+        }.reduce(_ unionAll _)
+          .where(col("matches") / lit(8e0) >= 0.5)
+          .select(col("doc_b").as("doc_id")).distinct()
+        // quality floor (same formula as q31)
+        val toks = tokens(col("text"))
+        val scored = docs
+          .withColumn("n_tok", size(toks))
+          .where(col("n_tok") > 0)
+          .withColumn("tok_chars",
+            aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x))
+          .withColumn("stop_ratio",
+            size(filter(toks, t => t.isin(TextOps.lexicons.head._2: _*))) / col("n_tok"))
+          .withColumn("punct_ratio",
+            (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))) / length(col("text")))
+          .withColumn("quality",
+            least(col("n_tok") / lit(100e0), lit(1e0)) * lit(0.4e0)
+              + least((col("tok_chars") / col("n_tok")) / lit(8e0), lit(1e0)) * lit(0.3e0)
+              + (lit(1e0) - col("stop_ratio")) * lit(0.2e0)
+              + (lit(1e0) - col("punct_ratio")) * lit(0.1e0))
+        scored
+          .join(canonical, Seq("doc_id"), "left_semi")
+          .join(losers, Seq("doc_id"), "left_anti")
+          .where(col("quality") >= 0.5)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            davg12(col("quality")).as("avg_quality"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH $sqlSigCtes,
+         |canonical AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |losers AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM (
+         |${Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (i, j) =>
+             s"""    SELECT b.doc_id AS doc_b,
+                |           ${(0 until nHashes).map(k => s"CAST(a.h$k = b.h$k AS INTEGER)").mkString(" + ")} AS matches
+                |    FROM sig a JOIN sig b ON a.h$i = b.h$i AND a.h$j = b.h$j AND a.doc_id < b.doc_id""".stripMargin
+           }.mkString("\n    UNION ALL\n")}
+         |  ) WHERE matches / 8e0 >= 0.5),
+         |scored AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         LEAST(len(toks) / 100e0, 1e0) * 0.4e0
+         |           + LEAST((CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) / len(toks)) / 8e0, 1e0) * 0.3e0
+         |           + (1e0 - (len(list_filter(toks, x -> x IN (${TextOps.lexicons.head._2.map(w => s"'$w'").mkString(", ")}))) / len(toks))) * 0.2e0
+         |           + (1e0 - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text))) * 0.1e0 AS quality
+         |  FROM (SELECT doc_id, lang, n_chars, text, $sqlToks AS toks FROM documents)
+         |  WHERE len(toks) > 0)
+         |SELECT lang, COUNT(*) AS n_kept, ${Parity.sqlDavg12("quality")} AS avg_quality,
+         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM scored
+         |WHERE doc_id IN (SELECT doc_id FROM canonical)
+         |  AND doc_id NOT IN (SELECT doc_id FROM losers)
+         |  AND quality >= 0.5
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Regex ("BPE-ish") tokenization: class-based subword tokens
     // (letter runs / digit runs / punctuation runs) via
     // regexp_extract_all — the codegen'd tokenizer shape a real BPE
