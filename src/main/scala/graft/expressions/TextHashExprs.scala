@@ -50,10 +50,13 @@ object TextHash {
     v >>> 4
   }
 
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
   /** Whitespace tokens, empties removed — same result as
-    * filter(split(text, "\\s+"), _ != ""). */
+    * filter(split(text, "\\s+"), _ != ""). Precompiled pattern:
+    * String.split would recompile the regex on every document. */
   def tokens(text: String): Array[String] =
-    text.split("\\s+").filter(_.nonEmpty)
+    ws.split(text).filter(_.nonEmpty)
 
   /** 8-hash MinHash signature over word 3-gram shingles; null when the
     * doc has < 3 tokens (the short-doc filter). Duplicate shingles can't

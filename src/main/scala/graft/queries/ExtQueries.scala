@@ -223,6 +223,23 @@ object ExtQueries {
          |       ${sqlDavg("CAST(duration_us AS DOUBLE)")} AS avg_session_duration_us
          |FROM per GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // Exact percentiles (linear interpolation — the reference's pandas
+    // quantile semantics, matched by DuckDB quantile_cont). Exact
+    // percentile sorts within each group; the approx path for wide
+    // groups at scale is approx_percentile (t-digest), same API shape.
+    "q38_percentiles" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile(value, 0.99)").as("p99"),
+          count(col("value")).as("n"))
+        .orderBy(col("event_type")),
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.9) AS p90,
+        |       quantile_cont(value, 0.99) AS p99, COUNT(value) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Semi-structured payload extraction: pull the numeric `k` property
     // out of the JSON props column and aggregate it — the reference's
     // raw-JSON parsing surface re-expressed as a queryable column

@@ -251,24 +251,33 @@ object TextQueries {
     // scale risk (mitigate with a doc-frequency cap upstream).
     "q43_ngram_jaccard_pairs" -> Q(
       (s, d) => {
-        // Cached: both sides of the self-join read one evaluation of the
-        // hash pipeline (n_docs rows of ~n_shingles longs each). The
-        // compiled ShingleHashes kernel replaces the HOF chain
-        // (bit-equal per ExprEquivalenceSpec).
-        val base = Tables.documents(s, d)
+        // Posting-list formulation: ONE shuffle groups the inverted
+        // index by shingle hash; candidate pairs expand in-memory inside
+        // each posting list (df is bounded — hot-shingle cap is the
+        // documented skew mitigation), then a single pair aggregation
+        // closes the intersection counts. The compiled ShingleHashes
+        // kernel replaces the HOF chain (bit-equal per
+        // ExprEquivalenceSpec).
+        val idx = Tables.documents(s, d)
           .withColumn("hs", graft.expressions.Exprs.shingleHashes(col("text")))
           .where(col("hs").isNotNull)
-          .select(col("doc_id"), size(col("hs")).as("n"), col("hs"))
-          .persist()
-        val idx = base.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
-        val inter = idx.select(col("doc_id").as("doc_a"), col("n").as("na"), col("h"))
-          .join(idx.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("h")), Seq("h"))
-          .where(col("doc_a") < col("doc_b")
-            // size-ratio prune (set-similarity-join standard): jaccard
-            // <= min(na,nb)/max(na,nb), so pairs with 5*min < 4*max can
-            // never reach the 0.8 threshold — result-identical, so the
-            // oracle needs no mirror. Integer arithmetic, no rounding.
-            && col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
+          .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
+        val posting = idx.groupBy(col("h"))
+          .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+          .where(size(col("ds")) > 1)
+        val pairs = posting
+          .withColumn("ps", flatten(transform(col("ds"), (x, i) =>
+            transform(slice(col("ds"), i + 2, size(col("ds"))), y => struct(
+              x.getField("doc_id").as("doc_a"), x.getField("n").as("na"),
+              y.getField("doc_id").as("doc_b"), y.getField("n").as("nb"))))))
+          .select(explode(col("ps")).as("p"))
+          .select(col("p.doc_a"), col("p.na"), col("p.doc_b"), col("p.nb"))
+          // size-ratio prune (set-similarity-join standard): jaccard
+          // <= min(na,nb)/max(na,nb), so pairs with 5*min < 4*max can
+          // never reach the 0.8 threshold — result-identical, so the
+          // oracle needs no mirror. Integer arithmetic, no rounding.
+          .where(col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
+        val inter = pairs
           .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
           .agg(count(lit(1)).as("n_common"))
         inter
