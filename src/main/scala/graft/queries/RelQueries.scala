@@ -157,6 +157,31 @@ object RelQueries {
         |                                  AND o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // Same result as q26 through the TYPED path: a bounded top-k
+    // Aggregator (graft.ext.TopKAgg) combines map-side to k rows per
+    // group per partition — no full per-partition sort, the shape that
+    // wins when groups are huge. Oracle identical to q26's.
+    "q39_topk_aggregator" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val ds = Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+          .as[(String, Double, Long)]
+        val top = ds.groupByKey(_._1)
+          .mapValues(t => graft.ext.TopKAgg.Entry(t._2, t._3))
+          .agg(new graft.ext.TopKAgg(3).toColumn)
+        top.flatMap { case (prio, buf) =>
+          buf.items.zipWithIndex.map { case (e, i) => (prio, i + 1, e.payload, e.sortKey) }
+        }.toDF("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+          .orderBy(col("o_orderpriority"), col("rn"))
+      },
+      """SELECT o_orderpriority, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_orderpriority
+        |                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin),
+
     // Analytic window — top-3 orders by totalprice within each priority
     // (rank-in-partition; the scalable form of the reference's idxmax).
     "q26_priority_top3" -> Q(
