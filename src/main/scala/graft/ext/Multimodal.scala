@@ -67,4 +67,41 @@ object Multimodal {
       batch.map(r => StubDecoder.decode(r.doc_id, r.media))
     }
   }
+
+  /** Resized media row: payload plus target dimensions (the transport
+    * schema of an image-resize stage). */
+  final case class ResizedRow(doc_id: Long, width: Int, height: Int, media: Array[Byte])
+
+  /** Resize stage (STUB kernel, real plumbing): per-partition batch map
+    * producing fixed-dimension payloads. A real implementation swaps the
+    * byte-slicing for a codec resize; schema, batching, and partition
+    * shape are what the engine owns. */
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[ResizedRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      batch.map { r =>
+        val out = java.util.Arrays.copyOf(r.media, math.min(r.media.length, w * h))
+        ResizedRow(r.doc_id, w, h, out)
+      }
+    }
+  }
+
+  /** Frame-sample stage (STUB): emits every `stride`-th fixed-size
+    * "frame" of the payload as its own row — the video -> frames
+    * explode shape (one input row fans out to n_frames rows). */
+  final case class FrameRow(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameBytes: Int, stride: Int): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      batch.flatMap { r =>
+        val n = r.media.length / frameBytes
+        (0 until n by stride).iterator.map { i =>
+          FrameRow(r.doc_id, i,
+            java.util.Arrays.copyOfRange(r.media, i * frameBytes, (i + 1) * frameBytes))
+        }
+      }
+    }
+  }
 }

@@ -44,6 +44,69 @@ object Streaming {
       .select(col("window.start").as("hour_start"), col(keyCol),
         col("avg_value"), col("n"))
 
+  /** Per-key session accumulator for [[sessionize]]. */
+  final case class SessionState(sessionStartUs: Long, lastSeenUs: Long, nEvents: Long)
+
+  /** Closed-session output record. */
+  final case class SessionOut(key: String, sessionStartUs: Long,
+                              durationUs: Long, nEvents: Long)
+
+  /** Custom stateful processing via flatMapGroupsWithState — the
+    * arbitrary-state path for semantics window()/dropDuplicates can't
+    * express: gap-based sessionization (the streaming form of the batch
+    * q34 running-sum formulation). A session closes when its key sees an
+    * event past the gap, or when the state times out at the watermark —
+    * so state size is bounded by active keys, not history.
+    *
+    * Scale note: state lives in the state store partitioned by key; the
+    * only shuffle is the groupByKey on the session key.
+    */
+  def sessionize(spark: SparkSession, stream: DataFrame, keyCol: String,
+                 eventTimeCol: String, watermark: String,
+                 gapUs: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // the watermarked TIMESTAMP column must flow into the stateful op
+    // as-is — projecting it to a long would strip the event-time
+    // metadata EventTimeTimeout depends on
+    stream.withWatermark(eventTimeCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(eventTimeCol).as("et"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rawEvents: Iterator[(String, java.sql.Timestamp)], state: GroupState[SessionState]) =>
+          val events = rawEvents.map(e => (e._1, e._2.getTime * 1000L))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(key, s.sessionStartUs, s.lastSeenUs - s.sessionStartUs, s.nEvents))
+          } else {
+            val sorted = events.map(_._2).toSeq.sorted
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { us =>
+              cur match {
+                case Some(s) if us - s.lastSeenUs <= gapUs =>
+                  cur = Some(s.copy(lastSeenUs = us, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(key, s.sessionStartUs, s.lastSeenUs - s.sessionStartUs, s.nEvents)
+                  cur = Some(SessionState(us, us, 1))
+                case None =>
+                  cur = Some(SessionState(us, us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // time out (and emit) the open session once the watermark
+              // passes its gap horizon
+              state.setTimeoutTimestamp((s.lastSeenUs + gapUs) / 1000 + 1)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** foreachBatch upsert sink: every micro-batch merges into the target
     * parquet with last-write-wins per key — the streaming form of the
     * reference's idempotent re-load. */

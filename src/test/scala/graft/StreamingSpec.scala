@@ -87,6 +87,32 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getAs[String]("city") == "mumbai" && out(1).getAs[Double]("value") == 20.0)
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions at the gap") {
+    val in = tmpDir("stream_sess")
+    // delhi: two sessions (gap > 30 min between 00:10 and 01:00);
+    // mumbai: one two-event session. A late high-watermark event
+    // advances event time so earlier sessions time out and emit.
+    writeBatch(in, "b1.json", Seq(
+      """{"city":"delhi","ts":"2025-12-11T00:00:00Z","value":1.0}""",
+      """{"city":"delhi","ts":"2025-12-11T00:10:00Z","value":1.0}""",
+      """{"city":"delhi","ts":"2025-12-11T01:00:00Z","value":1.0}""",
+      """{"city":"mumbai","ts":"2025-12-11T00:00:00Z","value":1.0}""",
+      """{"city":"mumbai","ts":"2025-12-11T00:05:00Z","value":1.0}""",
+      """{"city":"watermark_pusher","ts":"2025-12-11T09:00:00Z","value":1.0}"""))
+    val stream = Streaming.jsonFileStream(spark, schema, in.toString + "/*.json", multiLine = false)
+    val sessions = Streaming.sessionize(spark, stream, "city", "ts",
+      watermark = "1 minute", gapUs = 30L * 60 * 1000000)
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("sess_out")
+      .orderBy(col("key"), col("sessionStartUs")).collect()
+      .map(r => (r.getString(0), r.getLong(2) / 60000000L, r.getLong(3)))
+    // (key, duration_minutes, n_events); within-batch gap closure emits
+    // delhi's first session even before any timeout fires
+    assert(rows.contains(("delhi", 10L, 2L)), rows.mkString(";"))
+  }
+
   test("upsertParquet is idempotent on re-application of the same batch") {
     val target = tmpDir("upsert_idem").resolve("t").toString
     val df = spark.createDataFrame(java.util.List.of(
