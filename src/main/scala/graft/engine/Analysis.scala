@@ -22,7 +22,7 @@ object Analysis {
       else d.withColumn(c, lit(null).cast("double")))
     def missingOrAllNull(d: DataFrame, c: String): Boolean =
       !d.schema.fieldNames.contains(c) ||
-        d.agg(count(col(c))).head.getLong(0) == 0L
+        d.agg(count(col(c))).head().getLong(0) == 0L
     val withSev =
       if (missingOrAllNull(df, "severity"))
         df.withColumn("severity", Features.severity(col("pm2_5"), col("pm10"),

@@ -32,7 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[MinHashSignature].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[MinHashSignature].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("minhash_signature"),
