@@ -140,6 +140,53 @@ object EmbeddingQueries {
          |SELECT doc_a, doc_b, bucket, cosine FROM pairs
          |ORDER BY cosine DESC, doc_a ASC, doc_b ASC LIMIT 20""".stripMargin),
 
+    // Embedding-cosine near-duplicate REMOVAL: sign-LSH buckets bound the
+    // candidate set, exact cosine >= 0.99 inside a bucket marks the
+    // higher vec_id as a duplicate, an anti-join drops it — the
+    // embedding-space dedup operator (vs q46 which reports pairs).
+    // Survivor accounting per label closes the query.
+    "q48_embedding_neardup" -> Q(
+      (s, d) => {
+        val base = vecs(s, d)
+        val seeds = base.select(col("vec_id").as("seed_id"), col("v").as("sv"))
+          .where(col("seed_id") < nSeeds)
+          .groupBy().agg(map_from_arrays(
+            collect_list(col("seed_id")), collect_list(col("sv"))).as("seeds"))
+        val sig = base.crossJoin(broadcast(seeds))
+          .withColumn("bucket",
+            (0 until nSeeds).map(k =>
+              when(dotCol(col("v"), element_at(col("seeds"), k.toLong)) > 0, lit(1L << k))
+                .otherwise(lit(0L))).reduce(_ + _))
+          .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+          .persist()
+        val a = sig.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
+        val b = sig.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
+        val losers = a.join(b, Seq("bucket"))
+          .where(col("id_a") < col("id_b"))
+          .where(dotCol(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.99)
+          .select(col("id_b").as("vec_id")).distinct()
+        Tables.embeddings(s, d)
+          .join(losers, Seq("vec_id"), "left_anti")
+          .groupBy(col("label")).agg(count(lit(1)).as("n_kept"))
+          .orderBy(col("label"))
+      },
+      s"""WITH $sqlVecs,
+         |sd AS (
+         |  SELECT x.vec_id AS v_id, s.vec_id AS seed, ${sqlDot("x.v", "s.v")} AS dot
+         |  FROM vecs x JOIN vecs s ON s.vec_id < $nSeeds),
+         |sigb AS (
+         |  SELECT v_id, CAST(SUM(CASE WHEN dot > 0 THEN 1 << seed ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM sd GROUP BY 1),
+         |sig AS (
+         |  SELECT vec_id, v, nrm, bucket FROM vecs JOIN sigb ON sigb.v_id = vecs.vec_id),
+         |losers AS (
+         |  SELECT DISTINCT b.vec_id AS vec_id
+         |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.99)
+         |SELECT label, COUNT(*) AS n_kept
+         |FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // IVF-style coarse quantization: assign every vector to its nearest
     // centroid (here: the first 8 vectors as deterministic centroids),
     // then answer top-3 neighbor queries inside the probe's cell only —
