@@ -79,10 +79,6 @@ object TextOps {
     s"list_distinct(list_transform(range(1, len($tVar) - ${n - 2}), i -> $gram))"
   }
 
-  /** Exploded (doc_id, shingle) inverted-index relation. */
-  def shingleIndex(docs: DataFrame, n: Int = 3): DataFrame =
-    withShingles(docs).select(col("doc_id"), explode(col("sh")).as("shingle"))
-
   /** Per-language marker lexicons for the heuristic language identifier.
     * Tiny on purpose: the operator is the deliverable; swap in real
     * frequency tables for production. Shared verbatim with the oracle. */
