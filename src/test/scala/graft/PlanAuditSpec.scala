@@ -55,4 +55,25 @@ class PlanAuditSpec extends SparkSpec {
     val hashAggs = "HashAggregate".r.findAllIn(p).length
     assert(hashAggs >= 2, "expect partial+final hash aggregates")
   }
+
+  test("q29 banded range join: no nested-loop/cartesian theta join in the plan") {
+    val p = plan("q29_range_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "time-band bucketing must turn the interval join into an equi-join")
+    assert(p.contains("Join"), "still an actual join")
+  }
+
+  test("q28 as-of join: single window pass, no join at all") {
+    val p = plan("q28_asof_prev_click")
+    assert(!p.contains("Join"), "as-of via running aggregate must not join")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "expect a window operator")
+  }
+
+  test("q39 typed top-k aggregator combines map-side (partial aggregation)") {
+    val p = plan("q39_topk_aggregator")
+    assert(p.contains("partial_topkagg") ||
+      p.toLowerCase.contains("partial_") && p.toLowerCase.contains("topkagg"),
+      s"expect a partial TopKAgg before the exchange")
+  }
 }
