@@ -251,35 +251,47 @@ object TextQueries {
     // scale risk (mitigate with a doc-frequency cap upstream).
     "q43_ngram_jaccard_pairs" -> Q(
       (s, d) => {
-        // Posting-list formulation: ONE shuffle groups the inverted
-        // index by shingle hash; candidate pairs expand in-memory inside
-        // each posting list (df is bounded — hot-shingle cap is the
-        // documented skew mitigation), then a single pair aggregation
-        // closes the intersection counts. The compiled ShingleHashes
-        // kernel replaces the HOF chain (bit-equal per
-        // ExprEquivalenceSpec).
-        val idx = Tables.documents(s, d)
-          .withColumn("hs", graft.expressions.Exprs.shingleHashes(col("text")))
-          .where(col("hs").isNotNull)
-          .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
+        // Prefix-filtered set-similarity join (PPJoin shape), entirely
+        // result-identical to the naive inverted-index join the oracle
+        // states:
+        //  1. per doc, hash shingles (compiled kernel) and sort them —
+        //     the global hash order is the canonical element order;
+        //  2. index ONLY the first n - ceil(0.8n) + 1 hashes (the
+        //     prefix-filter theorem: two sets with jaccard >= t must
+        //     share a member of each other's prefix under any common
+        //     total order) — the candidate index shrinks ~5x;
+        //  3. expand candidate pairs inside per-hash posting lists with
+        //     the size-ratio prune (5*min >= 4*max, integer-exact);
+        //  4. close EXACT intersection counts with array_intersect on
+        //     the full sorted hash arrays carried through the join —
+        //     no second pass over the index.
+        val base = Tables.documents(s, d)
+          .withColumn("hs0", graft.expressions.Exprs.shingleHashes(col("text")))
+          .where(col("hs0").isNotNull)
+          .select(col("doc_id"), array_sort(col("hs0")).as("hs"))
+          .withColumn("n", size(col("hs")))
+          // prefix_len = n - ceil(0.8n) + 1, in integer arithmetic
+          // (ceil(0.8n) via (4n+4) div 5 — no float rounding traps)
+          .withColumn("plen", col("n") - expr("(4*n + 4) div 5") + lit(1))
+          .persist()
+        val idx = base.select(col("doc_id"), col("n"),
+          explode(slice(col("hs"), lit(1), col("plen"))).as("h"))
         val posting = idx.groupBy(col("h"))
           .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
           .where(size(col("ds")) > 1)
-        val pairs = posting
+        val cands = posting
           .withColumn("ps", flatten(transform(col("ds"), (x, i) =>
             transform(slice(col("ds"), i + 2, size(col("ds"))), y => struct(
               x.getField("doc_id").as("doc_a"), x.getField("n").as("na"),
               y.getField("doc_id").as("doc_b"), y.getField("n").as("nb"))))))
           .select(explode(col("ps")).as("p"))
           .select(col("p.doc_a"), col("p.na"), col("p.doc_b"), col("p.nb"))
-          // size-ratio prune (set-similarity-join standard): jaccard
-          // <= min(na,nb)/max(na,nb), so pairs with 5*min < 4*max can
-          // never reach the 0.8 threshold — result-identical, so the
-          // oracle needs no mirror. Integer arithmetic, no rounding.
           .where(col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
-        val inter = pairs
-          .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-          .agg(count(lit(1)).as("n_common"))
+          .distinct() // a pair may share several prefix hashes
+        val inter = cands
+          .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+          .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+          .withColumn("n_common", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
         inter
           .withColumn("jaccard", col("n_common") / (col("na") + col("nb") - col("n_common")))
           .where(col("jaccard") >= 0.8)
