@@ -82,9 +82,12 @@ object Analysis {
     val v = df.select(c.as("v")).where(col("v").isNotNull)
     val mm = v.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
     v.crossJoin(broadcast(mm))
-      .withColumn("bin", least(
+      // degenerate range (all values equal): bin 0 explicitly — the
+      // division would be 0/0 = NaN and floor(NaN) lands in bin 0 only
+      // by accident (matplotlib widens the range to [v-0.5, v+0.5])
+      .withColumn("bin", when(col("mx") === col("mn"), lit(0)).otherwise(least(
         floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / bins.toDouble)),
-        lit((bins - 1).toDouble)).cast("int"))
+        lit((bins - 1).toDouble))).cast("int"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
       .orderBy(col("bin"))
   }

@@ -47,6 +47,15 @@ object Pipelines {
       .select(Schemas.weatherStaged.fieldNames.map(col).toIndexedSeq: _*)
   }
 
+  /** Filename city hint: first `_`-separated token of the basename, the
+    * reference's `filename_hint.split("_")[0]`
+    * (ETL_Multi_Lvl_API/transform.py:106) — so `new_york_raw_*.json`
+    * yields "new", not "". nullif keeps a failed extract null (so
+    * coalesce can't accept regexp_extract's empty-string no-match). */
+  private def fileCityHint: org.apache.spark.sql.Column =
+    nullif(regexp_extract(regexp_extract(input_file_name(), "([^/]+)$", 1),
+      "^([^_]+)", 1), lit(""))
+
   /** Air quality, hourly-array shape: raw glob -> air_quality staged rows
     * (ETL_Multi_Lvl_API/transform.py:89-130 + run_transform 242-271).
     * City falls back to the filename stem when the payload lacks it
@@ -54,8 +63,7 @@ object Pipelines {
     * derived features, preserving the reference's cost-ordering choice. */
   def aqStage(spark: SparkSession, rawGlob: String): DataFrame = {
     val raw = readJson(spark, Schemas.aqHourlyRaw, rawGlob)
-      .withColumn("city", coalesce(col("city"), col("name"),
-        regexp_extract(regexp_extract(input_file_name(), "([^/]+)$", 1), "^([^_]+)_raw_", 1)))
+      .withColumn("city", coalesce(col("city"), col("name"), fileCityHint))
     val hourly = raw.selectExpr("city", "hourly.*")
     val arrays = ("time" -> Restructure.firstPresent(hourly, Seq("time", "times"))) +:
       Schemas.pollutants.map(c => c ->
@@ -72,8 +80,7 @@ object Pipelines {
     * (ETL_Multi_Lvl_API/transform.py:132-209). */
   def aqStageMeasurements(spark: SparkSession, rawGlob: String): DataFrame = {
     val raw = readJson(spark, Schemas.aqMeasurementRaw, rawGlob)
-      .withColumn("file_city",
-        regexp_extract(regexp_extract(input_file_name(), "([^/]+)$", 1), "^([^_]+)_raw_", 1))
+      .withColumn("file_city", fileCityHint)
     val loc = raw.select(col("file_city"), explode(col("results")).as("r"))
       .withColumn("city", coalesce(col("r.city"), col("r.name"), col("r.location"), col("file_city")))
       .withColumn("m", explode(coalesce(col("r.parameters"), col("r.measurements"), col("r.latest"))))

@@ -47,12 +47,20 @@ object Sinks {
     * Reference: ETL_Multi_Lvl_API/load.py:117-163. */
   def upsertParquet(spark: SparkSession, batch: DataFrame, path: String,
                     keys: Seq[String], orderCol: Option[String] = None): Unit = {
+    // FileSystem of the TARGET path's scheme, not the default FS — an
+    // s3a:// or hdfs:// target must not resolve against file://
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // "table absent" is ONLY fs.exists == false. A transient read
+    // failure (corrupt footer, FS hiccup) must propagate — treating it
+    // as absent would silently replace the table with the batch alone.
     val existing =
-      try spark.read.parquet(path).withColumn("_is_new", lit(0))
-      catch { case _: Exception => null }
-    val all =
-      if (existing == null) batch.withColumn("_is_new", lit(1))
-      else existing.unionByName(batch.withColumn("_is_new", lit(1)))
+      if (fs.exists(dst)) Some(spark.read.parquet(path).withColumn("_is_new", lit(0)))
+      else None
+    val all = existing match {
+      case Some(e) => e.unionByName(batch.withColumn("_is_new", lit(1)))
+      case None    => batch.withColumn("_is_new", lit(1))
+    }
     // conflict winner: highest recency column if given, the incoming
     // batch on ties / by default (ON CONFLICT DO UPDATE semantics)
     val w = Window.partitionBy(keys.map(col): _*)
@@ -60,14 +68,21 @@ object Sinks {
     val merged = all.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn", "_is_new")
     // parquet overwrite of the path being read requires a materialization
-    // barrier; for the in-engine equivalent we stage through a temp view
-    // collect-free by writing to a sibling then swapping
-    val tmp = path + "_tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // barrier: write to a sibling, then swap. The swap renames the old
+    // dir ASIDE (not delete-then-rename) so a crash mid-swap leaves a
+    // recoverable copy; old is deleted only after the new rename lands.
+    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(old, true) // clear any leftover from a prior crash
+    val hadExisting = fs.exists(dst)
+    if (hadExisting && !fs.rename(dst, old))
+      throw new java.io.IOException(s"upsertParquet: cannot move $dst aside to $old")
+    if (!fs.rename(tmp, dst)) {
+      // restore the previous table before failing
+      if (hadExisting) fs.rename(old, dst)
+      throw new java.io.IOException(s"upsertParquet: cannot move $tmp into place at $dst")
+    }
+    fs.delete(old, true)
   }
 }

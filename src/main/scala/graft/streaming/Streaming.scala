@@ -76,7 +76,13 @@ object Streaming {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: String, rawEvents: Iterator[(String, java.sql.Timestamp)], state: GroupState[SessionState]) =>
-          val events = rawEvents.map(e => (e._1, e._2.getTime * 1000L))
+          // true unix micros, not getTime*1000 (which would truncate to
+          // ms and let session boundaries disagree with batch q34's
+          // unix_micros on the same data): whole seconds from getTime,
+          // sub-second from getNanos (which carries the full fraction)
+          def micros(ts: java.sql.Timestamp): Long =
+            Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+          val events = rawEvents.map(e => (e._1, micros(e._2)))
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
