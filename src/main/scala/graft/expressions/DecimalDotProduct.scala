@@ -20,18 +20,52 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * null element poison the result to null.
   */
 object DecimalDot {
+  /** Spill threshold for the unscaled-long accumulator (half of Long
+    * range — one more |element| <= 1e15-unscaled add cannot overflow). */
+  private final val SpillAt = Long.MaxValue >> 1
+
   def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
-    var acc = JBigDecimal.ZERO
+    var accL = 0L              // unscaled partial sum at scale 12
+    var accB: JBigDecimal = null // slow-path / spill partial sum
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
       val p = a.getDouble(i) * b.getDouble(i)
-      acc = acc.add(JBigDecimal.valueOf(p).setScale(12, RoundingMode.HALF_UP))
+      // Fast path for the common case, EXACTLY equal to
+      // BigDecimal.valueOf(p).setScale(12, HALF_UP): that value is
+      // sign(p) * floor(|shortest-repr(p)| * 1e12 + 0.5), and
+      // |shortest(p) - p| <= ulp(p)/2, so when s = |p|*1e12 (two fp
+      // roundings: the scale multiply and the shortest-repr gap, each
+      // within 2 ulp of s) is farther from the floor boundary (t = s+0.5
+      // at an integer) than an 8-ulp guard band, floor(t) is the same
+      // integer for the true value — no string parse, no allocation.
+      // NaN/Inf/near-boundary/huge values fail the check and take the
+      // original BigDecimal path (NumberFormatException on NaN/Inf,
+      // exactly as before).
+      val s = Math.abs(p) * 1e12
+      val t = s + 0.5
+      if (s < 1e15 && Math.abs(t - Math.rint(t)) > Math.ulp(s) * 8) {
+        val u = Math.floor(t).toLong
+        accL += (if (p < 0) -u else u)
+        if (accL > SpillAt || accL < -SpillAt) {
+          val part = JBigDecimal.valueOf(accL, 12)
+          accB = if (accB == null) part else accB.add(part)
+          accL = 0L
+        }
+      } else {
+        val d = JBigDecimal.valueOf(p).setScale(12, RoundingMode.HALF_UP)
+        accB = if (accB == null) d else accB.add(d)
+      }
       i += 1
     }
-    java.lang.Double.valueOf(acc.doubleValue())
+    // decimal addition at fixed scale is associative, so folding the
+    // long partials separately cannot change the total
+    val total =
+      if (accB == null) JBigDecimal.valueOf(accL, 12)
+      else accB.add(JBigDecimal.valueOf(accL, 12))
+    java.lang.Double.valueOf(total.doubleValue())
   }
 }
 

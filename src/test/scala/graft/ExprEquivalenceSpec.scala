@@ -60,6 +60,37 @@ class ExprEquivalenceSpec extends SparkSpec {
     assert(both.where(col("d_new").isNull).count() == 0)
   }
 
+  test("DecimalDot fast path == pure BigDecimal fold on adversarial values") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def reference(vs: Array[Double]): Double =
+      vs.map(p => JBD.valueOf(p).setScale(12, RoundingMode.HALF_UP))
+        .foldLeft(JBD.ZERO)(_ add _).doubleValue()
+    def kernel(vs: Array[Double]): Double =
+      graft.expressions.DecimalDot.dot(
+        new GenericArrayData(vs.map(v => v: Any)),
+        new GenericArrayData(vs.map(_ => 1.0: Any))).doubleValue()
+    val rnd = new scala.util.Random(7)
+    // near the HALF_UP boundary at scale 12 (the fast path must bail
+    // to BigDecimal here), plus magnitude sweeps and exact halves
+    val adversarial = (0 until 2000).flatMap { _ =>
+      val k = rnd.nextLong() % 1000000000000L
+      val half = (k + 0.5) / 1e12
+      Seq(half, Math.nextUp(half), Math.nextDown(half), -half)
+    } ++ (-330 to 300).flatMap { e =>
+      val v = rnd.nextDouble() * math.pow(10, e / 10.0)
+      Seq(v, -v)
+    } ++ Seq(0.0, -0.0, Double.MinPositiveValue, 1e15, -1e15, 4.9e15)
+    adversarial.foreach { v =>
+      assert(kernel(Array(v)) == reference(Array(v)), s"mismatch at $v")
+    }
+    // accumulation incl. the long-spill path (|unscaled| > Long.Max/2)
+    val big = Array.fill(8)(4.0e6 + rnd.nextDouble())
+    assert(kernel(big) == reference(big))
+    val mixed = Array.fill(64)(rnd.nextGaussian())
+    assert(kernel(mixed) == reference(mixed))
+  }
+
   test("SQL function registration via GraftExtensions") {
     graft.expressions.GraftExtensions.register(spark)
     val r = spark.sql(
