@@ -40,6 +40,31 @@ object TextQueries {
       .select(col("doc_id") +:
         (0 until nHashes).map(k => element_at(col("sig"), k + 1).as(s"h$k")): _*)
 
+  /** MinHash-LSH near-dup pairs (doc_a < doc_b, est_sim >= 0.5): 4 bands
+    * of 2 hashes; docs join per band bucket (never all-pairs), bands
+    * union, and the full signature estimates similarity. Shared by q42
+    * (reports the pairs) and q49 (clusters them).
+    *
+    * The signature table is tiny (n_docs x 9 longs) but expensive to
+    * derive (shingle+md5 pipeline), and all 8 band-join branches need
+    * it. Cache it: exchange-reuse canonicalization cannot unify
+    * lambda-bearing subtrees across the union's deduplicated branches,
+    * so without the cache the pipeline runs 8 times. */
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = signatures(s, d).persist()
+    val a = sig.select(col("doc_id").as("doc_a") +: (0 until nHashes).map(k => col(s"h$k").as(s"a$k")): _*)
+    val b = sig.select(col("doc_id").as("doc_b") +: (0 until nHashes).map(k => col(s"h$k").as(s"b$k")): _*)
+    val bands = Seq((0, 1), (2, 3), (4, 5), (6, 7))
+    val cands = bands.map { case (i, j) =>
+      a.join(b, col(s"a$i") === col(s"b$i") && col(s"a$j") === col(s"b$j")
+        && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (0 until nHashes).map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0)).reduce(_ + _).as("matches"))
+    }.reduce(_ unionAll _).distinct()
+    cands.withColumn("est_sim", col("matches") / lit(8e0))
+      .where(col("est_sim") >= 0.5)
+  }
+
   /** DuckDB mirror of [[signatures]] as a `sig` CTE chain. */
   private val sqlSigCtes: String = {
     def h(k: Int) = {
@@ -210,27 +235,9 @@ object TextQueries {
     // band bucket (never all-pairs), union bands, then filter by estimated
     // similarity >= 0.5 from the full signature.
     "q42_minhash_lsh_pairs" -> Q(
-      (s, d) => {
-        // The signature table is tiny (n_docs x 9 longs) but expensive to
-        // derive (shingle+md5 pipeline), and all 8 band-join branches need
-        // it. Cache it: exchange-reuse canonicalization cannot unify
-        // lambda-bearing subtrees across the union's deduplicated
-        // branches, so without the cache the pipeline runs 8 times.
-        val sig = signatures(s, d).persist()
-        val a = sig.select(col("doc_id").as("doc_a") +: (0 until nHashes).map(k => col(s"h$k").as(s"a$k")): _*)
-        val b = sig.select(col("doc_id").as("doc_b") +: (0 until nHashes).map(k => col(s"h$k").as(s"b$k")): _*)
-        val bands = Seq((0, 1), (2, 3), (4, 5), (6, 7))
-        val cands = bands.map { case (i, j) =>
-          a.join(b, col(s"a$i") === col(s"b$i") && col(s"a$j") === col(s"b$j")
-            && col("doc_a") < col("doc_b"))
-            .select(col("doc_a"), col("doc_b"),
-              (0 until nHashes).map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0)).reduce(_ + _).as("matches"))
-        }.reduce(_ unionAll _).distinct()
-        cands.withColumn("est_sim", col("matches") / lit(8e0))
-          .where(col("est_sim") >= 0.5)
-          .select(col("doc_a"), col("doc_b"), col("est_sim"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => lshPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), col("est_sim"))
+        .orderBy(col("doc_a"), col("doc_b")),
       s"""WITH $sqlSigCtes,
          |cand AS (
          |${Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (i, j) =>
@@ -241,6 +248,39 @@ object TextQueries {
          |)
          |SELECT doc_a, doc_b, matches / 8e0 AS est_sim FROM cand
          |WHERE matches / 8e0 >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Duplicate-CLUSTER formation: connected components over the
+    // MinHash-LSH near-dup pairs — the transitive-closure step a real
+    // dedup pipeline runs after pairwise LSH (A~B and B~C must collapse
+    // to ONE cluster even when A,C never share a band). Distributed
+    // min-label propagation (graft.ext.Graph); the oracle states the
+    // same closure as a recursive CTE. Output: one row per clustered
+    // doc with its cluster id (= min doc_id in the component).
+    "q49_dup_clusters" -> Q(
+      (s, d) => {
+        val edges = lshPairs(s, d).select(col("doc_a"), col("doc_b"))
+        graft.ext.Graph.connectedComponents(edges, "doc_a", "doc_b")
+          .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH RECURSIVE $sqlSigCtes,
+         |cand AS (
+         |${Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (i, j) =>
+           s"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |         ${(0 until nHashes).map(k => s"CAST(a.h$k = b.h$k AS INTEGER)").mkString(" + ")} AS matches
+              |  FROM sig a JOIN sig b ON a.h$i = b.h$i AND a.h$j = b.h$j AND a.doc_id < b.doc_id""".stripMargin
+         }.mkString("\n  UNION\n")}
+         |),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand WHERE matches / 8e0 >= 0.5
+         |  UNION
+         |  SELECT doc_b AS a, doc_a AS b FROM cand WHERE matches / 8e0 >= 0.5),
+         |reach AS (
+         |  SELECT a AS node, a AS lbl FROM edges
+         |  UNION
+         |  SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node)
+         |SELECT node AS doc_id, MIN(lbl) AS cluster_id
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Exact n-gram Jaccard near-dup pairs via inverted-index join — no
     // O(n²) stage. The index carries 60-bit hashed shingles (longs, not

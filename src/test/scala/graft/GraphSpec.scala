@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Graph
+
+/** Connected components must equal a driver-side union-find on the same
+  * edge list — including multi-round convergence on chains (diameter >
+  * 1 forces label propagation past direct neighbors). */
+class GraphSpec extends SparkSpec {
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // normalize every root to the MIN member of its component
+    val members = parent.keys.toSeq.groupBy(find)
+    members.flatMap { case (_, ms) => val m = ms.min; ms.map(_ -> m) }.toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst")
+    Graph.connectedComponents(df, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain needs multiple propagation rounds") {
+    val chain = (1L to 9L).sliding(2).map(s => (s(1), s(0))).toSeq
+    val got = run(chain)
+    assert(got == (1L to 9L).map(_ -> 1L).toMap)
+  }
+
+  test("disjoint clusters keep distinct ids; pairs stay pairs") {
+    val edges = Seq((5L, 3L), (3L, 7L), (10L, 11L), (20L, 21L), (21L, 20L))
+    val got = run(edges)
+    assert(got == Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("random graph matches union-find reference") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    assert(run(edges) == unionFind(edges))
+  }
+}
