@@ -18,6 +18,10 @@ object Exprs {
 
   /** Exact DECIMAL(27,12)-folded dot product of two array<double>. */
   def decimalDot(a: Column, b: Column): Column = c(DecimalDotProduct(e(a), e(b)))
+
+  /** Ratio-pruned oriented candidate pairs from a posting list of
+    * (doc_id, n) structs — the PPJoin expansion step. */
+  def prefixPairs(ds: Column): Column = c(PrefixPairExpand(e(ds)))
 }
 
 /** SparkSessionExtensions installer: exposes the custom expressions as

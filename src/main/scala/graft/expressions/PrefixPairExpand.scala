@@ -1,0 +1,73 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** Compiled candidate-pair expansion for the set-similarity (PPJoin
+  * prefix-filter) join: posting list of (doc_id, n) -> all oriented
+  * pairs (doc_a < doc_b) that pass the integer size-ratio prune
+  * 5*min(na,nb) >= 4*max(na,nb) (Jaccard >= 0.8 is impossible outside
+  * that band, so dropping them cannot change the result).
+  *
+  * The Column formulation — transform with index + slice + nested
+  * transform + flatten — enumerates the same triangle but runs through
+  * interpreted higher-order lambdas, re-slicing the list per element:
+  * O(L^2) struct copies with per-element dispatch, which is exactly
+  * where a hot shingle's posting list (L in the hundreds) burns CPU.
+  * One compiled double loop emits only the surviving pairs and needs no
+  * pre-sorted input (each pair is oriented on the fly), so the upstream
+  * array_sort(collect_list(...)) shuffle stage drops its sort too.
+  */
+object PrefixPair {
+  def expand(ds: ArrayData): GenericArrayData = {
+    val l = ds.numElements()
+    val ids = new Array[Long](l)
+    val ns = new Array[Int](l)
+    var i = 0
+    while (i < l) {
+      val r = ds.getStruct(i, 2)
+      ids(i) = r.getLong(0)
+      ns(i) = r.getInt(1)
+      i += 1
+    }
+    val out = new java.util.ArrayList[InternalRow](l * 2)
+    i = 0
+    while (i < l) {
+      var j = i + 1
+      while (j < l) {
+        val (na, nb) = (ns(i), ns(j))
+        val (lo, hi) = if (na < nb) (na, nb) else (nb, na)
+        if (5L * lo >= 4L * hi && ids(i) != ids(j)) {
+          val aFirst = ids(i) < ids(j)
+          out.add(new GenericInternalRow(Array[Any](
+            if (aFirst) ids(i) else ids(j), if (aFirst) na else nb,
+            if (aFirst) ids(j) else ids(i), if (aFirst) nb else na)))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** array<struct<doc_a,na,doc_b,nb>> of ratio-pruned oriented pairs from
+  * a posting list array<struct<doc_id: long, n: int>>. */
+case class PrefixPairExpand(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("na", IntegerType, nullable = false),
+    StructField("doc_b", LongType, nullable = false),
+    StructField("nb", IntegerType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    PrefixPair.expand(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.PrefixPair.expand($c);")
+  override protected def withNewChildInternal(newChild: Expression): PrefixPairExpand =
+    copy(child = newChild)
+}

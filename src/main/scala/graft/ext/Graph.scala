@@ -38,9 +38,12 @@ object Graph {
     // doubles per round and analysis itself blows up after ~15 rounds.
     // (On a real cluster prefer reliable checkpoint() for fault
     // tolerance; localCheckpoint keeps the toy-scale path driverless.)
-    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
+    // lazy checkpoints: the convergence count is the round's ONLY job —
+    // it materializes the checkpoint as a side effect
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(false)
     var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint()
+      .withColumn("lbl", col("node")).localCheckpoint(false)
     var it = 0
     var changed = 1L
     while (changed > 0 && it < maxIter) {
@@ -49,7 +52,7 @@ object Graph {
         .select(col("b").as("node"), col("lbl"))
         .unionAll(labels)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.join(labels.select(col("node"), col("lbl").as("prev")), Seq("node"))
         .where(col("lbl") =!= col("prev")).count()
       labels = next // the superseded RDD blocks are GC'd by ContextCleaner

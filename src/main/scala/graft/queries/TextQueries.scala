@@ -317,16 +317,14 @@ object TextQueries {
         val idx = base.select(col("doc_id"), col("n"),
           explode(slice(col("hs"), lit(1), col("plen"))).as("h"))
         val posting = idx.groupBy(col("h"))
-          .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+          .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
           .where(size(col("ds")) > 1)
+        // compiled triangle enumeration + size-ratio prune (the HOF
+        // formulation re-slices the list per element, interpreted —
+        // quadratic CPU on hot shingles' posting lists)
         val cands = posting
-          .withColumn("ps", flatten(transform(col("ds"), (x, i) =>
-            transform(slice(col("ds"), i + 2, size(col("ds"))), y => struct(
-              x.getField("doc_id").as("doc_a"), x.getField("n").as("na"),
-              y.getField("doc_id").as("doc_b"), y.getField("n").as("nb"))))))
-          .select(explode(col("ps")).as("p"))
+          .select(explode(graft.expressions.Exprs.prefixPairs(col("ds"))).as("p"))
           .select(col("p.doc_a"), col("p.na"), col("p.doc_b"), col("p.nb"))
-          .where(col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
           .distinct() // a pair may share several prefix hashes
         val inter = cands
           .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
@@ -366,18 +364,9 @@ object TextQueries {
         val canonical = docs.select(col("doc_id"), md5(col("text")).as("h"))
           .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))
-        // near-dup losers from the LSH candidate pairs
-        val sig = signatures(s, d).persist()
-        val a = sig.select(col("doc_id").as("doc_a") +: (0 until nHashes).map(k => col(s"h$k").as(s"a$k")): _*)
-        val b = sig.select(col("doc_id").as("doc_b") +: (0 until nHashes).map(k => col(s"h$k").as(s"b$k")): _*)
-        val losers = Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (i, j) =>
-          a.join(b, col(s"a$i") === col(s"b$i") && col(s"a$j") === col(s"b$j")
-            && col("doc_a") < col("doc_b"))
-            .select(col("doc_b"),
-              (0 until nHashes).map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0)).reduce(_ + _).as("matches"))
-        }.reduce(_ unionAll _)
-          .where(col("matches") / lit(8e0) >= 0.5)
-          .select(col("doc_b").as("doc_id")).distinct()
+        // near-dup losers: the higher doc_id of every LSH pair (q42's
+        // candidate generation, shared via lshPairs)
+        val losers = lshPairs(s, d).select(col("doc_b").as("doc_id")).distinct()
         // quality floor (same formula as q31)
         val toks = tokens(col("text"))
         val scored = docs
