@@ -26,24 +26,36 @@ object Multimodal {
 
   /** STUB decoder — stands in for an image/audio codec. Deterministic:
     * metadata is derived arithmetically from the payload length, and the
-    * "embedding" is per-stripe byte averages. Replace `decode` with a
-    * real codec call to productionize; everything around it stays. */
+    * "embedding" is per-stripe byte averages. The stripe sums fold in
+    * DECIMAL(27,12) (a 256-entry unscaled-long lookup — exact and
+    * order-independent), so the features are engine- and
+    * partitioning-independent and q51 carries a full DuckDB oracle.
+    * Replace `decode` with a real codec call to productionize;
+    * everything around it stays. */
   object StubDecoder {
     val featureDim = 8
 
+    /** Unscaled DECIMAL(27,12) of b/255.0 per byte value — the same
+      * double->decimal rounding every parity-sensitive fold uses. */
+    private val lut: Array[Long] = Array.tabulate(256)(b =>
+      java.math.BigDecimal.valueOf(b / 255.0)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact())
+
     def decode(doc_id: Long, bytes: Array[Byte]): MediaFeatures = {
       val len = bytes.length.toLong
-      val sums = new Array[Double](featureDim)
+      val sums = new Array[Long](featureDim) // unscaled at scale 12
       val counts = new Array[Long](featureDim)
       var i = 0
       while (i < bytes.length) {
         val k = i % featureDim
-        sums(k) += (bytes(i) & 0xff) / 255.0
+        sums(k) += lut(bytes(i) & 0xff)
         counts(k) += 1
         i += 1
       }
       val feats = Array.tabulate(featureDim)(k =>
-        if (counts(k) == 0) 0.0 else sums(k) / counts(k))
+        if (counts(k) == 0) 0.0
+        else java.math.BigDecimal.valueOf(sums(k), 12).doubleValue() / counts(k))
       MediaFeatures(doc_id, len,
         width = (len % 640 + 64).toInt,
         height = ((len * 7) % 480 + 48).toInt,

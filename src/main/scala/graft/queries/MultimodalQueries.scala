@@ -6,9 +6,9 @@ import graft.engine.Tables
 import graft.ext.Multimodal
 
 /** Multimodal-column operators (see graft.ext.Multimodal). q50's metadata
-  * is arithmetic over the payload length, so it has a full oracle; q51
-  * exercises the mapPartitions batch-decode path, which is not
-  * SQL-expressible — the driver records its rows-only check. */
+  * is arithmetic over the payload length; q51 exercises the
+  * mapPartitions batch-decode path. Both carry full oracles — the stub
+  * decoder's decimal-folded stripe averages are replayable in SQL. */
 object MultimodalQueries {
 
   val defs: Map[String, Q] = Map(
@@ -30,10 +30,10 @@ object MultimodalQueries {
         |FROM documents ORDER BY doc_id""".stripMargin),
 
     // Batch feature extraction through mapPartitions (stubbed decode; the
-    // batching/schema plumbing is the operator under test). No oracle —
-    // mapPartitions is outside ANSI SQL; the driver's rows-only check needs
-    // sortable scalar columns, so the feature vector is surfaced as
-    // f0..f7 doubles rather than a raw array.
+    // batching/schema plumbing is the operator under test). The stub's
+    // stripe averages fold in DECIMAL(27,12), so even this typed
+    // mapPartitions path has a full oracle: DuckDB replays the byte
+    // stripes from the hex of the same UTF-8 payload.
     "q51_multimodal_features" -> Q(
       (s, d) => {
         val feats = Multimodal.decodeFeatures(
@@ -44,7 +44,21 @@ object MultimodalQueries {
           .select(Seq(col("doc_id"), col("byte_len"), col("width"),
             col("height"), col("n_frames")) ++ fCols: _*)
           .orderBy(col("doc_id"))
-      },
-      None)
+      }, {
+        def f(k: Int) =
+          s"""COALESCE(CAST(list_sum(list_transform(range(${k + 1}, len + 1, 8),
+             |    i -> CAST(('0x' || substr(hx, CAST(2*i-1 AS INTEGER), 2))::INTEGER / 255.0 AS DECIMAL(27,12))))
+             |  AS DOUBLE) / ((len - $k + 7) // 8), 0e0) AS f$k""".stripMargin
+        s"""WITH b AS (
+           |  SELECT doc_id, hex(encode(text)) AS hx,
+           |         CAST(octet_length(encode(text)) AS BIGINT) AS len
+           |  FROM documents)
+           |SELECT doc_id, len AS byte_len,
+           |       CAST(len % 640 + 64 AS INTEGER) AS width,
+           |       CAST((len * 7) % 480 + 48 AS INTEGER) AS height,
+           |       CAST(len % 16 + 1 AS INTEGER) AS n_frames,
+           |${(0 until Multimodal.StubDecoder.featureDim).map(f).mkString(",\n")}
+           |FROM b ORDER BY doc_id""".stripMargin
+      })
   )
 }

@@ -18,9 +18,10 @@ class QueriesSmokeSpec extends SparkSpec {
   }
 
   test("every query has oracle SQL unless explicitly non-SQL-expressible") {
-    // Explicit allowlist: only the mapPartitions-based multimodal decode is
-    // outside ANSI SQL. A new query missing from oracleSql fails here.
-    val allowedNoOracle = Set("q51_multimodal_features")
+    // Explicit allowlist, currently empty: even the mapPartitions-based
+    // multimodal decode oracles via the decimal-folded stub. A new query
+    // missing from oracleSql fails here.
+    val allowedNoOracle = Set.empty[String]
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == allowedNoOracle,
       s"oracle coverage drifted: missing=${noOracle -- allowedNoOracle} " +
