@@ -91,6 +91,35 @@ class ExprEquivalenceSpec extends SparkSpec {
     assert(kernel(mixed) == reference(mixed))
   }
 
+  test("PrefixPairExpand == sorted HOF triangle enumeration + ratio prune") {
+    val base = Tables.documents(spark, sf)
+      .withColumn("hs0", Exprs.shingleHashes(col("text")))
+      .where(col("hs0").isNotNull)
+      .select(col("doc_id"), array_sort(col("hs0")).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .withColumn("plen", col("n") - expr("(4*n + 4) div 5") + lit(1))
+    val posting = base
+      .select(col("doc_id"), col("n"), explode(slice(col("hs"), lit(1), col("plen"))).as("h"))
+      .groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .where(size(col("ds")) > 1)
+    // the HOF formulation the kernel replaced (needs a sorted list)
+    val old = posting
+      .withColumn("ds", array_sort(col("ds")))
+      .withColumn("ps", flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), y => struct(
+          x.getField("doc_id").as("doc_a"), x.getField("n").as("na"),
+          y.getField("doc_id").as("doc_b"), y.getField("n").as("nb"))))))
+      .select(explode(col("ps")).as("p"))
+      .select(col("p.doc_a"), col("p.na"), col("p.doc_b"), col("p.nb"))
+      .where(col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
+    val neu = posting
+      .select(explode(Exprs.prefixPairs(col("ds"))).as("p"))
+      .select(col("p.doc_a"), col("p.na"), col("p.doc_b"), col("p.nb"))
+    assert(neu.count() == old.count())
+    assert(neu.exceptAll(old).count() == 0 && old.exceptAll(neu).count() == 0)
+  }
+
   test("SQL function registration via GraftExtensions") {
     graft.expressions.GraftExtensions.register(spark)
     val r = spark.sql(

@@ -70,6 +70,15 @@ class PlanAuditSpec extends SparkSpec {
       "expect a window operator")
   }
 
+  test("q43 jaccard join: pair expansion is the compiled kernel, not interpreted lambdas") {
+    val p = plan("q43_ngram_jaccard_pairs")
+    assert(p.toLowerCase.contains("explode(prefixpairexpand"),
+      "candidate expansion must go through the compiled expression")
+    assert(!p.contains("flatten(transform("),
+      "the interpreted HOF triangle enumeration must be gone")
+    assert(!p.contains("CartesianProduct"), "never an all-pairs stage")
+  }
+
   test("q39 typed top-k aggregator combines map-side (partial aggregation)") {
     val p = plan("q39_topk_aggregator")
     assert(p.contains("partial_topkagg") ||
