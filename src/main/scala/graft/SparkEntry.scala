@@ -14,7 +14,8 @@ object SparkEntry {
 
   private val registry: Map[String, Q] =
     CoreQueries.defs ++ ExtQueries.defs ++ RelQueries.defs ++
-      TextQueries.defs ++ EmbeddingQueries.defs ++ MultimodalQueries.defs
+      TextQueries.defs ++ EmbeddingQueries.defs ++ MultimodalQueries.defs ++
+      CurationQueries.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.engine.Tables
+import graft.ext.TextOps
+
+/** Corpus-curation operators beyond dedup: deterministic dataset
+  * splitting, sequence-packing accounting, and benchmark
+  * decontamination — the remaining steps a training-data pipeline runs
+  * between "deduped corpus" and "training batches".
+  *
+  * Everything here is integer/string arithmetic (md5 buckets, token
+  * counts, cumulative sums), so results are bit-identical across
+  * engines and partitionings with no decimal folding needed.
+  */
+object CurationQueries {
+
+  /** Context length for the packing plan (tokens per training chunk). */
+  private val chunk = 512
+  /** Shared-shingle threshold for contamination flagging. */
+  private val contamK = 5
+
+  val defs: Map[String, Q] = Map(
+
+    // Deterministic train/val/test split: first md5 byte of the doc id
+    // buckets every row into 256 cells, split at 205/230 (~80/10/10).
+    // Hash-based (not random, not row_number) so the assignment is
+    // stable under reruns, repartitioning, and corpus growth — the only
+    // split that is reproducible on a cluster. Accounting per (lang,
+    // split) closes the query.
+    "q52_train_split" -> Q(
+      (s, d) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int")
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(bucket < 205, "train").when(bucket < 230, "val").otherwise("test"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .orderBy(col("lang"), col("split"))
+      },
+      """SELECT lang,
+        |       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER < 205 THEN 'train'
+        |            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER < 230 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Sequence-packing plan: concatenate each language's docs in
+    // deterministic (doc_id) order and cut at the context length — the
+    // standard pretraining packing. A window cumsum gives every doc its
+    // [start, end) token span, from which chunk counts and the number of
+    // boundary-straddling docs fall out arithmetically; the only shuffle
+    // is the per-lang sort window. At scale the same plan holds per
+    // (lang, shard) with shard-local windows.
+    "q53_packing_plan" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+          .where(col("n_tok") > 0)
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        val spans = docs.withColumn("end_tok", sum(col("n_tok")).over(w))
+        spans.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(when(expr(s"(end_tok - 1) div $chunk") >
+            expr(s"(end_tok - n_tok) div $chunk"), 1).otherwise(0)).as("n_split_docs"))
+          .withColumn("n_chunks", expr(s"(total_tokens + ${chunk - 1}) div $chunk"))
+          .select(col("lang"), col("n_docs"), col("total_tokens"),
+            col("n_chunks"), col("n_split_docs"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH dt AS (
+         |  SELECT lang, doc_id, CAST(len(${TextOps.sqlTokens("text")}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, n_tok,
+         |         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+         |  FROM dt WHERE n_tok > 0)
+         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         |       CAST((CAST(SUM(n_tok) AS BIGINT) + ${chunk - 1}) // $chunk AS BIGINT) AS n_chunks,
+         |       CAST(SUM(CASE WHEN (end_tok - 1) // $chunk > (end_tok - n_tok) // $chunk
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Benchmark decontamination: flag corpus docs sharing >= K distinct
+    // shingle hashes with ANY doc of the held-out source ('src0' stands
+    // in for the eval benchmark). The benchmark's inverted index is the
+    // small side and broadcasts — the corpus never shuffles for the
+    // probe, which is what makes decontamination affordable at 100 TB
+    // (benchmarks are tiny; the corpus is not).
+    "q54_decontamination" -> Q(
+      (s, d) => {
+        val idx = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            graft.expressions.Exprs.shingleHashes(col("text")).as("hs"))
+          .where(col("hs").isNotNull)
+          .select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
+        val bench = idx.where(col("source") === "src0")
+          .select(col("doc_id").as("bid"), col("h"))
+        val corpus = idx.where(col("source") =!= "src0")
+        val flagged = corpus.join(broadcast(bench), Seq("h"))
+          .groupBy(col("doc_id"), col("bid")).agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= contamK)
+          .select(col("doc_id").as("fid")).distinct()
+        Tables.documents(s, d).where(col("source") =!= "src0")
+          .join(flagged, col("doc_id") === col("fid"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), count(col("fid")).as("n_flagged"))
+          .orderBy(col("source"))
+      },
+      s"""WITH t AS (SELECT doc_id, source, $sqlToks AS tk FROM documents),
+         |s2 AS (SELECT doc_id, source, ${TextOps.sqlShingleList("tk")} AS sh FROM t),
+         |hs AS (SELECT doc_id, source,
+         |              unnest(list_transform(sh, x -> ('0x' || substr(md5('g:' || x), 1, 15))::BIGINT)) AS h
+         |       FROM s2 WHERE len(sh) > 0),
+         |flags AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT c.doc_id AS doc_id, b.doc_id AS bid, COUNT(*) AS n_shared
+         |    FROM hs c JOIN hs b ON c.h = b.h AND b.source = 'src0' AND c.source <> 'src0'
+         |    GROUP BY 1, 2) z
+         |  WHERE n_shared >= $contamK)
+         |SELECT d.source, COUNT(*) AS n_docs, COUNT(f.doc_id) AS n_flagged
+         |FROM documents d LEFT JOIN flags f ON d.doc_id = f.doc_id
+         |WHERE d.source <> 'src0'
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+
+  private def sqlToks = TextOps.sqlTokens("text")
+}
