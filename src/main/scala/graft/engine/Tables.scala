@@ -17,8 +17,28 @@ object Tables {
   /** Session flag required to scan the nanos-timestamped events parquet. */
   val NanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
 
-  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** InferFiltersFromGenerate turns `explode(f(x))` into an extra
+    * `size(f(x)) > 0` scan predicate — re-evaluating the generator input
+    * per row BELOW the projection that computes it. For cheap inputs
+    * that's a win; for the engine's compiled hash kernels it doubles the
+    * dominant CPU cost of every dedup query at scale, so the rule is
+    * excluded once per session here (idempotent, same pattern as the
+    * nanos flag; the oracle gate proves results are unaffected). */
+  private val InferFromGenerateRule =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+  private def tune(spark: SparkSession): Unit = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val cur = spark.conf.getOption(key).getOrElse("")
+    if (!cur.contains(InferFromGenerateRule))
+      spark.conf.set(key,
+        if (cur.isEmpty) InferFromGenerateRule else s"$cur,$InferFromGenerateRule")
+  }
+
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    tune(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** events.ts is physically TIMESTAMP(NANOS) parquet, which Spark 4 only
     * reads via the nanosAsLong escape hatch; normalize back to a proper

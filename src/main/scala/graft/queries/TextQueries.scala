@@ -35,8 +35,12 @@ object TextQueries {
     * table is ~n_docs rows of 9 longs regardless of document length. */
   private def signatures(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // the kernel is null exactly when the doc has < 3 tokens
+      // (ExprEquivalenceSpec) — filter on that CHEAP precursor, not on
+      // sig.isNotNull: a filter on the derived column gets pushed below
+      // the projection and re-evaluates the whole md5 pipeline per row
+      .where(size(tokens(col("text"))) >= 3)
       .withColumn("sig", graft.expressions.Exprs.minhashSig(col("text")))
-      .where(col("sig").isNotNull)
       .select(col("doc_id") +:
         (0 until nHashes).map(k => element_at(col("sig"), k + 1).as(s"h$k")): _*)
 
@@ -306,8 +310,10 @@ object TextQueries {
         //     the full sorted hash arrays carried through the join —
         //     no second pass over the index.
         val base = Tables.documents(s, d)
+          // cheap-precursor filter — see signatures() for why not
+          // hs0.isNotNull (pushdown would run the kernel twice per row)
+          .where(size(tokens(col("text"))) >= 3)
           .withColumn("hs0", graft.expressions.Exprs.shingleHashes(col("text")))
-          .where(col("hs0").isNotNull)
           .select(col("doc_id"), array_sort(col("hs0")).as("hs"))
           .withColumn("n", size(col("hs")))
           // prefix_len = n - ceil(0.8n) + 1, in integer arithmetic

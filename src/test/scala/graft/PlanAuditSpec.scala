@@ -79,6 +79,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "never an all-pairs stage")
   }
 
+  test("q54 decontamination: benchmark index broadcasts; corpus probe never shuffles it") {
+    val p = plan("q54_decontamination")
+    assert(p.contains("BroadcastHashJoin"), "the benchmark inverted index must broadcast")
+    val scans = p.linesIterator.filter(l => l.contains("FileScan parquet") && l.contains("documents")).toList
+    assert(scans.nonEmpty && scans.forall { s =>
+      val schema = s.substring(s.indexOf("ReadSchema:"))
+      !schema.contains("n_chars") && !schema.contains("lang")
+    }, s"document scans must prune to the needed columns:\n${scans.mkString("\n")}")
+    assert(!p.contains("shinglehashes(text") || !p.contains("isnotnull(shinglehashes"),
+      "the shingle kernel must not be re-evaluated inside a pushed filter")
+  }
+
+  test("q53 packing plan: one window sort exchange, aggregation partial above it") {
+    val p = plan("q53_packing_plan")
+    assert(p.contains("Window"), "expect the cumsum window")
+    val hashAggs = "HashAggregate".r.findAllIn(p).length
+    assert(hashAggs >= 2, "per-lang aggregate must combine map-side")
+  }
+
   test("q39 typed top-k aggregator combines map-side (partial aggregation)") {
     val p = plan("q39_topk_aggregator")
     assert(p.contains("partial_topkagg") ||
