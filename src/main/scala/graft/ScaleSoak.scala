@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-soak harness: replicates the sf0.1 tables Nx with key offsets
+  * (default 10x -> 6M-row lineitem, 50k docs with 10 exact replicas
+  * each — a worst-case duplication corpus) and times the headline
+  * queries at both scales. The per-query ratio is the evidence behind
+  * BENCH_NOTES' scale claims: narrow-map + bounded-candidate plans
+  * should scale ~linearly in rows even when the duplicate density
+  * multiplies the candidate-pair volume.
+  *
+  * Usage: runMain graft.ScaleSoak [srcSfDir] [outDir] [reps]
+  * Dev harness — not part of the driver contract surface.
+  */
+object ScaleSoak {
+
+  private val soakQueries = Seq(
+    "q20_pricing_summary", "q21_top_revenue_orders", "q22_region_revenue",
+    "q41_minhash_signatures", "q42_minhash_lsh_pairs", "q43_ngram_jaccard_pairs",
+    "q49_dup_clusters", "q54_decontamination",
+    "q45_ann_bruteforce_topk", "q46_lsh_bucket_pairs", "q47_ivf_topk",
+    "q48_embedding_neardup")
+
+  /** Tables replicated with a per-replica key offset; dimension tables
+    * are shared (the realistic shape: facts grow, dims don't). */
+  private val replicated: Map[String, (String, Long)] = Map(
+    "lineitem" -> ("l_orderkey", 100000000L),
+    "orders" -> ("o_orderkey", 100000000L),
+    "documents" -> ("doc_id", 10000000L),
+    "embeddings" -> ("vec_id", 10000000L))
+
+  private def generate(spark: SparkSession, src: String, out: String, reps: Int): Unit =
+    graft.engine.Tables.all.foreach { t =>
+      val base = graft.engine.Tables.read(spark, src, t)
+      val df = replicated.get(t) match {
+        case Some((key, off)) =>
+          (0 until reps).map(r =>
+            base.withColumn(key, col(key) + lit(r * off))).reduce(_ unionAll _)
+        case None => base
+      }
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft_soak"
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.engine.Tables.NanosFlag, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
+      println(s"SOAK generating ${reps}x of $src at $out")
+      generate(spark, src, out, reps)
+    }
+    def timeAll(d: String): Map[String, Double] = soakQueries.map { q =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, d).count()
+      spark.catalog.clearCache()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"SOAK $d%-18s $q%-26s $dt%7.2f s   rows=$n")
+      q -> dt
+    }.toMap
+    timeAll(src) // warm codegen/JIT so the comparison isolates data volume
+    val small = timeAll(src)
+    val big = timeAll(out)
+    println(f"SOAK RATIO (${reps}x data)")
+    soakQueries.foreach { q =>
+      println(f"SOAK $q%-26s ${small(q)}%6.2f -> ${big(q)}%7.2f s   x${big(q) / small(q)}%.1f")
+    }
+    spark.stop()
+  }
+}
