@@ -45,6 +45,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("city")).count(_ == "delhi") == 2)
   }
 
+  test("streaming near-dup suppression: dedup on the minhash signature at ingest") {
+    // the ingest-time form of near-dup dedup: key the stream by the
+    // compiled MinHash signature, so re-landed copies (and trivial
+    // re-serializations) of a document are dropped inside the
+    // watermark horizon — composing the batch kernel with the
+    // streaming dedup operator, no new machinery
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val in = tmpDir("stream_neardup")
+    writeBatch(in, "b1.json", Seq(
+      """{"doc_id":1,"ts":"2025-12-11T00:00:00Z","text":"the quick brown fox jumps over the dog"}""",
+      """{"doc_id":2,"ts":"2025-12-11T00:01:00Z","text":"an entirely different document body here"}"""))
+    writeBatch(in, "b2.json", Seq(
+      """{"doc_id":3,"ts":"2025-12-11T00:02:00Z","text":"the quick brown fox jumps over the dog"}""",
+      """{"doc_id":4,"ts":"2025-12-11T00:03:00Z","text":"a third distinct body of text entirely"}"""))
+    val stream = Streaming.jsonFileStream(spark, docSchema, in.toString + "/*.json", multiLine = false)
+      .withColumn("sig", graft.expressions.Exprs.minhashSig(col("text")))
+    val deduped = Streaming.dedupByKey(stream, "ts", "2 hours", Seq("sig"))
+    val q = deduped.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val kept = spark.table("neardup_out").select("doc_id").collect().map(_.getLong(0)).sorted
+    // doc 3 is a replica of doc 1's signature and is suppressed
+    assert(kept.length == 3 && !kept.contains(3L), kept.mkString(","))
+  }
+
   test("streaming tumbling-hour mean matches the batch q08 expression") {
     val in = tmpDir("stream_win")
     writeBatch(in, "b1.json", Seq(
