@@ -39,6 +39,34 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("LSH band self-join over a band-bucketed signature table is exchange-free") {
+    // the storage-side dedup accelerator: persist the signature table
+    // bucketed on a band's hash columns, and the nightly band self-join
+    // (the expensive stage of every LSH dedup run) reads both sides
+    // pre-partitioned — no shuffle of the corpus, ever
+    import graft.expressions.Exprs
+    val sig = Tables.documents(spark, sf)
+      .where(size(graft.ext.TextOps.tokens(col("text"))) >= 3)
+      .withColumn("sig", Exprs.minhashSig(col("text")))
+      .select(col("doc_id"), element_at(col("sig"), 1).as("h0"),
+        element_at(col("sig"), 2).as("h1"))
+    Sinks.bucketedTable(sig, "sig_b", bucketCols = Seq("h0", "h1"), buckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = spark.table("sig_b")
+      val b = spark.table("sig_b").select(col("doc_id").as("doc_b"),
+        col("h0").as("g0"), col("h1").as("g1"))
+      val pairs = a.join(b, col("h0") === col("g0") && col("h1") === col("g1")
+        && col("doc_id") < col("doc_b"))
+      pairs.collect()
+      val plan = pairs.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin"), "expected a sort-merge join")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"band self-join must read both sides pre-bucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucket-key aggregation also skips the exchange") {
     val agg = spark.table("orders_b").groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n"))
