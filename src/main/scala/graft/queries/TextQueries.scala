@@ -54,8 +54,12 @@ object TextQueries {
     * it. Cache it: exchange-reuse canonicalization cannot unify
     * lambda-bearing subtrees across the union's deduplicated branches,
     * so without the cache the pipeline runs 8 times. */
-  private def lshPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = signatures(s, d).persist()
+  private def lshPairs(s: SparkSession, d: String): DataFrame =
+    lshPairsOf(signatures(s, d).persist())
+
+  /** Band joins + similarity estimate over an arbitrary signature table
+    * (persist it first — all 8 branches scan it). */
+  private def lshPairsOf(sig: DataFrame): DataFrame = {
     val a = sig.select(col("doc_id").as("doc_a") +: (0 until nHashes).map(k => col(s"h$k").as(s"a$k")): _*)
     val b = sig.select(col("doc_id").as("doc_b") +: (0 until nHashes).map(k => col(s"h$k").as(s"b$k")): _*)
     val bands = Seq((0, 1), (2, 3), (4, 5), (6, 7))
@@ -370,9 +374,15 @@ object TextQueries {
         val canonical = docs.select(col("doc_id"), md5(col("text")).as("h"))
           .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))
-        // near-dup losers: the higher doc_id of every LSH pair (q42's
-        // candidate generation, shared via lshPairs)
-        val losers = lshPairs(s, d).select(col("doc_b").as("doc_id")).distinct()
+        // near-dup losers AMONG EXACT-DEDUP SURVIVORS — the standard
+        // pipeline order (and the cheap one at duplicate-heavy scale:
+        // the band joins see one signature per distinct text, not one
+        // per copy). Also prevents content loss: flagging from the full
+        // set can drop BOTH members of a canonical pair when a
+        // lower-id replica of one flags the other.
+        val losers = lshPairsOf(
+          signatures(s, d).join(canonical, Seq("doc_id"), "left_semi").persist())
+          .select(col("doc_b").as("doc_id")).distinct()
         // quality floor (same formula as q31)
         val toks = tokens(col("text"))
         val scored = docs
@@ -402,12 +412,14 @@ object TextQueries {
       s"""WITH $sqlSigCtes,
          |canonical AS (
          |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |sigc AS (
+         |  SELECT * FROM sig WHERE doc_id IN (SELECT doc_id FROM canonical)),
          |losers AS (
          |  SELECT DISTINCT doc_b AS doc_id FROM (
          |${Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (i, j) =>
              s"""    SELECT b.doc_id AS doc_b,
                 |           ${(0 until nHashes).map(k => s"CAST(a.h$k = b.h$k AS INTEGER)").mkString(" + ")} AS matches
-                |    FROM sig a JOIN sig b ON a.h$i = b.h$i AND a.h$j = b.h$j AND a.doc_id < b.doc_id""".stripMargin
+                |    FROM sigc a JOIN sigc b ON a.h$i = b.h$i AND a.h$j = b.h$j AND a.doc_id < b.doc_id""".stripMargin
            }.mkString("\n    UNION ALL\n")}
          |  ) WHERE matches / 8e0 >= 0.5),
          |scored AS (
