@@ -55,15 +55,22 @@ object ScaleSoak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
+    // marker records the generation params: a partial earlier run or a
+    // different reps value must regenerate, not silently reuse stale data
+    val marker = java.nio.file.Paths.get(out, "_SOAK_MARKER")
+    val stamp = s"src=$src reps=$reps"
+    if (!java.nio.file.Files.exists(marker) ||
+      java.nio.file.Files.readString(marker) != stamp) {
       println(s"SOAK generating ${reps}x of $src at $out")
       generate(spark, src, out, reps)
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.writeString(marker, stamp)
     }
     def timeAll(d: String): Map[String, Double] = soakQueries.map { q =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, d).count()
+      val dt = (System.nanoTime() - t0) / 1e9 // clearCache stays untimed, as in Bench
       spark.catalog.clearCache()
-      val dt = (System.nanoTime() - t0) / 1e9
       println(f"SOAK $d%-18s $q%-26s $dt%7.2f s   rows=$n")
       q -> dt
     }.toMap

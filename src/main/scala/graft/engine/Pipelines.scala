@@ -47,13 +47,18 @@ object Pipelines {
       .select(Schemas.weatherStaged.fieldNames.map(col).toIndexedSeq: _*)
   }
 
-  /** Filename city hint: first `_`-separated token of the basename, the
-    * reference's `filename_hint.split("_")[0]`
-    * (ETL_Multi_Lvl_API/transform.py:106) — so `new_york_raw_*.json`
-    * yields "new", not "". nullif keeps a failed extract null (so
-    * coalesce can't accept regexp_extract's empty-string no-match). */
+  /** Filename city hint: first `_`-separated token of the file STEM, the
+    * reference's `f.stem` + `filename_hint.split("_")[0]`
+    * (ETL_Multi_Lvl_API/transform.py:224,106) — `new_york_raw_*.json`
+    * yields "new", and `paris.json` yields "paris" (not "paris.json":
+    * the extension is stripped first, like Path.stem — the lookbehind
+    * keeps a leading-dot name from collapsing to empty). nullif keeps a
+    * failed extract null (so coalesce can't accept regexp_extract's
+    * empty-string no-match). */
   private def fileCityHint: org.apache.spark.sql.Column =
-    nullif(regexp_extract(regexp_extract(input_file_name(), "([^/]+)$", 1),
+    nullif(regexp_extract(
+      regexp_replace(regexp_extract(input_file_name(), "([^/]+)$", 1),
+        "(?<=.)\\.[^.]*$", ""),
       "^([^_]+)", 1), lit(""))
 
   /** Air quality, hourly-array shape: raw glob -> air_quality staged rows

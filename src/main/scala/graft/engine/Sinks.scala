@@ -51,6 +51,13 @@ object Sinks {
     // s3a:// or hdfs:// target must not resolve against file://
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(path + "_old")
+    // crash recovery: a previous run that died between its two swap
+    // renames leaves the table at _old and nothing at dst — restore it
+    // BEFORE reading, or the merge below would see an absent table and
+    // the _old cleanup would erase the only surviving copy
+    if (!fs.exists(dst) && fs.exists(orphan) && !fs.rename(orphan, dst))
+      throw new java.io.IOException(s"upsertParquet: cannot restore $orphan to $dst")
     // "table absent" is ONLY fs.exists == false. A transient read
     // failure (corrupt footer, FS hiccup) must propagate — treating it
     // as absent would silently replace the table with the batch alone.
@@ -72,17 +79,16 @@ object Sinks {
     // dir ASIDE (not delete-then-rename) so a crash mid-swap leaves a
     // recoverable copy; old is deleted only after the new rename lands.
     val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
-    val old = new org.apache.hadoop.fs.Path(path + "_old")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(old, true) // clear any leftover from a prior crash
+    fs.delete(orphan, true) // leftover _old with dst present = stale copy
     val hadExisting = fs.exists(dst)
-    if (hadExisting && !fs.rename(dst, old))
-      throw new java.io.IOException(s"upsertParquet: cannot move $dst aside to $old")
+    if (hadExisting && !fs.rename(dst, orphan))
+      throw new java.io.IOException(s"upsertParquet: cannot move $dst aside to $orphan")
     if (!fs.rename(tmp, dst)) {
       // restore the previous table before failing
-      if (hadExisting) fs.rename(old, dst)
+      if (hadExisting) fs.rename(orphan, dst)
       throw new java.io.IOException(s"upsertParquet: cannot move $tmp into place at $dst")
     }
-    fs.delete(old, true)
+    fs.delete(orphan, true)
   }
 }

@@ -58,6 +58,12 @@ object Graph {
       labels = next // the superseded RDD blocks are GC'd by ContextCleaner
       it += 1
     }
+    // silent non-convergence would return an UNDER-MERGED clustering —
+    // fail loudly instead (a diameter > maxIter component needs a
+    // higher cap or the star-contraction variant)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds ($changed labels still changing)")
     labels.select(col("node"), col("lbl").as("component"))
   }
 }

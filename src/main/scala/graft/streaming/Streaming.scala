@@ -29,7 +29,12 @@ object Streaming {
   /** Exactly-once-per-key ingestion: watermark + dropDuplicates on the
     * business key (the reference's ON CONFLICT (city,time) key,
     * ETL_Multi_Lvl_API/load.py:117-163). Late events beyond the
-    * watermark are dropped along with their dedup state. */
+    * watermark are dropped along with their dedup state.
+    *
+    * NOTE: dropDuplicates treats NULL keys as equal — a nullable key
+    * (e.g. a minhash signature, null for short docs) needs a non-null
+    * fallback column alongside it or distinct null-keyed rows collapse
+    * to one (see the near-dup suppression test in StreamingSpec). */
   def dedupByKey(stream: DataFrame, eventTimeCol: String, watermark: String,
                  keys: Seq[String]): DataFrame =
     stream.withWatermark(eventTimeCol, watermark)

@@ -43,6 +43,14 @@ class GraphSpec extends SparkSpec {
       11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("non-convergence within maxIter fails loudly, never returns wrong labels") {
+    import spark.implicits._
+    val chain = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Graph.connectedComponents(chain, "src", "dst", maxIter = 3).collect()
+    }
+  }
+
   test("random graph matches union-find reference") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))

@@ -64,7 +64,11 @@ class StreamingSpec extends SparkSpec {
       """{"doc_id":4,"ts":"2025-12-11T00:03:00Z","text":"a third distinct body of text entirely"}"""))
     val stream = Streaming.jsonFileStream(spark, docSchema, in.toString + "/*.json", multiLine = false)
       .withColumn("sig", graft.expressions.Exprs.minhashSig(col("text")))
-    val deduped = Streaming.dedupByKey(stream, "ts", "2 hours", Seq("sig"))
+      // null-guard: sig is null for sub-3-token docs and dropDuplicates
+      // treats null keys as EQUAL — fall back to the exact text hash so
+      // distinct short docs are not collapsed into one
+      .withColumn("short_key", when(col("sig").isNull, md5(col("text"))).otherwise(""))
+    val deduped = Streaming.dedupByKey(stream, "ts", "2 hours", Seq("sig", "short_key"))
     val q = deduped.writeStream.format("memory").queryName("neardup_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
@@ -151,5 +155,26 @@ class StreamingSpec extends SparkSpec {
     Sinks.upsertParquet(spark, df, target, Seq("city"), Some("seq"))
     Sinks.upsertParquet(spark, df, target, Seq("city"), Some("seq"))
     assert(spark.read.parquet(target).count() == 2)
+  }
+
+  test("upsertParquet recovers a table stranded at _old by a crashed swap") {
+    val target = tmpDir("upsert_crash").resolve("t").toString
+    val schema = StructType(Seq(StructField("city", StringType),
+      StructField("value", DoubleType), StructField("seq", LongType)))
+    val b1 = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row("delhi", 1.0, 1L),
+      org.apache.spark.sql.Row("mumbai", 2.0, 1L)), schema)
+    Sinks.upsertParquet(spark, b1, target, Seq("city"), Some("seq"))
+    // simulate a crash between the two swap renames: the table sits at
+    // _old and nothing is at the target path
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(target),
+      new org.apache.hadoop.fs.Path(target + "_old")))
+    val b2 = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row("pune", 3.0, 2L)), schema)
+    Sinks.upsertParquet(spark, b2, target, Seq("city"), Some("seq"))
+    // the stranded copy must be restored and merged, not erased
+    assert(spark.read.parquet(target).count() == 3)
   }
 }
