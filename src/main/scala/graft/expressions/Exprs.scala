@@ -22,6 +22,9 @@ object Exprs {
   /** Ratio-pruned oriented candidate pairs from a posting list of
     * (doc_id, n) structs — the PPJoin expansion step. */
   def prefixPairs(ds: Column): Column = c(PrefixPairExpand(e(ds)))
+
+  /** Chunk-pair (binary) form of [[prefixPairs]] for hot posting lists. */
+  def crossPairs(a: Column, b: Column): Column = c(CrossPairExpand(e(a), e(b)))
 }
 
 /** SparkSessionExtensions installer: exposes the custom expressions as

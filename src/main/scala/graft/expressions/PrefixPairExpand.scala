@@ -55,6 +55,41 @@ object PrefixPair {
   }
 }
 
+object CrossPair {
+  /** All oriented, ratio-pruned pairs (x in a, y in b, x.id != y.id) —
+    * the chunked form of [[PrefixPair.expand]]: splitting a hot posting
+    * list into chunks and expanding chunk pairs (diagonal included)
+    * yields the same pair set after orientation + distinct, but spreads
+    * the quadratic work over many rows instead of one straggler task.
+    * Diagonal chunk pairs emit each unordered pair twice (once per
+    * operand order); orientation makes the copies identical and the
+    * query's distinct() removes them. */
+  def expand(a: ArrayData, b: ArrayData): GenericArrayData = {
+    val (la, lb) = (a.numElements(), b.numElements())
+    val out = new java.util.ArrayList[InternalRow](la)
+    var i = 0
+    while (i < la) {
+      val ra = a.getStruct(i, 2)
+      val (ida, na) = (ra.getLong(0), ra.getInt(1))
+      var j = 0
+      while (j < lb) {
+        val rb = b.getStruct(j, 2)
+        val (idb, nb) = (rb.getLong(0), rb.getInt(1))
+        val (lo, hi) = if (na < nb) (na, nb) else (nb, na)
+        if (5L * lo >= 4L * hi && ida != idb) {
+          val aFirst = ida < idb
+          out.add(new GenericInternalRow(Array[Any](
+            if (aFirst) ida else idb, if (aFirst) na else nb,
+            if (aFirst) idb else ida, if (aFirst) nb else na)))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** array<struct<doc_a,na,doc_b,nb>> of ratio-pruned oriented pairs from
   * a posting list array<struct<doc_id: long, n: int>>. */
 case class PrefixPairExpand(child: Expression) extends UnaryExpression {
@@ -70,4 +105,21 @@ case class PrefixPairExpand(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.expressions.PrefixPair.expand($c);")
   override protected def withNewChildInternal(newChild: Expression): PrefixPairExpand =
     copy(child = newChild)
+}
+
+/** Binary chunk-pair form of [[PrefixPairExpand]] — see [[CrossPair]]. */
+case class CrossPairExpand(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("na", IntegerType, nullable = false),
+    StructField("doc_b", LongType, nullable = false),
+    StructField("nb", IntegerType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CrossPair.expand(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.CrossPair.expand($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CrossPairExpand =
+    copy(left = l, right = r)
 }

@@ -28,6 +28,13 @@ object TextQueries {
   private val sqlToks = sqlTokens("text")
   private val nHashes = 8
 
+  /** Posting lists longer than this are chunk-expanded (q43) so one hot
+    * shingle cannot become a single quadratic straggler task. */
+  private val hotList = 512
+
+  private def numShufflePartitions(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
   /** Per-doc 8-hash MinHash signature, computed entirely as a narrow map
     * by the compiled [[graft.expressions.MinHashSignature]] kernel (one
     * pass, inside whole-stage codegen; bit-equal to the Column pipeline
@@ -332,10 +339,30 @@ object TextQueries {
         // compiled triangle enumeration + size-ratio prune (the HOF
         // formulation re-slices the list per element, interpreted —
         // quadratic CPU on hot shingles' posting lists)
-        val cands = posting
+        val small = posting.where(size(col("ds")) <= hotList)
           .select(explode(graft.expressions.Exprs.prefixPairs(col("ds"))).as("p"))
+        // hot posting lists (boilerplate shingles shared by thousands of
+        // docs): one row's triangle would be one quadratic straggler
+        // task. Chunk the list, expand (i <= j) chunk-index pairs, and
+        // repartition BEFORE the kernel so the quadratic work spreads
+        // across the cluster. Orientation + the final distinct make this
+        // bit-identical to the single-triangle expansion (diagonal chunk
+        // pairs just emit each pair twice pre-distinct).
+        val nChunks = ceil(size(col("ds")) / lit(hotList.toDouble)).cast("int")
+        val hot = posting.where(size(col("ds")) > hotList)
+          .withColumn("cs", transform(sequence(lit(0), nChunks - 1),
+            i => slice(col("ds"), i * hotList + lit(1), lit(hotList))))
+          .withColumn("ij", flatten(transform(sequence(lit(0), size(col("cs")) - 1),
+            i => transform(sequence(i, size(col("cs")) - 1),
+              j => struct(i.as("i"), j.as("j"))))))
+          .select(col("cs"), explode(col("ij")).as("ij"))
+          .select(element_at(col("cs"), col("ij.i") + 1).as("ca"),
+            element_at(col("cs"), col("ij.j") + 1).as("cb"))
+          .repartition(numShufflePartitions(s))
+          .select(explode(graft.expressions.Exprs.crossPairs(col("ca"), col("cb"))).as("p"))
+        val cands = small.unionAll(hot)
           .select(col("p.doc_a"), col("p.na"), col("p.doc_b"), col("p.nb"))
-          .distinct() // a pair may share several prefix hashes
+          .distinct() // a pair may share several prefix hashes (or chunk orders)
         val inter = cands
           .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
           .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))

@@ -120,6 +120,31 @@ class ExprEquivalenceSpec extends SparkSpec {
     assert(neu.exceptAll(old).count() == 0 && old.exceptAll(neu).count() == 0)
   }
 
+  test("chunked CrossPair expansion covers exactly the full-list triangle") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(11)
+    def row(id: Long, n: Int): InternalRow = new GenericInternalRow(Array[Any](id, n))
+    def arr(rows: Seq[InternalRow]) = new GenericArrayData(rows.toArray)
+    def pairSet(g: GenericArrayData): Set[(Long, Int, Long, Int)] =
+      (0 until g.numElements()).map { k =>
+        val r = g.getStruct(k, 4)
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))
+      }.toSet
+    // 1500-entry posting list with clustered sizes so the ratio prune
+    // both keeps and drops pairs
+    val full = (0 until 1500).map(i => row(rnd.nextInt(100000).toLong, 40 + rnd.nextInt(20)))
+      .distinctBy(_.getLong(0))
+    val direct = pairSet(graft.expressions.PrefixPair.expand(arr(full)))
+    val chunks = full.grouped(512).map(arr).toSeq
+    val chunked = (for {
+      i <- chunks.indices; j <- i until chunks.size
+    } yield pairSet(graft.expressions.CrossPair.expand(chunks(i), chunks(j))))
+      .reduce(_ ++ _)
+    assert(chunked == direct)
+  }
+
   test("SQL function registration via GraftExtensions") {
     graft.expressions.GraftExtensions.register(spark)
     val r = spark.sql(

@@ -74,8 +74,10 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q43_ngram_jaccard_pairs")
     assert(p.toLowerCase.contains("explode(prefixpairexpand"),
       "candidate expansion must go through the compiled expression")
-    assert(!p.contains("flatten(transform("),
-      "the interpreted HOF triangle enumeration must be gone")
+    assert(p.toLowerCase.contains("explode(crosspairexpand"),
+      "the hot-list chunk path must use the binary kernel")
+    assert(!p.contains("flatten(transform(ds"),
+      "no interpreted HOF triangle over the posting structs (chunk-INDEX generation over ints is fine)")
     assert(!p.contains("CartesianProduct"), "never an all-pairs stage")
   }
 
