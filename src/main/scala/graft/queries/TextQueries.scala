@@ -128,16 +128,19 @@ object TextQueries {
     // with arithmetic only (no transcendentals — cross-engine exact).
     "q31_text_quality" -> Q(
       (s, d) => {
-        val toks = tokens(col("text"))
         val stop = TextOps.lexicons.head._2 // english stopword list
+        // toks materialized ONCE as a column — three downstream columns
+        // reference it, and each reference to the raw split expression
+        // would re-run the regex tokenizer (TextOps class doc)
         val perDoc = Tables.documents(s, d)
-          .withColumn("n_tok", size(toks))
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("n_tok", size(col("toks")))
           .where(col("n_tok") > 0)
           .withColumn("tok_chars",
-            aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x))
+            aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x))
           .withColumn("avg_tok_len", col("tok_chars") / col("n_tok"))
           .withColumn("stop_ratio",
-            size(filter(toks, t => t.isin(stop: _*))) / col("n_tok"))
+            size(filter(col("toks"), t => t.isin(stop: _*))) / col("n_tok"))
           .withColumn("punct_ratio",
             (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))) / length(col("text")))
           .withColumn("quality",
@@ -174,10 +177,11 @@ object TextQueries {
     // reported as a confusion matrix against the labeled lang column.
     "q32_lang_confusion" -> Q(
       (s, d) => {
-        val toks = tokens(col("text"))
-        def hits(words: Seq[String]) = size(filter(toks, t => t.isin(words: _*)))
+        def hits(words: Seq[String]) = size(filter(col("toks"), t => t.isin(words: _*)))
         val lex = TextOps.lexicons.toMap
+        // toks materialized once — four lexicon scores reference it
         val scored = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
           .withColumn("s_en", hits(lex("en"))).withColumn("s_es", hits(lex("es")))
           .withColumn("s_fr", hits(lex("fr"))).withColumn("s_de", hits(lex("de")))
           .withColumn("pred_lang",
@@ -410,15 +414,16 @@ object TextQueries {
         val losers = lshPairsOf(
           signatures(s, d).join(canonical, Seq("doc_id"), "left_semi").persist())
           .select(col("doc_b").as("doc_id")).distinct()
-        // quality floor (same formula as q31)
-        val toks = tokens(col("text"))
+        // quality floor (same formula as q31; toks materialized once —
+        // see q31's comment)
         val scored = docs
-          .withColumn("n_tok", size(toks))
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("n_tok", size(col("toks")))
           .where(col("n_tok") > 0)
           .withColumn("tok_chars",
-            aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x))
+            aggregate(transform(col("toks"), t => length(t)), lit(0), (acc, x) => acc + x))
           .withColumn("stop_ratio",
-            size(filter(toks, t => t.isin(TextOps.lexicons.head._2: _*))) / col("n_tok"))
+            size(filter(col("toks"), t => t.isin(TextOps.lexicons.head._2: _*))) / col("n_tok"))
           .withColumn("punct_ratio",
             (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))) / length(col("text")))
           .withColumn("quality",
