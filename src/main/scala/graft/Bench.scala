@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // median-of-N mode: the box's run-to-run variance (±20%) exceeds most
+    // micro-optimizations, so regressions are only claimable off medians
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "1").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,20 +25,41 @@ object Bench {
     } catch { case _: Throwable => () }
     // deterministic name order: same warm-up position per query across
     // rounds, so per-query numbers are comparable run-to-run
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = names.map { case (n, _) =>
+      n -> scala.collection.mutable.ArrayBuffer.empty[Double] }.toMap
+    // a broken query must FAIL the bench, not silently record a fast -1
+    // and deflate the total — collect the error, emit it in the JSON, and
+    // exit nonzero after printing
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (_ <- 1 to iters) names.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        samples(name) += (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        errors(name) = e.toString.replaceAll("[\"\\\\\n\r]", " ").take(200)
+      }
       // queries that .persist() intermediates cannot unpersist in their
       // (lazy) bodies; drop cached blocks here so they don't accumulate
       // across the session and skew later queries' available memory
       spark.catalog.clearCache()
-      name -> dt
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = names.map { case (n, _) => n -> median(samples(n).toSeq) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty)
+      throw new RuntimeException(s"bench: ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
   }
 }

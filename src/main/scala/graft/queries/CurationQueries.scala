@@ -50,19 +50,41 @@ object CurationQueries {
 
     // Sequence-packing plan: concatenate each language's docs in
     // deterministic (doc_id) order and cut at the context length — the
-    // standard pretraining packing. A window cumsum gives every doc its
-    // [start, end) token span, from which chunk counts and the number of
-    // boundary-straddling docs fall out arithmetically; the only shuffle
-    // is the per-lang sort window. At scale the same plan holds per
-    // (lang, shard) with shard-local windows.
+    // standard pretraining packing. Each doc's [start, end) token span is
+    // a running sum in (lang, doc_id) order, computed as a DISTRIBUTED
+    // prefix-sum: range-partition by (lang, doc_id) into shards, cumsum
+    // inside each shard (one bounded sort per shard, parallelism =
+    // #shards), then add each shard's exclusive-prefix offset back via a
+    // broadcast of the tiny (shard, lang, offset) table. Result-identical
+    // to a global per-lang window for ANY order-respecting sharding, but
+    // with ~5 languages and a 100 TB corpus a lang-partitioned window is
+    // 5 single-reducer sorts — this shape never builds a partition larger
+    // than corpus/#shards (PlanAuditSpec pins it).
     "q53_packing_plan" -> Q(
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("lang"), col("doc_id"),
             size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
           .where(col("n_tok") > 0)
-        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        val spans = docs.withColumn("end_tok", sum(col("n_tok")).over(w))
+        val nShards = s.conf.get("spark.sql.shuffle.partitions").toInt
+        // range partitioner bounds are sample-based, but any boundary
+        // choice yields the same end_tok: shards hold contiguous
+        // (lang, doc_id) ranges in partition-id order by construction
+        val sharded = docs.repartitionByRange(nShards, col("lang"), col("doc_id"))
+          .withColumn("shard", spark_partition_id())
+        val wLoc = Window.partitionBy(col("shard"), col("lang")).orderBy(col("doc_id"))
+        val local = sharded.withColumn("local_end", sum(col("n_tok")).over(wLoc))
+          .persist() // two consumers (spans + offsets); Bench/Verify clearCache()s
+        // per-(shard, lang) totals: #shards × #langs rows — window over
+        // this tiny aggregate is driver-scale work, then broadcast back
+        val wOff = Window.partitionBy(col("lang")).orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = local.groupBy(col("shard"), col("lang"))
+          .agg(max(col("local_end")).as("shard_tok"))
+          .withColumn("offset", coalesce(sum(col("shard_tok")).over(wOff), lit(0L)))
+          .select(col("shard"), col("lang"), col("offset"))
+        val spans = local.join(broadcast(offsets), Seq("shard", "lang"))
+          .withColumn("end_tok", col("local_end") + col("offset"))
         spans.groupBy(col("lang")).agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("total_tokens"),

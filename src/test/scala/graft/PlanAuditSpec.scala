@@ -96,9 +96,21 @@ class PlanAuditSpec extends SparkSpec {
       "the shingle kernel must not be re-evaluated inside a filter predicate")
   }
 
-  test("q53 packing plan: one window sort exchange, aggregation partial above it") {
+  test("q53 packing plan: distributed prefix-sum — no per-lang single-reducer sort") {
     val p = plan("q53_packing_plan")
     assert(p.contains("Window"), "expect the cumsum window")
+    // the doc-level cumsum must partition by (shard, lang): a window that
+    // orders doc-level rows by doc_id with a lang-only partition is one
+    // reducer per language — the 100 TB scale-killer this query replaced
+    val docWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("doc_id")).toList
+    assert(docWindows.nonEmpty, "expect the shard-local cumsum window")
+    assert(docWindows.forall(_.contains("shard")),
+      s"doc-level windows must be shard-partitioned:\n${docWindows.mkString("\n")}")
+    assert(p.contains("rangepartitioning"),
+      "sharding must be an order-respecting range repartition")
+    assert(p.contains("BroadcastHashJoin"),
+      "shard offsets must come back via broadcast, not a shuffle join")
     val hashAggs = "HashAggregate".r.findAllIn(p).length
     assert(hashAggs >= 2, "per-lang aggregate must combine map-side")
   }
