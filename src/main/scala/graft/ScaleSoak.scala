@@ -18,8 +18,9 @@ object ScaleSoak {
 
   private val soakQueries = Seq(
     "q20_pricing_summary", "q21_top_revenue_orders", "q22_region_revenue",
+    "q36_winnow_fingerprints", "q37_curation_pipeline",
     "q41_minhash_signatures", "q42_minhash_lsh_pairs", "q43_ngram_jaccard_pairs",
-    "q49_dup_clusters", "q54_decontamination",
+    "q49_dup_clusters", "q53_packing_plan", "q54_decontamination",
     "q45_ann_bruteforce_topk", "q46_lsh_bucket_pairs", "q47_ivf_topk",
     "q48_embedding_neardup")
 

@@ -16,6 +16,11 @@ object Exprs {
   /** Distinct 3-gram shingle hashes (array<long>, null if < 3 tokens). */
   def shingleHashes(text: Column): Column = c(ShingleHashes(e(text)))
 
+  /** Distinct winnowing fingerprints over k-char grams with w-wide
+    * sliding-min windows (array<long>, null if shorter than k+w-1). */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    c(WinnowFingerprints(e(text), k, w))
+
   /** Exact DECIMAL(27,12)-folded dot product of two array<double>. */
   def decimalDot(a: Column, b: Column): Column = c(DecimalDotProduct(e(a), e(b)))
 

@@ -99,6 +99,48 @@ object TextHash {
     while (it.hasNext) { out(j) = chunk60(md5("g:" + it.next())); j += 1 }
     new GenericArrayData(out)
   }
+
+  /** Winnowing fingerprints: hash every k-char gram (first 32 md5 bits,
+    * == conv(substring(md5(gram),1,8),16,10)), take the min of each
+    * w-wide sliding window of those hashes with a monotonic deque (O(n),
+    * vs the O(n*w) slice+array_min HOF), dedup preserving first
+    * occurrence (array_distinct order). Null when the doc is shorter
+    * than k+w-1 CHARACTERS — substrings count code points to match SQL
+    * substr semantics, not Java char units. */
+  def winnow(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val s = text.toString
+    // code-point start offsets: off(p) = char index of the p-th character
+    val n = s.codePointCount(0, s.length)
+    if (n < k + w - 1) return null
+    val off = new Array[Int](n + 1)
+    var ci = 0
+    var p = 0
+    while (ci < s.length) { off(p) = ci; ci += Character.charCount(s.codePointAt(ci)); p += 1 }
+    off(n) = s.length
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) { hs(i) = chunk32(md5(s.substring(off(i), off(i + k))), 0); i += 1 }
+    // monotonic deque of indices: values increasing head->tail, head is
+    // the current window min
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    var j = 0
+    while (j < m) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(j)) tail -= 1
+      dq(tail) = j; tail += 1
+      if (dq(head) <= j - w) head += 1
+      if (j >= w - 1) seen.add(hs(dq(head)))
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var q = 0
+    while (it.hasNext) { out(q) = it.next(); q += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** array<long>(8) MinHash signature of a text column (null if < 3
@@ -114,6 +156,21 @@ case class MinHashSignature(child: Expression) extends UnaryExpression {
       s"""${ev.value} = graft.expressions.TextHash.minhash($c);
          |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** array<long> of distinct winnowing fingerprints (null if the text has
+  * fewer than k+w-1 characters). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // null for docs shorter than k+w-1
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.winnow(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.expressions.TextHash.winnow($c, $k, $w);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
 }
 

@@ -505,20 +505,21 @@ object TextQueries {
     // Winnowing fingerprints (rolling-hash document fingerprinting):
     // hash every k-char gram, take the min of each w-wide sliding window
     // of those hashes, dedup — the classic local fingerprint selection
-    // (robust to insertions, unlike a whole-doc hash). Staged as
-    // materialized array columns; each stage is a narrow map.
+    // (robust to insertions, unlike a whole-doc hash). The per-gram
+    // md5 + sliding min runs in the compiled WinnowFingerprints kernel
+    // (one JVM pass, monotonic-deque O(n) window min) instead of the
+    // interpreted per-character HOF lambda it replaced — at corpus scale
+    // that lambda dispatch was the dominant CPU of this query.
+    // ExprEquivalenceSpec pins bit-equality against the HOF form; the
+    // cheap length pre-filter matches the kernel's null condition so the
+    // kernel itself never runs inside a pushed-down predicate.
     "q36_winnow_fingerprints" -> Q(
       (s, d) => {
         val k = 8; val w = 4
-        val hs = Tables.documents(s, d)
+        val fps = Tables.documents(s, d)
           .select(col("doc_id"), col("text"))
           .where(length(col("text")) >= k + w - 1)
-          .withColumn("hs", transform(
-            sequence(lit(1), length(col("text")) - (k - 1)),
-            i => conv(substring(md5(col("text").substr(i, lit(k))), 1, 8), 16, 10).cast("long")))
-        val fps = hs.withColumn("fps", array_distinct(transform(
-          sequence(lit(0), size(col("hs")) - w),
-          j => array_min(slice(col("hs"), j + 1, lit(w))))))
+          .withColumn("fps", graft.expressions.Exprs.winnowFingerprints(col("text"), k, w))
         fps.select(col("doc_id"), size(col("fps")).as("n_fps"),
           array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
           .orderBy(col("doc_id"))

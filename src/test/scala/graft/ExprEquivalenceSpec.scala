@@ -45,6 +45,51 @@ class ExprEquivalenceSpec extends SparkSpec {
     assert(neu.exceptAll(old).count() == 0 && old.exceptAll(neu).count() == 0)
   }
 
+  test("WinnowFingerprints == per-char md5 HOF + slice/array_min windows") {
+    val k = 8; val w = 4
+    // the original HOF formulation (kept as the executable spec)
+    val old = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .where(length(col("text")) >= k + w - 1)
+      .withColumn("hs", transform(
+        sequence(lit(1), length(col("text")) - (k - 1)),
+        i => conv(substring(md5(col("text").substr(i, lit(k))), 1, 8), 16, 10).cast("long")))
+      .withColumn("fps", array_distinct(transform(
+        sequence(lit(0), size(col("hs")) - w),
+        j => array_min(slice(col("hs"), j + 1, lit(w))))))
+      .select(col("doc_id"), col("fps"))
+    val neu = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.expressions.Exprs.winnowFingerprints(col("text"), k, w).as("fps"))
+      .where(col("fps").isNotNull)
+    assert(neu.count() == old.count())
+    // bit-identical arrays INCLUDING element order (array_distinct keeps
+    // first occurrence; so does the kernel)
+    assert(neu.exceptAll(old).count() == 0 && old.exceptAll(neu).count() == 0)
+  }
+
+  test("WinnowFingerprints counts characters, not Java chars, and nulls short docs") {
+    import spark.implicits._
+    val df = Seq(
+      ("bmp", "abcdefghijk"),            // exactly k+w-1 = 11 chars: 1 window
+      ("astral", "a😀bcdefghij"), // 11 code points, 12 Java chars
+      ("short", "abcdefghij")            // 10 chars: below threshold -> null
+    ).toDF("id", "text")
+      .select(col("id"), graft.expressions.Exprs.winnowFingerprints(col("text"), 8, 4).as("fps"))
+    val rows = df.collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(rows("bmp").isDefined && rows("astral").isDefined && rows("short").isEmpty)
+    // the HOF spec on the astral row agrees (substr counts code points)
+    val hof = Seq(("astral", "a😀bcdefghij")).toDF("id", "text")
+      .withColumn("hs", transform(
+        sequence(lit(1), length(col("text")) - 7),
+        i => conv(substring(md5(col("text").substr(i, lit(8))), 1, 8), 16, 10).cast("long")))
+      .withColumn("fps", array_distinct(transform(
+        sequence(lit(0), size(col("hs")) - 4),
+        j => array_min(slice(col("hs"), j + 1, lit(4))))))
+      .select(col("fps")).collect()(0).getSeq[Long](0)
+    assert(rows("astral").get.asInstanceOf[scala.collection.Seq[Long]] == hof)
+  }
+
   test("DecimalDotProduct == zip_with/aggregate decimal fold") {
     val D12 = DecimalType(27, 12)
     def oldDot(a: Column, b: Column): Column =
