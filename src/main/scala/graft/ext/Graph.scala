@@ -27,9 +27,14 @@ object Graph {
 
   /** Components of the undirected graph given by `edges`; returns one
     * row per distinct endpoint: (node, component) with component = min
-    * node id reachable. Deterministic for any input order. */
+    * node id reachable. Deterministic for any input order.
+    * `starContraction = true` switches to the alternating small-star /
+    * large-star algorithm — O(log^2 n) rounds regardless of diameter,
+    * for chain-shaped graphs that would exhaust min-label's round cap. */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          starContraction: Boolean = false): DataFrame = {
+    if (starContraction) return connectedComponentsStar(edges, src, dst, maxIter)
     val e = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
     // symmetric closure once, so each round is a single directed join.
     // Iteration state goes through localCheckpoint, NOT persist: the
@@ -65,5 +70,65 @@ object Graph {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds ($changed labels still changing)")
     labels.select(col("node"), col("lbl").as("component"))
+  }
+
+  /** Alternating star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Each round:
+    * large-star hangs every strictly-larger neighbor of a center onto
+    * the neighborhood min; small-star re-hangs the smaller neighbors.
+    * The fixpoint is one star per component, centered at the component's
+    * min id — reached in O(log^2 n) rounds for ANY diameter, which is
+    * why this is the fallback for chain-shaped graphs. Both half-rounds
+    * are join + partial-agg shapes (no collect_set: a giant component's
+    * root fan-in streams through the aggregate, it is never materialized
+    * as one array). */
+  def connectedComponentsStar(edges: DataFrame, src: String, dst: String,
+                              maxIter: Int = 30): DataFrame = {
+    val e0 = edges.select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+    val nodes = e0.select(col("u").as("node"))
+      .unionAll(e0.select(col("v").as("node"))).distinct()
+      .localCheckpoint(false)
+    // state: distinct edges oriented (larger u, smaller v); same
+    // localCheckpoint lineage truncation as the min-label loop
+    var cur = e0.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(false)
+    var curCount = cur.count()
+    var it = 0
+    var done = curCount == 0
+    while (!done && it < maxIter) {
+      // large-star over the symmetric neighborhood: center u, m = min of
+      // N(u) ∪ {u}; every neighbor v > u re-hangs onto m
+      val sym = cur.unionAll(cur.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star: edges are (u, v<u); all of N(u) ∪ {u} hangs onto
+      // m = min(N(u))
+      val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(smins, Seq("u"))
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(smins.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(false)
+      val nextCount = small.count()
+      // fixpoint = identical edge SET (count match + empty anti-join;
+      // counts alone can tie without equality)
+      done = nextCount == curCount &&
+        small.join(cur, Seq("u", "v"), "left_anti").limit(1).count() == 0
+      cur = small
+      curCount = nextCount
+      it += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    // fixpoint edges are (child, component root); roots have no out-edge
+    nodes.join(cur, nodes("node") === cur("u"), "left")
+      .select(col("node"), coalesce(col("v"), col("node")).as("component"))
   }
 }

@@ -23,10 +23,10 @@ class GraphSpec extends SparkSpec {
     members.flatMap { case (_, ms) => val m = ms.min; ms.map(_ -> m) }.toMap
   }
 
-  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def run(edges: Seq[(Long, Long)], maxIter: Int = 50): Map[Long, Long] = {
     import spark.implicits._
     val df = edges.toDF("src", "dst")
-    Graph.connectedComponents(df, "src", "dst")
+    Graph.connectedComponents(df, "src", "dst", maxIter = maxIter)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -56,5 +56,32 @@ class GraphSpec extends SparkSpec {
     val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
       .filter { case (a, b) => a != b }
     assert(run(edges) == unionFind(edges))
+  }
+
+  private def runStar(edges: Seq[(Long, Long)], maxIter: Int = 30): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst",
+      maxIter = maxIter, starContraction = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("star contraction: depth-200 chain converges under the default round cap") {
+    // diameter 200 >> maxIter: min-label would need 200 rounds; the
+    // alternating algorithm needs O(log^2 n)
+    val chain = (1L to 201L).sliding(2).map(s => (s(1), s(0))).toSeq
+    val got = runStar(chain)
+    assert(got == (1L to 201L).map(_ -> 1L).toMap)
+  }
+
+  test("star contraction matches union-find on a random graph with chains and clumps") {
+    val rnd = new scala.util.Random(7)
+    val clumpy = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    // attach a long tail so one component is genuinely deep
+    val tail = (1000L to 1060L).sliding(2).map(s => (s(0), s(1))).toSeq :+ (5L, 1000L)
+    val edges = clumpy ++ tail
+    assert(runStar(edges) == unionFind(edges))
+    // min-label needs a cap past the 62-deep tail; star does not
+    assert(runStar(edges) == run(edges, maxIter = 80))
   }
 }
