@@ -26,6 +26,12 @@ object Streaming {
                      multiLine: Boolean = true): DataFrame =
     spark.readStream.schema(schema).option("multiLine", multiLine).json(dir)
 
+  /** File-source stream over a landed parquet directory — the staged
+    * layer as a stream (same file-source mechanics as
+    * [[jsonFileStream]], columnar input). */
+  def parquetFileStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
   /** Exactly-once-per-key ingestion: watermark + dropDuplicates on the
     * business key (the reference's ON CONFLICT (city,time) key,
     * ETL_Multi_Lvl_API/load.py:117-163). Late events beyond the

@@ -145,6 +145,54 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("delhi", 10L, 2L)), rows.mkString(";"))
   }
 
+  test("10x soak: streaming dedup + upsert store feeds batch curation identically to pure batch") {
+    // end-to-end at 10x duplication: a worst-case corpus (every sf0.001
+    // document landed 10 times with offset ids, one slice re-delivered
+    // verbatim) flows through dedupByKey (exactly-once per doc_id,
+    // dropping the re-delivery) into upsertSink keyed on the CONTENT
+    // hash with min-doc_id-wins — the streaming form of q40 exact dedup.
+    // The resulting store must make batch q37 produce exactly what it
+    // produces on the raw 10x corpus (its own exact-dedup stage is
+    // idempotent on an already-deduped store).
+    import graft.engine.Tables
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+    val reps = 10
+    val tenX = (0 until reps).map(r =>
+      base.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))).reduce(_ unionAll _)
+    val rawDir = tmpDir("soak_raw").toString
+    tenX.write.mode("overwrite").parquet(s"$rawDir/documents.parquet")
+    val inDir = tmpDir("soak_stream_in").toString
+    tenX.repartition(4).write.mode("overwrite").parquet(inDir)
+    // re-delivery: the same rows (same doc_ids) landed again in a new file
+    base.limit(50).write.mode("append").parquet(inDir)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val target = tmpDir("soak_store").resolve("documents").toString
+    val stream = Streaming.parquetFileStream(spark, docSchema, inDir)
+      .withColumn("ts", to_timestamp(lit("2025-12-11 00:00:00")))
+    val deduped = Streaming.dedupByKey(stream, "ts", "1 hour", Seq("doc_id"))
+      .withColumn("h", md5(col("text")))
+      .withColumn("neg_id", -col("doc_id")) // upsert keeps MAX orderCol = min doc_id
+    val q = Streaming.upsertSink(deduped, target, Seq("h"), Some("neg_id")).start()
+    q.awaitTermination(120000)
+    val store = spark.read.parquet(target)
+    // survivor ids == batch exact-dedup canonical set, min-id pick included
+    val canonical = tenX.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+    assert(store.count() == canonical.count())
+    assert(store.select(col("doc_id")).exceptAll(canonical.select(col("doc_id"))).count() == 0)
+    // batch curation over the streamed store == batch curation over raw 10x
+    val curatedDir = tmpDir("soak_curated").toString
+    store.select(docSchema.fieldNames.map(col): _*)
+      .write.mode("overwrite").parquet(s"$curatedDir/documents.parquet")
+    val viaStream = SparkEntry.queries("q37_curation_pipeline")(spark, curatedDir)
+    val pureBatch = SparkEntry.queries("q37_curation_pipeline")(spark, rawDir)
+    assert(viaStream.exceptAll(pureBatch).count() == 0 &&
+      pureBatch.exceptAll(viaStream).count() == 0)
+    spark.catalog.clearCache() // q37 persists its signature table
+  }
+
   test("upsertParquet is idempotent on re-application of the same batch") {
     val target = tmpDir("upsert_idem").resolve("t").toString
     val df = spark.createDataFrame(java.util.List.of(
