@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.engine.Tables
+import graft.engine.{Parity, Tables}
 import graft.ext.TextOps
 
 /** Corpus-curation operators beyond dedup: deterministic dataset
@@ -62,16 +62,22 @@ object CurationQueries {
     // than corpus/#shards (PlanAuditSpec pins it).
     "q53_packing_plan" -> Q(
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .select(col("lang"), col("doc_id"),
-            size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
-          .where(col("n_tok") > 0)
         val nShards = s.conf.get("spark.sql.shuffle.partitions").toInt
         // range partitioner bounds are sample-based, but any boundary
         // choice yields the same end_tok: shards hold contiguous
-        // (lang, doc_id) ranges in partition-id order by construction
-        val sharded = docs.repartitionByRange(nShards, col("lang"), col("doc_id"))
+        // (lang, doc_id) ranges in partition-id order by construction.
+        // Tokenize AFTER the exchange: the range sampler evaluates its
+        // child twice (sample pass + shuffle write), so a pre-exchange
+        // token count would run the tokenizer over the corpus twice.
+        // Filtering empty docs after sharding keeps contiguity — a
+        // filter cannot reorder rows across shard boundaries.
+        val sharded = Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), col("text"))
+          .repartitionByRange(nShards, col("lang"), col("doc_id"))
           .withColumn("shard", spark_partition_id())
+          .select(col("lang"), col("doc_id"), col("shard"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+          .where(col("n_tok") > 0)
         val wLoc = Window.partitionBy(col("shard"), col("lang")).orderBy(col("doc_id"))
         val local = sharded.withColumn("local_end", sum(col("n_tok")).over(wLoc))
           .persist() // two consumers (spans + offsets); Bench/Verify clearCache()s
@@ -108,6 +114,82 @@ object CurationQueries {
          |       CAST(SUM(CASE WHEN (end_tok - 1) // $chunk > (end_tok - n_tok) // $chunk
          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Repetition quality signal (the Gopher-style duplicate-n-gram
+    // filter): per doc, the fraction of bigram occurrences whose bigram
+    // appears more than once in that doc — high values mean boilerplate
+    // / looping text a pretraining corpus should drop. Shape at scale:
+    // explode to (doc, gram) rows, count per (doc, gram), roll up per
+    // doc then per lang — two hash aggregations keyed by doc_id, no
+    // global structure, no window. The repetitive-doc threshold is
+    // integer arithmetic (rep*2 > total), not a float compare.
+    "q55_repetition_stats" -> Q(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+          .where(size(col("toks")) >= 2)
+        // bigrams via index transform over the MATERIALIZED token array
+        // (element_at on a column array is a plain lookup per element —
+        // no kernel re-evaluation)
+        val grams = toks.select(col("doc_id"), col("lang"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1)))).as("gram"))
+        val perGram = grams.groupBy(col("doc_id"), col("lang"), col("gram"))
+          .agg(count(lit(1)).as("n"))
+        val perDoc = perGram.groupBy(col("doc_id"), col("lang"))
+          .agg(sum(col("n")).as("total"),
+            sum(when(col("n") > 1, col("n")).otherwise(0L)).as("rep"))
+        perDoc.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          Parity.davg12((col("rep") / col("total")).cast("double")).as("avg_rep_frac"),
+          sum(when(col("rep") * 2 > col("total"), 1).otherwise(0)).as("n_repetitive"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH t AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+         |g AS (SELECT doc_id, lang,
+         |             unnest(list_transform(range(1, len(toks)),
+         |               i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)])) AS gram
+         |      FROM t WHERE len(toks) >= 2),
+         |c AS (SELECT doc_id, lang, gram, COUNT(*) AS n FROM g GROUP BY 1, 2, 3),
+         |d AS (SELECT doc_id, lang, SUM(n) AS total,
+         |             SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS rep
+         |      FROM c GROUP BY 1, 2)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |       ${Parity.sqlDavg12("CAST(rep AS DOUBLE) / CAST(total AS DOUBLE)")} AS avg_rep_frac,
+         |       CAST(SUM(CASE WHEN rep * 2 > total THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Deterministic stratified sampling — the data-mixture weighting
+    // step (downsample over-represented languages before training).
+    // Same md5-bucket device as q52: a per-lang keep-rate out of 256
+    // cells makes the sample stable under reruns, repartitioning, and
+    // corpus growth; the operator is a narrow filter (no shuffle until
+    // the accounting aggregate), so it costs a scan at any corpus size.
+    "q56_stratified_sample" -> Q(
+      (s, d) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int")
+        val rate = when(col("lang") === "en", 205)
+          .when(col("lang") === "zh", 128)
+          .otherwise(64)
+        Tables.documents(s, d)
+          .withColumn("kept", when(bucket < rate, 1).otherwise(0))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(col("kept")).as("n_kept"),
+            sum(col("kept") * col("n_chars")).as("kept_chars"))
+          .orderBy(col("lang"))
+      },
+      """WITH k AS (
+        |  SELECT lang, n_chars,
+        |         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER <
+        |                   (CASE WHEN lang = 'en' THEN 205 WHEN lang = 'zh' THEN 128 ELSE 64 END)
+        |              THEN 1 ELSE 0 END AS kept
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_total, CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |       CAST(SUM(kept * n_chars) AS BIGINT) AS kept_chars
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Benchmark decontamination: flag corpus docs sharing >= K distinct
     // shingle hashes with ANY doc of the held-out source ('src0' stands
