@@ -56,7 +56,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => ShingleHashes(args.head)),
     (FunctionIdentifier("decimal_dot"),
       info("decimal_dot", "decimal_dot(a, b) - exact decimal-folded dot product of two double arrays"),
-      (args: Seq[Expression]) => DecimalDotProduct(args.head, args(1))))
+      (args: Seq[Expression]) => DecimalDotProduct(args.head, args(1))),
+    (FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints", "winnow_fingerprints(text) - distinct 8-char-gram winnowing fingerprints (w=4) as array<bigint>"),
+      (args: Seq[Expression]) => WinnowFingerprints(args.head, 8, 4)))
 
   /** Register the functions on a live session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

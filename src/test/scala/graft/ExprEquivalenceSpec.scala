@@ -195,8 +195,10 @@ class ExprEquivalenceSpec extends SparkSpec {
     val r = spark.sql(
       "SELECT size(minhash_signature('a b c d')) AS n, " +
         "size(shingle_hashes('a b c d')) AS m, " +
-        "decimal_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        "decimal_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "size(winnow_fingerprints('abcdefghijklmno')) AS w")
       .collect()(0)
     assert(r.getInt(0) == 8 && r.getInt(1) == 2 && r.getDouble(2) == 11.0)
+    assert(r.getInt(3) >= 1)
   }
 }

@@ -115,6 +115,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashAggs >= 2, "per-lang aggregate must combine map-side")
   }
 
+  test("q42 LSH pairs: ONE banded self-join, not four per-band joins") {
+    val p = plan("q42_minhash_lsh_pairs")
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(p).length
+    assert(joins == 1, s"band buckets must join once over (band,k1,k2) keys, got $joins joins")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "never an all-pairs stage")
+  }
+
   test("q39 typed top-k aggregator combines map-side (partial aggregation)") {
     val p = plan("q39_topk_aggregator")
     assert(p.contains("partial_topkagg") ||
