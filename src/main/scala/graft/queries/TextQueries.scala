@@ -550,6 +550,67 @@ object TextQueries {
         |SELECT doc_id, len(fps) AS n_fps, list_min(fps) AS min_fp, list_max(fps) AS max_fp
         |FROM f ORDER BY doc_id""".stripMargin),
 
+    // Substring-containment pairs — the dedup modality token-Jaccard
+    // misses (a short doc pasted inside a long one scores low Jaccard
+    // but high containment). Winnowing fingerprints are position-local,
+    // so shared fingerprints ≈ shared substrings: inverted-index join on
+    // fingerprints, score = shared / min(|fps_a|, |fps_b|). The
+    // document-frequency cap (df <= 32) drops ubiquitous fingerprints
+    // BEFORE pairing — the standard common-shingle drop, and the reason
+    // this stays bounded at corpus scale: per-fingerprint pair work is
+    // capped at C(32,2) regardless of corpus size, so there are no hot
+    // posting lists by construction (q43 needs chunking because exact
+    // Jaccard cannot drop shingles; containment with a df cap can).
+    // Threshold compares in integers (shared*2 >= min) — no float edge.
+    "q57_containment_pairs" -> Q(
+      (s, d) => {
+        val k = 8; val w = 4; val dfCap = 32
+        val fps = Tables.documents(s, d)
+          .where(length(col("text")) >= k + w - 1)
+          .select(col("doc_id"),
+            explode(graft.expressions.Exprs.winnowFingerprints(col("text"), k, w)).as("fp"))
+          .persist() // index + df table + both join sides; Bench/Verify clearCache()s
+        val dfTab = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= dfCap)
+        val rare = fps.join(dfTab, Seq("fp"))
+          .select(col("doc_id"), col("fp")).persist()
+        val nk = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+        val pairs = rare.select(col("doc_id").as("doc_a"), col("fp"))
+          .join(rare.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+          .where(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+        pairs
+          .join(nk.select(col("doc_id").as("doc_a"), col("n_kept").as("ka")), Seq("doc_a"))
+          .join(nk.select(col("doc_id").as("doc_b"), col("n_kept").as("kb")), Seq("doc_b"))
+          .where(col("shared") * 2 >= least(col("ka"), col("kb")))
+          .select(col("doc_a"), col("doc_b"), col("shared"),
+            (col("shared").cast("double") / least(col("ka"), col("kb"))).as("containment"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) - 6),
+        |           i -> ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 8))::BIGINT) AS hs
+        |  FROM documents WHERE length(text) >= 11),
+        |f AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(hs) - 2),
+        |           j -> list_min(list_slice(hs, CAST(j AS INTEGER), CAST(j + 3 AS INTEGER))))) AS fps
+        |  FROM h),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |dfreq AS (SELECT fp, COUNT(*) AS df FROM e GROUP BY 1),
+        |rare AS (SELECT e.doc_id, e.fp FROM e JOIN dfreq USING (fp) WHERE dfreq.df <= 32),
+        |nk AS (SELECT doc_id, COUNT(*) AS n_kept FROM rare GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        |  FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, shared,
+        |       CAST(shared AS DOUBLE) / LEAST(na.n_kept, nb.n_kept) AS containment
+        |FROM pairs JOIN nk na ON doc_a = na.doc_id JOIN nk nb ON doc_b = nb.doc_id
+        |WHERE shared * 2 >= LEAST(na.n_kept, nb.n_kept)
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
     // SimHash: 32-bit near-dup fingerprint — per-bit +1/-1 votes over
     // token hashes, bit set where the vote is positive.
     "q44_simhash_fingerprints" -> Q(
