@@ -90,4 +90,18 @@ object TextOps {
 
   /** CJK-codepoint presence (the zh signal). */
   def hasCjk(text: Column): Column = text.rlike("[\\u4e00-\\u9fff]")
+
+  /** PII redaction for corpus cleaning: URLs first (they may embed
+    * user@host, which the email pattern would otherwise split), then
+    * emails, then phone-shaped digit runs (>= 9 chars of digits with
+    * separators, so prose numerals survive). Pure codegen'd
+    * regexp_replace chain — a narrow map at any corpus size; patterns
+    * avoid lookarounds so they stay portable across regex engines. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "https?://[^\\s]+", "<URL>"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]", "<PHONE>")
 }

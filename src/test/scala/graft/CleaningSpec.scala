@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.TextOps
+
+/** Corpus-cleaning operators with no natural home in the synthetic
+  * testdata (it carries no PII): redaction semantics over synthetic
+  * rows, plus storage-format round-trips beyond parquet/CSV/JSON. */
+class CleaningSpec extends SparkSpec {
+
+  test("redactPii replaces urls, emails, and phone runs; leaves prose intact") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", "contact me at jane.doe+x@sub.example.co.uk thanks"),
+      ("b", "see https://user:pw@example.com/path?q=1 for details"),
+      ("c", "call +1 (555) 123-4567 or 555-123-4567 today"),
+      ("d", "born in 1984, ordered 12 items for 99 dollars"),
+      ("e", "mixed: http://x.io/a b@c.org +44 20 7946 0958 end"))
+      .toDF("id", "text")
+      .select(col("id"), TextOps.redactPii(col("text")).as("clean"))
+    val got = rows.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("a") == "contact me at <EMAIL> thanks")
+    assert(got("b") == "see <URL> for details")
+    assert(got("c") == "call <PHONE> or <PHONE> today")
+    // prose numerals are NOT phone-shaped: they survive
+    assert(got("d") == "born in 1984, ordered 12 items for 99 dollars")
+    assert(got("e") == "mixed: <URL> <EMAIL> <PHONE> end")
+  }
+
+  test("redaction composes with the quality/token operators downstream") {
+    import spark.implicits._
+    val df = Seq(("x", "visit https://spam.example.com now"))
+      .toDF("id", "text")
+      .select(col("id"), TextOps.redactPii(col("text")).as("text"))
+      .select(col("id"), size(TextOps.tokens(col("text"))).as("n_tok"))
+    assert(df.collect()(0).getInt(1) == 3) // "visit <URL> now"
+  }
+
+  test("ORC round-trip preserves the documents schema and values") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/documents.orc"
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+  }
+}
