@@ -53,6 +53,42 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("winnow: null iff < k+w-1 chars; fingerprints ⊆ k-gram hashes; count bounded") {
+    val k = 8; val w = 4
+    def gramHash(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val b = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) | ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+    }
+    val text: Gen[String] = Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    check(Prop.forAll(text) { s =>
+      val fps = TextHash.winnow(UTF8String.fromString(s), k, w)
+      if (s.length < k + w - 1) fps == null
+      else {
+        val grams = (0 to s.length - k).map(i => gramHash(s.substring(i, i + k))).toSet
+        val got = (0 until fps.numElements()).map(fps.getLong).toSet
+        fps.numElements() >= 1 && fps.numElements() <= s.length - k - w + 2 &&
+          got.subsetOf(grams)
+      }
+    })
+  }
+
+  test("winnow guarantee: a shared window-long substring yields a shared fingerprint") {
+    // the winnowing paper's matching guarantee: any common substring of
+    // length >= k+w-1 leaves at least one common fingerprint
+    val k = 8; val w = 4
+    val piece: Gen[String] = Gen.choose(k + w - 1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    check(Prop.forAll(piece, piece, piece) { (common, pre, post) =>
+      val a = TextHash.winnow(UTF8String.fromString(pre + common), k, w)
+      val b = TextHash.winnow(UTF8String.fromString(common + post), k, w)
+      val sa = (0 until a.numElements()).map(a.getLong).toSet
+      val sb = (0 until b.numElements()).map(b.getLong).toSet
+      sa.intersect(sb).nonEmpty
+    }, n = 100)
+  }
+
   test("tempCategory: total on (-100,100], null outside, right-closed bins") {
     val ref: Double => Option[String] = t =>
       if (t <= -100 || t > 100) None

@@ -193,6 +193,47 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache() // q37 persists its signature table
   }
 
+  test("checkpoint recovery: a restarted stream processes only NEW files") {
+    // the incremental contract a production ingest loop depends on: with
+    // a persistent checkpoint, re-running the same stream after more
+    // files land must process exactly the delta — not re-ingest history
+    // (the upsert sink makes re-ingest harmless, but re-reading 100 TB
+    // of history every run is the scale failure this pins)
+    val in = tmpDir("stream_ckpt_in")
+    val ckpt = tmpDir("stream_ckpt").toString
+    val target = tmpDir("stream_ckpt_out").resolve("t").toString
+    writeBatch(in, "b1.json", Seq(
+      """{"city":"delhi","ts":"2025-12-11T00:00:00Z","value":1.0}""",
+      """{"city":"mumbai","ts":"2025-12-11T00:00:00Z","value":1.0}"""))
+    var batchRows = List.empty[Long]
+    def runOnce(): Unit = {
+      val stream = Streaming.jsonFileStream(spark, schema, in.toString + "/*.json", multiLine = false)
+        .withColumn("ingest_seq", col("value"))
+      val q = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = batch.count()
+          batchRows = batchRows :+ n
+          graft.engine.Sinks.upsertParquet(batch.sparkSession, batch, target,
+            Seq("city"), Some("ingest_seq"))
+        }
+        .start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    assert(batchRows.sum == 2, s"first run ingests both rows: $batchRows")
+    writeBatch(in, "b2.json", Seq(
+      """{"city":"delhi","ts":"2025-12-11T01:00:00Z","value":9.0}"""))
+    runOnce()
+    // second run saw ONLY the new file's single row
+    assert(batchRows.sum == 3, s"restart must process the delta only: $batchRows")
+    val out = spark.read.parquet(target).orderBy("city").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("city") == "delhi" && out(0).getAs[Double]("value") == 9.0)
+  }
+
   test("upsertParquet is idempotent on re-application of the same batch") {
     val target = tmpDir("upsert_idem").resolve("t").toString
     val df = spark.createDataFrame(java.util.List.of(
