@@ -21,6 +21,9 @@ object Exprs {
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     c(WinnowFingerprints(e(text), k, w))
 
+  /** struct(total, rep) bigram repetition stats (null if < 2 tokens). */
+  def repetitionStats(text: Column): Column = c(RepetitionStats(e(text)))
+
   /** Exact DECIMAL(27,12)-folded dot product of two array<double>. */
   def decimalDot(a: Column, b: Column): Column = c(DecimalDotProduct(e(a), e(b)))
 

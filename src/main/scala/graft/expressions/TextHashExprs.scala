@@ -3,10 +3,10 @@ package graft.expressions
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Compiled kernels for the text-dedup hot loop.
@@ -100,6 +100,27 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** Per-doc bigram repetition stats in one pass: total = #bigram
+    * occurrences (n_tok - 1), rep = occurrences of bigrams seen more
+    * than once in the doc. Null when the doc has < 2 tokens. Same
+    * values as exploding bigrams and double-aggregating, without the
+    * corpus-sized (doc, gram) shuffle — per-doc stats never need to
+    * leave the row. */
+  def repetition(text: UTF8String): InternalRow = {
+    val toks = tokens(text.toString)
+    if (toks.length < 2) return null
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i + 1 < toks.length) {
+      counts.merge(toks(i) + " " + toks(i + 1), 1, (a, b) => a + b)
+      i += 1
+    }
+    var rep = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c > 1) rep += c }
+    new GenericInternalRow(Array[Any](toks.length - 1L, rep))
+  }
+
   /** Winnowing fingerprints: hash every k-char gram (first 32 md5 bits,
     * == conv(substring(md5(gram),1,8),16,10)), take the min of each
     * w-wide sliding window of those hashes with a monotonic deque (O(n),
@@ -156,6 +177,22 @@ case class MinHashSignature(child: Expression) extends UnaryExpression {
       s"""${ev.value} = graft.expressions.TextHash.minhash($c);
          |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** struct(total, rep) bigram repetition stats (null if < 2 tokens). */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("total", LongType, nullable = false),
+    StructField("rep", LongType, nullable = false)))
+  override def nullable: Boolean = true // null for docs with < 2 tokens
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.repetition(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.expressions.TextHash.repetition($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
     copy(child = newChild)
 }
 

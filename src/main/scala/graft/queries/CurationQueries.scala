@@ -118,28 +118,20 @@ object CurationQueries {
     // Repetition quality signal (the Gopher-style duplicate-n-gram
     // filter): per doc, the fraction of bigram occurrences whose bigram
     // appears more than once in that doc — high values mean boilerplate
-    // / looping text a pretraining corpus should drop. Shape at scale:
-    // explode to (doc, gram) rows, count per (doc, gram), roll up per
-    // doc then per lang — two hash aggregations keyed by doc_id, no
-    // global structure, no window. The repetitive-doc threshold is
-    // integer arithmetic (rep*2 > total), not a float compare.
+    // / looping text a pretraining corpus should drop. Per-doc stats
+    // never need to leave the row: the compiled RepetitionStats kernel
+    // counts duplicate bigrams in one pass, so the ONLY shuffle is the
+    // tiny per-lang aggregate (vs exploding corpus-sized (doc, gram)
+    // rows through two aggregations). The cheap size(tokens)>=2
+    // pre-filter matches the kernel's null condition, keeping the
+    // kernel out of pushed-down predicates; the repetitive-doc
+    // threshold is integer arithmetic (rep*2 > total), no float edge.
     "q55_repetition_stats" -> Q(
       (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
-          .where(size(col("toks")) >= 2)
-        // bigrams via index transform over the MATERIALIZED token array
-        // (element_at on a column array is a plain lookup per element —
-        // no kernel re-evaluation)
-        val grams = toks.select(col("doc_id"), col("lang"),
-          explode(transform(sequence(lit(1), size(col("toks")) - 1),
-            i => concat_ws(" ", element_at(col("toks"), i),
-              element_at(col("toks"), i + 1)))).as("gram"))
-        val perGram = grams.groupBy(col("doc_id"), col("lang"), col("gram"))
-          .agg(count(lit(1)).as("n"))
-        val perDoc = perGram.groupBy(col("doc_id"), col("lang"))
-          .agg(sum(col("n")).as("total"),
-            sum(when(col("n") > 1, col("n")).otherwise(0L)).as("rep"))
+        val perDoc = Tables.documents(s, d)
+          .where(size(TextOps.tokens(col("text"))) >= 2)
+          .withColumn("rs", graft.expressions.Exprs.repetitionStats(col("text")))
+          .select(col("lang"), col("rs.total").as("total"), col("rs.rep").as("rep"))
         perDoc.groupBy(col("lang")).agg(
           count(lit(1)).as("n_docs"),
           Parity.davg12((col("rep") / col("total")).cast("double")).as("avg_rep_frac"),

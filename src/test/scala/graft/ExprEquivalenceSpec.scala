@@ -90,6 +90,26 @@ class ExprEquivalenceSpec extends SparkSpec {
     assert(rows("astral").get.asInstanceOf[scala.collection.Seq[Long]] == hof)
   }
 
+  test("RepetitionStats == explode-bigrams double aggregation") {
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+    val grams = toks.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1)))).as("gram"))
+    val old = grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("total"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("rep"))
+    val neu = Tables.documents(spark, sf)
+      .withColumn("rs", graft.expressions.Exprs.repetitionStats(col("text")))
+      .where(col("rs").isNotNull)
+      .select(col("doc_id"), col("rs.total").as("total"), col("rs.rep").as("rep"))
+    assert(neu.count() == old.count())
+    assert(neu.exceptAll(old).count() == 0 && old.exceptAll(neu).count() == 0)
+  }
+
   test("DecimalDotProduct == zip_with/aggregate decimal fold") {
     val D12 = DecimalType(27, 12)
     def oldDot(a: Column, b: Column): Column =

@@ -123,6 +123,17 @@ class PlanAuditSpec extends SparkSpec {
       "never an all-pairs stage")
   }
 
+  test("q55 repetition: kernel runs ONCE per row; no corpus-sized gram shuffle") {
+    val p = plan("q55_repetition_stats")
+    // reading two struct fields must not duplicate the kernel
+    // (CollapseProject keeps non-cheap expressions in their own Project)
+    val kernelEvals = "repetitionstats\\(".r.findAllIn(p.toLowerCase).length
+    assert(kernelEvals == 1, s"kernel must evaluate once per row, found $kernelEvals sites")
+    assert(!p.contains("Generate"), "no bigram explode — per-doc stats stay in the row")
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges <= 2, s"only the lang aggregate + output sort may shuffle, got $exchanges")
+  }
+
   test("q39 typed top-k aggregator combines map-side (partial aggregation)") {
     val p = plan("q39_topk_aggregator")
     assert(p.contains("partial_topkagg") ||
