@@ -184,11 +184,23 @@ object RelQueries {
 
     // Analytic window — top-3 orders by totalprice within each priority
     // (rank-in-partition; the scalable form of the reference's idxmax).
+    // With ~5 priorities, a bare priority-partitioned window sorts the
+    // whole fact table through 5 reducers — so prune FIRST with a
+    // partition-local top-3 (a row outside its input-partition's top-3
+    // can never be in the global top-3), then run the 5-way window over
+    // the tiny ≤ 3*partitions*priorities candidate set. Deterministic
+    // orderkey tiebreak makes the two-pass result identical.
     "q26_priority_top3" -> Q(
       (s, d) => {
-        val w = Window.partitionBy(col("o_orderpriority"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-        Tables.orders(s, d)
+        val ord = col("o_totalprice").desc :: col("o_orderkey").asc :: Nil
+        val wLocal = Window.partitionBy(col("o_orderpriority"), col("pid"))
+          .orderBy(ord: _*)
+        val cands = Tables.orders(s, d)
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lrn", row_number().over(wLocal)).where(col("lrn") <= 3)
+          .drop("pid", "lrn")
+        val w = Window.partitionBy(col("o_orderpriority")).orderBy(ord: _*)
+        cands
           .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
           .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
           .orderBy(col("o_orderpriority"), col("rn"))

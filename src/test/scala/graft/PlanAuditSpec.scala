@@ -134,6 +134,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 2, s"only the lang aggregate + output sort may shuffle, got $exchanges")
   }
 
+  test("q26 top-3 per priority: fact-table window is partition-local, not 5 reducers") {
+    val p = plan("q26_priority_top3")
+    // the window that sees fact-table volume must include pid; only the
+    // pruned candidate set may flow through a priority-only window
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty, "expect window operators")
+    assert(specs.exists(_.contains("pid")),
+      s"expect the partition-local pre-prune window:\n${specs.mkString("\n")}")
+  }
+
   test("q39 typed top-k aggregator combines map-side (partial aggregation)") {
     val p = plan("q39_topk_aggregator")
     assert(p.contains("partial_topkagg") ||
