@@ -42,7 +42,17 @@ object ExtQueries {
     // per user. The oracle states the same thing relationally.
     "q16_flatten_arrays" -> Q(
       (s, d) => {
-        val sorted = Tables.events(s, d)
+        // prune to each user's first 3 events BEFORE collecting: the
+        // collected arrays are then ≤ 3 elements by construction, so a
+        // hot user with millions of events cannot blow an aggregation
+        // buffer (user_id is high-cardinality — this window parallelizes
+        // fine; same rows as sorting the full array and taking pos < 3,
+        // since the orderBy matches the struct sort order)
+        val w3 = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc, col("value").asc)
+        val pruned = Tables.events(s, d)
+          .withColumn("rn", row_number().over(w3)).where(col("rn") <= 3).drop("rn")
+        val sorted = pruned
           .groupBy(col("user_id"))
           .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("evs"))
         val arrs = sorted.select(col("user_id"),
