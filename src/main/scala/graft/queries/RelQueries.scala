@@ -210,6 +210,58 @@ object RelQueries {
         |             row_number() OVER (PARTITION BY o_orderpriority
         |                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |      FROM orders) t
-        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin),
+
+    // Statistical aggregates (covariance, correlation, OLS slope,
+    // stddev) in PARTITION-INDEPENDENT form: built-in corr/covar sum
+    // doubles in shuffle order, so their last ulps change with the
+    // cluster layout. Folding the five moment sums (Σx, Σy, Σxy, Σx²,
+    // Σy²) through exact decimals makes every statistic a deterministic
+    // function of the data alone — same bits on 4 partitions or 4,000 —
+    // and the closing double arithmetic mirrors the oracle's expression
+    // tree operation-for-operation (IEEE ops incl. sqrt are correctly
+    // rounded, so identical trees give identical bits). The price is
+    // scaled to k$ BEFORE squaring so every moment sum stays under 2^53
+    // decimal units: above that, DuckDB's decimal->double (int128 cast,
+    // then divide by 10^scale — two roundings) can drift one ulp from
+    // Java's single correctly-rounded BigDecimal conversion. corr is
+    // scale-invariant; covar/slope are defined in k$ units.
+    "q58_group_stats" -> Q(
+      (s, d) => {
+        val base = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("double").as("x"),
+          (col("l_extendedprice") / 1000.0).as("y"))
+        val agg = base.groupBy(col("flag")).agg(
+          count(lit(1)).as("n"),
+          Parity.dsum(col("x")).as("sx"), Parity.dsum(col("y")).as("sy"),
+          Parity.dsum(col("x") * col("y")).as("sxy"),
+          Parity.dsum(col("x") * col("x")).as("sxx"),
+          Parity.dsum(col("y") * col("y")).as("syy"))
+        val vx = (col("sxx") - (col("sx") * col("sx")) / col("n")) / (col("n") - 1)
+        val vy = (col("syy") - (col("sy") * col("sy")) / col("n")) / (col("n") - 1)
+        val cov = (col("sxy") - (col("sx") * col("sy")) / col("n")) / (col("n") - 1)
+        agg.select(col("flag"), col("n"),
+          cov.as("covar_xy"),
+          (cov / (sqrt(vx) * sqrt(vy))).as("corr_xy"),
+          ((col("sxy") - (col("sx") * col("sy")) / col("n")) /
+            (col("sxx") - (col("sx") * col("sx")) / col("n"))).as("slope_yx"),
+          sqrt(vx).as("stddev_x"))
+          .orderBy(col("flag"))
+      },
+      s"""WITH a AS (
+         |  SELECT l_returnflag AS flag, COUNT(*) AS n,
+         |         ${Parity.sqlDsum("CAST(l_quantity AS DOUBLE)")} AS sx,
+         |         ${Parity.sqlDsum("(l_extendedprice / 1000.0)")} AS sy,
+         |         ${Parity.sqlDsum("CAST(l_quantity AS DOUBLE) * (l_extendedprice / 1000.0)")} AS sxy,
+         |         ${Parity.sqlDsum("CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)")} AS sxx,
+         |         ${Parity.sqlDsum("(l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)")} AS syy
+         |  FROM lineitem GROUP BY 1)
+         |SELECT flag, n,
+         |       ((sxy - ((sx * sy) / n)) / (n - 1)) AS covar_xy,
+         |       (((sxy - ((sx * sy) / n)) / (n - 1)) /
+         |        (sqrt((sxx - ((sx * sx) / n)) / (n - 1)) * sqrt((syy - ((sy * sy) / n)) / (n - 1)))) AS corr_xy,
+         |       ((sxy - ((sx * sy) / n)) / (sxx - ((sx * sx) / n))) AS slope_yx,
+         |       sqrt((sxx - ((sx * sx) / n)) / (n - 1)) AS stddev_x
+         |FROM a ORDER BY flag""".stripMargin)
   )
 }
