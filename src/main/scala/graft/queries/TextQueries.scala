@@ -93,6 +93,52 @@ object TextQueries {
       .where(col("est_sim") >= 0.5)
   }
 
+  /** The curation pipeline as a LIBRARY function: the surviving
+    * documents (all original columns + `quality`) after exact dedup
+    * (lowest doc_id per content hash), near-dup removal among the
+    * exact-dedup survivors (MinHash-LSH est_sim >= 0.5, higher doc_id
+    * of each pair dropped), and the quality floor (>= 0.5). q37 is the
+    * per-language accounting over this; downstream stages (split,
+    * packing, decontamination) run on it directly. */
+  def curatedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // exact dedup: canonical doc per text hash
+    val canonical = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    // near-dup losers AMONG EXACT-DEDUP SURVIVORS — the standard
+    // pipeline order (and the cheap one at duplicate-heavy scale:
+    // the band joins see one signature per distinct text, not one
+    // per copy). Also prevents content loss: flagging from the full
+    // set can drop BOTH members of a canonical pair when a
+    // lower-id replica of one flags the other.
+    val losers = lshPairsOf(
+      signatures(s, d).join(canonical, Seq("doc_id"), "left_semi").persist())
+      .select(col("doc_b").as("doc_id")).distinct()
+    // quality floor (same formula as q31; toks materialized once —
+    // see q31's comment)
+    val scored = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")))
+      .where(col("n_tok") > 0)
+      .withColumn("tok_chars",
+        aggregate(transform(col("toks"), t => length(t)), lit(0), (acc, x) => acc + x))
+      .withColumn("stop_ratio",
+        size(filter(col("toks"), t => t.isin(TextOps.lexicons.head._2: _*))) / col("n_tok"))
+      .withColumn("punct_ratio",
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))) / length(col("text")))
+      .withColumn("quality",
+        least(col("n_tok") / lit(100e0), lit(1e0)) * lit(0.4e0)
+          + least((col("tok_chars") / col("n_tok")) / lit(8e0), lit(1e0)) * lit(0.3e0)
+          + (lit(1e0) - col("stop_ratio")) * lit(0.2e0)
+          + (lit(1e0) - col("punct_ratio")) * lit(0.1e0))
+    scored
+      .join(canonical, Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .where(col("quality") >= 0.5)
+      .select(docs.columns.map(col) :+ col("quality"): _*)
+  }
+
   /** DuckDB mirror of [[signatures]] as a `sig` CTE chain. */
   private val sqlSigCtes: String = {
     def h(k: Int) = {
@@ -411,49 +457,16 @@ object TextQueries {
     // pair with estimated similarity >= 0.5) -> quality floor -> per-
     // language accounting. Composes the q40/q42/q31 operators; each
     // stage stays distributed (hash group-bys, band joins, anti-join).
+    // The SURVIVING CORPUS itself is the library surface
+    // ([[curatedDocs]]) — this query is its accounting view.
     "q37_curation_pipeline" -> Q(
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        // exact dedup: canonical doc per text hash
-        val canonical = docs.select(col("doc_id"), md5(col("text")).as("h"))
-          .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-          .select(col("doc_id"))
-        // near-dup losers AMONG EXACT-DEDUP SURVIVORS — the standard
-        // pipeline order (and the cheap one at duplicate-heavy scale:
-        // the band joins see one signature per distinct text, not one
-        // per copy). Also prevents content loss: flagging from the full
-        // set can drop BOTH members of a canonical pair when a
-        // lower-id replica of one flags the other.
-        val losers = lshPairsOf(
-          signatures(s, d).join(canonical, Seq("doc_id"), "left_semi").persist())
-          .select(col("doc_b").as("doc_id")).distinct()
-        // quality floor (same formula as q31; toks materialized once —
-        // see q31's comment)
-        val scored = docs
-          .withColumn("toks", tokens(col("text")))
-          .withColumn("n_tok", size(col("toks")))
-          .where(col("n_tok") > 0)
-          .withColumn("tok_chars",
-            aggregate(transform(col("toks"), t => length(t)), lit(0), (acc, x) => acc + x))
-          .withColumn("stop_ratio",
-            size(filter(col("toks"), t => t.isin(TextOps.lexicons.head._2: _*))) / col("n_tok"))
-          .withColumn("punct_ratio",
-            (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))) / length(col("text")))
-          .withColumn("quality",
-            least(col("n_tok") / lit(100e0), lit(1e0)) * lit(0.4e0)
-              + least((col("tok_chars") / col("n_tok")) / lit(8e0), lit(1e0)) * lit(0.3e0)
-              + (lit(1e0) - col("stop_ratio")) * lit(0.2e0)
-              + (lit(1e0) - col("punct_ratio")) * lit(0.1e0))
-        scored
-          .join(canonical, Seq("doc_id"), "left_semi")
-          .join(losers, Seq("doc_id"), "left_anti")
-          .where(col("quality") >= 0.5)
+      (s, d) =>
+        curatedDocs(s, d)
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_kept"),
             davg12(col("quality")).as("avg_quality"),
             sum(col("n_chars")).as("total_chars"))
-          .orderBy(col("lang"))
-      },
+          .orderBy(col("lang")),
       s"""WITH $sqlSigCtes,
          |canonical AS (
          |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

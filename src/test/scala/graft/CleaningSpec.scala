@@ -36,6 +36,24 @@ class CleaningSpec extends SparkSpec {
     assert(df.collect()(0).getInt(1) == 3) // "visit <URL> now"
   }
 
+  test("curatedDocs (library surface) is exactly the corpus q37 accounts for") {
+    val sf = "/root/testdata/sf0.001"
+    val kept = graft.queries.TextQueries.curatedDocs(spark, sf)
+    // all original document columns survive, plus the quality score
+    val docCols = graft.engine.Tables.documents(spark, sf).columns.toSeq
+    assert(kept.columns.toSeq == docCols :+ "quality")
+    // accounting over the library surface == the oracle-checked q37
+    val viaLib = kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang")).collect().map(r => r.getString(0) -> r.getLong(1))
+    val viaQ37 = SparkEntry.queries("q37_curation_pipeline")(spark, sf)
+      .select(col("lang"), col("n_kept"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(viaLib.toSeq == viaQ37.toSeq)
+    // survivors are unique by content (exact dedup held)
+    assert(kept.groupBy(md5(col("text"))).count().where(col("count") > 1).count() == 0)
+    spark.catalog.clearCache() // the pipeline persists its signature table
+  }
+
   test("ORC round-trip preserves the documents schema and values") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/documents.orc"
