@@ -17,6 +17,15 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("query names are unique across registries (Map ++ would silently shadow)") {
+    import graft.queries._
+    val parts = Seq(CoreQueries.defs, ExtQueries.defs, RelQueries.defs,
+      TextQueries.defs, EmbeddingQueries.defs, MultimodalQueries.defs,
+      CurationQueries.defs)
+    assert(parts.map(_.size).sum == SparkEntry.queries.size,
+      "duplicate query name across def maps — a registry entry was overwritten")
+  }
+
   test("every query has oracle SQL unless explicitly non-SQL-expressible") {
     // Explicit allowlist, currently empty: even the mapPartitions-based
     // multimodal decode oracles via the decimal-folded stub. A new query
