@@ -91,4 +91,129 @@ object Sinks {
     }
     fs.delete(orphan, true)
   }
+
+  /** Partition column of the partition-scoped upsert store. No leading
+    * underscore/dot — Spark's file index hides such paths, which would
+    * make the partition dirs invisible to the reader. */
+  private[graft] val BucketCol = "gbucket"
+  /** Dot-prefixed so aside copies (and the meta file) are invisible to
+    * Spark's partition discovery while a swap is in flight. */
+  private val AsidePrefix = ".aside_"
+  private val MetaFile = ".graft_upsert_meta"
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
+                        meta: org.apache.hadoop.fs.Path, n: Int): Unit = {
+    val out = fs.create(meta, true)
+    try out.write(s"""{"numBuckets":$n}""".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
+                       meta: org.apache.hadoop.fs.Path): Int = {
+    val in = fs.open(meta)
+    val txt = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    """"numBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new java.io.IOException(s"upsert store meta unreadable: $txt"))
+  }
+
+  /** S11 at scale — partition-scoped upsert. [[upsertParquet]] is correct
+    * but rewrites the WHOLE table per merge: at 100 TB a nightly 1 GB
+    * batch pays a 100 TB write. This store is partitioned on a stable
+    * hash bucket of the merge key (`gbucket = pmod(xxhash64(keys), n)`,
+    * fixed at creation and recorded in a meta file), so a merge:
+    *
+    *   1. computes the batch's touched buckets (≤ numBuckets values),
+    *   2. reads ONLY those partitions (partition-pruned scan — untouched
+    *      data is never read),
+    *   3. runs the same last-write-wins window within them,
+    *   4. swaps ONLY the touched `gbucket=N` directories, each with the
+    *      rename-aside protocol of [[upsertParquet]] (aside copy under a
+    *      dot-prefixed name, restore-on-entry) — untouched partition
+    *      files are never rewritten.
+    *
+    * Merge cost is O(batch + touched partitions), not O(table). Size
+    * `numBuckets` so one bucket ≈ a comfortable task read (e.g. 100 TB /
+    * 8192 buckets ≈ 12 GB); more buckets = finer merge granularity.
+    * Reference semantics: ETL_Multi_Lvl_API/load.py:117-163 (upsert
+    * touches only conflicting keys). Read back via [[readUpsertStore]].
+    * Single-writer, like upsertParquet — concurrent merges are not
+    * coordinated. */
+  def upsertParquetPartitioned(spark: SparkSession, batch: DataFrame, path: String,
+                               keys: Seq[String], orderCol: Option[String] = None,
+                               numBuckets: Int = 64): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    require(!batch.columns.contains(BucketCol),
+      s"batch already has a '$BucketCol' column — it is reserved for the store layout")
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpRoot = new org.apache.hadoop.fs.Path(path + "_tmp")
+    // entry recovery: a crash mid-swap leaves a bucket at its aside name
+    // and nothing live — restore it; an aside WITH a live dir is a stale
+    // copy from a crash after the new data landed — drop it
+    if (fs.exists(dst)) fs.listStatus(dst).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(AsidePrefix)) {
+        val live = new org.apache.hadoop.fs.Path(dst, name.stripPrefix(AsidePrefix))
+        if (!fs.exists(live)) {
+          if (!fs.rename(st.getPath, live))
+            throw new java.io.IOException(s"cannot restore ${st.getPath} to $live")
+        } else fs.delete(st.getPath, true)
+      }
+    }
+    fs.delete(tmpRoot, true)
+    val meta = new org.apache.hadoop.fs.Path(dst, MetaFile)
+    // the bucket count is a property of the STORE, not the call: later
+    // merges must hash with the creation-time count or keys would land
+    // in the wrong partitions
+    val n = if (fs.exists(meta)) readMeta(fs, meta) else numBuckets
+    val keyed = batch.withColumn(BucketCol,
+      pmod(xxhash64(keys.map(col): _*), lit(n.toLong)).cast("int"))
+    if (!fs.exists(meta)) {
+      // creation: lay the whole batch out bucketed, then stamp the meta
+      // (meta-last so a crash mid-creation re-runs creation cleanly)
+      keyed.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
+      writeMeta(fs, meta, n)
+      return
+    }
+    // touched buckets: bounded by numBuckets, so the collect is small by
+    // construction (this is the semi-join that scopes the merge)
+    val touched = keyed.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val existing = spark.read.parquet(path)
+      .where(col(BucketCol).isin(touched.toIndexedSeq: _*)) // partition-pruned
+      .withColumn("_is_new", lit(0))
+    val all = existing.unionByName(keyed.withColumn("_is_new", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCol.map(c => col(c).desc).toSeq :+ col("_is_new").desc: _*)
+    val merged = all.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn", "_is_new")
+    merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmpRoot.toString)
+    touched.foreach { b =>
+      val live = new org.apache.hadoop.fs.Path(dst, s"$BucketCol=$b")
+      val aside = new org.apache.hadoop.fs.Path(dst, s"$AsidePrefix$BucketCol=$b")
+      val fresh = new org.apache.hadoop.fs.Path(tmpRoot, s"$BucketCol=$b")
+      // every touched bucket holds at least the batch's own winners
+      if (!fs.exists(fresh))
+        throw new java.io.IOException(s"merge output missing for bucket $b at $fresh")
+      fs.delete(aside, true)
+      val had = fs.exists(live)
+      if (had && !fs.rename(live, aside))
+        throw new java.io.IOException(s"cannot move $live aside to $aside")
+      if (!fs.rename(fresh, live)) {
+        if (had) fs.rename(aside, live)
+        throw new java.io.IOException(s"cannot move $fresh into place at $live")
+      }
+      fs.delete(aside, true)
+    }
+    fs.delete(tmpRoot, true)
+  }
+
+  /** Read the partition-scoped upsert store back with its user schema
+    * (the internal bucket column stripped). */
+  def readUpsertStore(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop(BucketCol)
 }

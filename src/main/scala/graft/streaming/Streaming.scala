@@ -126,13 +126,28 @@ object Streaming {
 
   /** foreachBatch upsert sink: every micro-batch merges into the target
     * parquet with last-write-wins per key — the streaming form of the
-    * reference's idempotent re-load. */
+    * reference's idempotent re-load.
+    *
+    * `numBuckets = Some(n)` backs the sink with the partition-scoped
+    * store ([[Sinks.upsertParquetPartitioned]]): each micro-batch then
+    * rewrites only the key-hash partitions it touches instead of the
+    * whole table — the difference between an O(batch) and an O(table)
+    * write per trigger, which is what makes a continuous merge viable
+    * when the accumulated store is 100 TB and the batch is 1 GB. The
+    * default (None) keeps the single-directory layout for small stores
+    * whose readers expect plain `spark.read.parquet(path)`. */
   def upsertSink(stream: DataFrame, path: String, keys: Seq[String],
-                 orderCol: Option[String] = None): DataStreamWriter[Row] =
+                 orderCol: Option[String] = None,
+                 numBuckets: Option[Int] = None): DataStreamWriter[Row] =
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Sinks.upsertParquet(batch.sparkSession, batch, path, keys, orderCol)
+        numBuckets match {
+          case Some(n) =>
+            Sinks.upsertParquetPartitioned(batch.sparkSession, batch, path, keys, orderCol, n)
+          case None =>
+            Sinks.upsertParquet(batch.sparkSession, batch, path, keys, orderCol)
+        }
       }
 }

@@ -246,6 +246,112 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 2)
   }
 
+  test("partitioned upsert merges identically to the full-rewrite sink") {
+    val schema = StructType(Seq(StructField("city", StringType),
+      StructField("value", DoubleType), StructField("seq", LongType)))
+    def df(rows: (String, Double, Long)*) = spark.createDataFrame(
+      java.util.List.of(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3)): _*), schema)
+    val batches = Seq(
+      df(("delhi", 1.0, 1L), ("mumbai", 2.0, 1L), ("pune", 3.0, 1L)),
+      df(("delhi", 9.0, 2L), ("chennai", 4.0, 1L)),
+      df(("delhi", 5.0, 0L), ("kolkata", 6.0, 3L))) // stale delhi loses
+    val full = tmpDir("upsert_eq_full").resolve("t").toString
+    val part = tmpDir("upsert_eq_part").resolve("t").toString
+    batches.foreach { b =>
+      Sinks.upsertParquet(spark, b, full, Seq("city"), Some("seq"))
+      Sinks.upsertParquetPartitioned(spark, b, part, Seq("city"), Some("seq"), numBuckets = 8)
+    }
+    val a = spark.read.parquet(full)
+    val b = Sinks.readUpsertStore(spark, part).select(a.columns.map(col).toIndexedSeq: _*)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "partitioned store must equal the full-rewrite merge result")
+  }
+
+  test("partitioned upsert does not rewrite untouched partitions") {
+    val schema = StructType(Seq(StructField("city", StringType),
+      StructField("value", DoubleType), StructField("seq", LongType)))
+    // enough distinct keys to populate many buckets
+    val seed = spark.createDataFrame(java.util.List.of(
+      (0 until 64).map(i =>
+        org.apache.spark.sql.Row(s"city_$i", i.toDouble, 1L)): _*), schema)
+    val target = tmpDir("upsert_part_files").resolve("t").toString
+    Sinks.upsertParquetPartitioned(spark, seed, target, Seq("city"), Some("seq"), numBuckets = 16)
+    val root = new org.apache.hadoop.fs.Path(target)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileState(): Map[String, (Long, Long)] =
+      fs.listStatus(root).filter(_.getPath.getName.startsWith("gbucket="))
+        .flatMap(d => fs.listStatus(d.getPath))
+        .map(f => f.getPath.toString -> (f.getLen, f.getModificationTime)).toMap
+    val before = fileState()
+    // one-key batch: exactly one bucket is touched
+    val one = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row("city_3", 99.0, 2L)), schema)
+    val touchedBucket = seed.sparkSession.range(1).select(
+      pmod(xxhash64(lit("city_3")), lit(16L)).cast("int")).head.getInt(0)
+    Sinks.upsertParquetPartitioned(spark, one, target, Seq("city"), Some("seq"))
+    val after = fileState()
+    val touchedPrefix = s"gbucket=$touchedBucket/"
+    val (beforeTouched, beforeUntouched) = before.partition(_._1.contains(touchedPrefix))
+    val (afterTouched, afterUntouched) = after.partition(_._1.contains(touchedPrefix))
+    // untouched partition files: identical paths, lengths, mtimes
+    assert(beforeUntouched == afterUntouched,
+      "untouched partition files must not be rewritten")
+    assert(beforeTouched.keySet != afterTouched.keySet,
+      "the touched partition must have been replaced")
+    // and the merge is correct
+    val out = Sinks.readUpsertStore(spark, target)
+    assert(out.count() == 64)
+    assert(out.where(col("city") === "city_3").head.getAs[Double]("value") == 99.0)
+  }
+
+  test("partitioned upsert recovers a bucket stranded aside by a crashed swap") {
+    val schema = StructType(Seq(StructField("city", StringType),
+      StructField("value", DoubleType), StructField("seq", LongType)))
+    val target = tmpDir("upsert_part_crash").resolve("t").toString
+    val seed = spark.createDataFrame(java.util.List.of(
+      (0 until 32).map(i =>
+        org.apache.spark.sql.Row(s"k$i", i.toDouble, 1L)): _*), schema)
+    Sinks.upsertParquetPartitioned(spark, seed, target, Seq("city"), Some("seq"), numBuckets = 8)
+    val root = new org.apache.hadoop.fs.Path(target)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between the two swap renames on one bucket: live
+    // dir moved aside, replacement never landed
+    val live = fs.listStatus(root).map(_.getPath)
+      .find(_.getName.startsWith("gbucket=")).get
+    val aside = new org.apache.hadoop.fs.Path(root, ".aside_" + live.getName)
+    assert(fs.rename(live, aside))
+    val b2 = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row("k_new", 100.0, 2L)), schema)
+    Sinks.upsertParquetPartitioned(spark, b2, target, Seq("city"), Some("seq"))
+    // the stranded bucket was restored before the merge — nothing lost
+    assert(Sinks.readUpsertStore(spark, target).count() == 33)
+  }
+
+  test("streaming upsert sink over the partitioned store: last write wins per key") {
+    val in = tmpDir("stream_upsert_part_in")
+    val target = tmpDir("stream_upsert_part_out").resolve("table").toString
+    writeBatch(in, "b1.json", Seq(
+      """{"city":"delhi","ts":"2025-12-11T00:00:00Z","value":10.0}""",
+      """{"city":"mumbai","ts":"2025-12-11T00:00:00Z","value":20.0}"""))
+    def runOnce(): Unit = {
+      val stream = Streaming.jsonFileStream(spark, schema, in.toString + "/*.json", multiLine = false)
+        .withColumn("ingest_seq", col("value"))
+      val q = Streaming.upsertSink(stream, target, Seq("city"), Some("ingest_seq"),
+        numBuckets = Some(8)).start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    assert(Sinks.readUpsertStore(spark, target).count() == 2)
+    writeBatch(in, "b2.json", Seq(
+      """{"city":"delhi","ts":"2025-12-11T02:00:00Z","value":99.0}"""))
+    runOnce()
+    val out = Sinks.readUpsertStore(spark, target).orderBy("city").collect()
+    assert(out.length == 2, out.mkString(";"))
+    assert(out(0).getAs[String]("city") == "delhi" && out(0).getAs[Double]("value") == 99.0)
+    assert(out(1).getAs[String]("city") == "mumbai" && out(1).getAs[Double]("value") == 20.0)
+  }
+
   test("upsertParquet recovers a table stranded at _old by a crashed swap") {
     val target = tmpDir("upsert_crash").resolve("t").toString
     val schema = StructType(Seq(StructField("city", StringType),
