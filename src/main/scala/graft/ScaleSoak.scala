@@ -23,7 +23,13 @@ object ScaleSoak {
     "q49_dup_clusters", "q53_packing_plan", "q54_decontamination",
     "q55_repetition_stats", "q57_containment_pairs",
     "q45_ann_bruteforce_topk", "q46_lsh_bucket_pairs", "q47_ivf_topk",
-    "q48_embedding_neardup")
+    "q48_embedding_neardup", "q43_capped_df64")
+
+  /** Non-registry soak subjects: the q43 df-cap path (maxDf=64) — the
+    * bounded-curve evidence for the near-identical-heavy-corpus
+    * mitigation. Oracle queries stay cap-off (exact). */
+  private val extraRunners: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_capped_df64" -> ((s, d) => graft.queries.TextQueries.ngramJaccardPairs(s, d, Some(64))))
 
   /** Tables replicated with a per-replica key offset; dimension tables
     * are shared (the realistic shape: facts grow, dims don't). */
@@ -70,7 +76,7 @@ object ScaleSoak {
     }
     def timeAll(d: String): Map[String, Double] = soakQueries.map { q =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, d).count()
+      val n = extraRunners.getOrElse(q, SparkEntry.queries(q))(spark, d).count()
       val dt = (System.nanoTime() - t0) / 1e9 // clearCache stays untimed, as in Bench
       spark.catalog.clearCache()
       println(f"SOAK $d%-18s $q%-26s $dt%7.2f s   rows=$n")

@@ -139,6 +139,86 @@ object TextQueries {
       .select(docs.columns.map(col) :+ col("quality"): _*)
   }
 
+  /** q43 as a library function: exact n-gram Jaccard near-dup pairs
+    * (jaccard >= 0.8, doc_a < doc_b) via a prefix-filtered
+    * set-similarity join (PPJoin shape), entirely result-identical to
+    * the naive inverted-index join the oracle states:
+    *
+    *  1. per doc, hash shingles (compiled kernel) and sort them — the
+    *     global hash order is the canonical element order;
+    *  2. index ONLY the first n - ceil(0.8n) + 1 hashes (the
+    *     prefix-filter theorem: two sets with jaccard >= t must share a
+    *     member of each other's prefix under any common total order) —
+    *     the candidate index shrinks ~5x;
+    *  3. expand candidate pairs inside per-hash posting lists with the
+    *     size-ratio prune (5*min >= 4*max, integer-exact);
+    *  4. close EXACT intersection counts with array_intersect on the
+    *     full sorted hash arrays carried through the join — no second
+    *     pass over the index.
+    *
+    * `maxDf`: drop prefix postings whose document frequency exceeds the
+    * cap BEFORE pair expansion (the q57 dfTab move). On a near-identical-
+    * heavy corpus the pair volume through ultra-common prefix shingles
+    * is the quadratic term — the cap bounds each posting's work at
+    * C(maxDf, 2) by construction, trading bounded recall (a pair is
+    * missed only if ALL its shared prefix hashes are ultra-common) for
+    * a survivable curve. Default None = exact, oracle-parity. */
+  def ngramJaccardPairs(s: SparkSession, d: String, maxDf: Option[Int] = None): DataFrame = {
+    val base = Tables.documents(s, d)
+      // cheap-precursor filter — see signatures() for why not
+      // hs0.isNotNull (pushdown would run the kernel twice per row)
+      .where(size(tokens(col("text"))) >= 3)
+      .withColumn("hs0", graft.expressions.Exprs.shingleHashes(col("text")))
+      .select(col("doc_id"), array_sort(col("hs0")).as("hs"))
+      .withColumn("n", size(col("hs")))
+      // prefix_len = n - ceil(0.8n) + 1, in integer arithmetic
+      // (ceil(0.8n) via (4n+4) div 5 — no float rounding traps)
+      .withColumn("plen", col("n") - expr("(4*n + 4) div 5") + lit(1))
+      .persist()
+    val idx = base.select(col("doc_id"), col("n"),
+      explode(slice(col("hs"), lit(1), col("plen"))).as("h"))
+    val postingAll = idx.groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .where(size(col("ds")) > 1)
+    val posting = maxDf.fold(postingAll)(c => postingAll.where(size(col("ds")) <= c))
+    // compiled triangle enumeration + size-ratio prune (the HOF
+    // formulation re-slices the list per element, interpreted —
+    // quadratic CPU on hot shingles' posting lists)
+    val small = posting.where(size(col("ds")) <= hotList)
+      .select(explode(graft.expressions.Exprs.prefixPairs(col("ds"))).as("p"))
+    // hot posting lists (boilerplate shingles shared by thousands of
+    // docs): one row's triangle would be one quadratic straggler
+    // task. Chunk the list, expand (i <= j) chunk-index pairs, and
+    // repartition BEFORE the kernel so the quadratic work spreads
+    // across the cluster. Orientation + the final distinct make this
+    // bit-identical to the single-triangle expansion (diagonal chunk
+    // pairs just emit each pair twice pre-distinct).
+    val nChunks = ceil(size(col("ds")) / lit(hotList.toDouble)).cast("int")
+    val hot = posting.where(size(col("ds")) > hotList)
+      .withColumn("cs", transform(sequence(lit(0), nChunks - 1),
+        i => slice(col("ds"), i * hotList + lit(1), lit(hotList))))
+      .withColumn("ij", flatten(transform(sequence(lit(0), size(col("cs")) - 1),
+        i => transform(sequence(i, size(col("cs")) - 1),
+          j => struct(i.as("i"), j.as("j"))))))
+      .select(col("cs"), explode(col("ij")).as("ij"))
+      .select(element_at(col("cs"), col("ij.i") + 1).as("ca"),
+        element_at(col("cs"), col("ij.j") + 1).as("cb"))
+      .repartition(numShufflePartitions(s))
+      .select(explode(graft.expressions.Exprs.crossPairs(col("ca"), col("cb"))).as("p"))
+    val cands = small.unionAll(hot)
+      .select(col("p.doc_a"), col("p.na"), col("p.doc_b"), col("p.nb"))
+      .distinct() // a pair may share several prefix hashes (or chunk orders)
+    val inter = cands
+      .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .withColumn("n_common", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+    inter
+      .withColumn("jaccard", col("n_common") / (col("na") + col("nb") - col("n_common")))
+      .where(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** DuckDB mirror of [[signatures]] as a `sig` CTE chain. */
   private val sqlSigCtes: String = {
     def h(k: Int) = {
@@ -366,76 +446,10 @@ object TextQueries {
     // grams) and each doc's shingle count rides along with the index
     // rows, so the Jaccard formula closes inside the pair aggregation
     // with no extra joins. Skew on ultra-common shingles is the known
-    // scale risk (mitigate with a doc-frequency cap upstream).
+    // scale risk — bounded by the maxDf cap of [[ngramJaccardPairs]]
+    // (the oracle runs cap-off for exactness).
     "q43_ngram_jaccard_pairs" -> Q(
-      (s, d) => {
-        // Prefix-filtered set-similarity join (PPJoin shape), entirely
-        // result-identical to the naive inverted-index join the oracle
-        // states:
-        //  1. per doc, hash shingles (compiled kernel) and sort them —
-        //     the global hash order is the canonical element order;
-        //  2. index ONLY the first n - ceil(0.8n) + 1 hashes (the
-        //     prefix-filter theorem: two sets with jaccard >= t must
-        //     share a member of each other's prefix under any common
-        //     total order) — the candidate index shrinks ~5x;
-        //  3. expand candidate pairs inside per-hash posting lists with
-        //     the size-ratio prune (5*min >= 4*max, integer-exact);
-        //  4. close EXACT intersection counts with array_intersect on
-        //     the full sorted hash arrays carried through the join —
-        //     no second pass over the index.
-        val base = Tables.documents(s, d)
-          // cheap-precursor filter — see signatures() for why not
-          // hs0.isNotNull (pushdown would run the kernel twice per row)
-          .where(size(tokens(col("text"))) >= 3)
-          .withColumn("hs0", graft.expressions.Exprs.shingleHashes(col("text")))
-          .select(col("doc_id"), array_sort(col("hs0")).as("hs"))
-          .withColumn("n", size(col("hs")))
-          // prefix_len = n - ceil(0.8n) + 1, in integer arithmetic
-          // (ceil(0.8n) via (4n+4) div 5 — no float rounding traps)
-          .withColumn("plen", col("n") - expr("(4*n + 4) div 5") + lit(1))
-          .persist()
-        val idx = base.select(col("doc_id"), col("n"),
-          explode(slice(col("hs"), lit(1), col("plen"))).as("h"))
-        val posting = idx.groupBy(col("h"))
-          .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-          .where(size(col("ds")) > 1)
-        // compiled triangle enumeration + size-ratio prune (the HOF
-        // formulation re-slices the list per element, interpreted —
-        // quadratic CPU on hot shingles' posting lists)
-        val small = posting.where(size(col("ds")) <= hotList)
-          .select(explode(graft.expressions.Exprs.prefixPairs(col("ds"))).as("p"))
-        // hot posting lists (boilerplate shingles shared by thousands of
-        // docs): one row's triangle would be one quadratic straggler
-        // task. Chunk the list, expand (i <= j) chunk-index pairs, and
-        // repartition BEFORE the kernel so the quadratic work spreads
-        // across the cluster. Orientation + the final distinct make this
-        // bit-identical to the single-triangle expansion (diagonal chunk
-        // pairs just emit each pair twice pre-distinct).
-        val nChunks = ceil(size(col("ds")) / lit(hotList.toDouble)).cast("int")
-        val hot = posting.where(size(col("ds")) > hotList)
-          .withColumn("cs", transform(sequence(lit(0), nChunks - 1),
-            i => slice(col("ds"), i * hotList + lit(1), lit(hotList))))
-          .withColumn("ij", flatten(transform(sequence(lit(0), size(col("cs")) - 1),
-            i => transform(sequence(i, size(col("cs")) - 1),
-              j => struct(i.as("i"), j.as("j"))))))
-          .select(col("cs"), explode(col("ij")).as("ij"))
-          .select(element_at(col("cs"), col("ij.i") + 1).as("ca"),
-            element_at(col("cs"), col("ij.j") + 1).as("cb"))
-          .repartition(numShufflePartitions(s))
-          .select(explode(graft.expressions.Exprs.crossPairs(col("ca"), col("cb"))).as("p"))
-        val cands = small.unionAll(hot)
-          .select(col("p.doc_a"), col("p.na"), col("p.doc_b"), col("p.nb"))
-          .distinct() // a pair may share several prefix hashes (or chunk orders)
-        val inter = cands
-          .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
-          .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
-          .withColumn("n_common", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
-        inter
-          .withColumn("jaccard", col("n_common") / (col("na") + col("nb") - col("n_common")))
-          .where(col("jaccard") >= 0.8)
-          .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => ngramJaccardPairs(s, d),
       s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
          |s2 AS (SELECT doc_id, ${TextOps.sqlShingleList("tk")} AS sh FROM t),
          |hs AS (SELECT doc_id, len(sh) AS n,

@@ -54,6 +54,24 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache() // the pipeline persists its signature table
   }
 
+  test("q43 maxDf cap: cap-off is the registry query; cap-on loses no rare-shingle pair") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = graft.queries.TextQueries.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+    val capped = graft.queries.TextQueries.ngramJaccardPairs(spark, sf, Some(64))
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+    // cap-on can only DROP candidates (postings with df > cap) — every
+    // pair it reports is an exact pair with the exact Jaccard value
+    assert(capped.exceptAll(exact).count() == 0,
+      "capped output must be a subset of the exact output")
+    // on this corpus every qualifying pair shares at least one rare
+    // (df <= 64) prefix shingle, so the cap is lossless here — the
+    // recall trade only bites on boilerplate-dominated corpora
+    assert(exact.exceptAll(capped).count() == 0,
+      "cap=64 should be lossless on the synthetic corpus")
+    spark.catalog.clearCache() // ngramJaccardPairs persists its base table
+  }
+
   test("ORC round-trip preserves the documents schema and values") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/documents.orc"
