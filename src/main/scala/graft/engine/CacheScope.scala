@@ -1,0 +1,52 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+
+/** Deterministic release for caches a library function creates.
+  *
+  * Several library-surface functions ([[graft.queries.TextQueries.curatedDocs]],
+  * [[graft.queries.TextQueries.ngramJaccardPairs]]) `.persist()` an
+  * intermediate that multiple plan branches consume (exchange-reuse
+  * cannot unify lambda-bearing subtrees, so without the cache the
+  * expensive derivation runs once per branch). The DataFrame they
+  * return is lazy, so the function itself can never unpersist — a
+  * long-lived session calling them repeatedly would accumulate cached
+  * blocks and slowly squeeze executor storage memory.
+  *
+  * A CacheScope makes the caller the owner of those blocks:
+  *
+  * {{{
+  * val scope = new CacheScope
+  * try {
+  *   val kept = TextQueries.curatedDocs(spark, dir, scope)
+  *   kept.write.parquet(out)        // actions run with the caches live
+  * } finally scope.close()          // every tracked block released
+  * }}}
+  *
+  * The default argument [[CacheScope.untracked]] preserves the
+  * convenience behavior (persist and leave it to the caller's
+  * `spark.catalog.clearCache()` — what Bench/Verify do between
+  * queries). */
+final class CacheScope private[engine] (track: Boolean) extends AutoCloseable {
+  def this() = this(true)
+
+  private val tracked = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  /** Persist `df` and, in a tracking scope, remember it for release. */
+  def persist(df: DataFrame): DataFrame = {
+    if (track) synchronized { tracked += df }
+    df.persist()
+  }
+
+  /** Unpersist every tracked DataFrame (non-blocking) and forget them.
+    * Idempotent; the scope can be reused afterwards. */
+  override def close(): Unit = synchronized {
+    tracked.foreach(_.unpersist(blocking = false))
+    tracked.clear()
+  }
+}
+
+object CacheScope {
+  /** Persists without tracking — the caller owns cleanup (clearCache). */
+  val untracked: CacheScope = new CacheScope(false)
+}

@@ -93,14 +93,43 @@ object TextQueries {
       .where(col("est_sim") >= 0.5)
   }
 
+  /** THE quality formula — shared verbatim by q31 (scoring per source)
+    * and the curation floor of [[curatedDocs]]: appends toks / n_tok
+    * (zero-token rows dropped) / tok_chars / stop_ratio / punct_ratio /
+    * quality to a documents frame. toks is materialized ONCE as a
+    * column — three downstream columns reference it, and each reference
+    * to the raw split expression would re-run the regex tokenizer
+    * (TextOps class doc). */
+  private def withQuality(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", tokens(col("text")))
+    .withColumn("n_tok", size(col("toks")))
+    .where(col("n_tok") > 0)
+    .withColumn("tok_chars",
+      aggregate(transform(col("toks"), t => length(t)), lit(0), (acc, x) => acc + x))
+    .withColumn("stop_ratio",
+      size(filter(col("toks"), t => t.isin(TextOps.lexicons.head._2: _*))) / col("n_tok"))
+    .withColumn("punct_ratio",
+      (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))) / length(col("text")))
+    .withColumn("quality",
+      least(col("n_tok") / lit(100e0), lit(1e0)) * lit(0.4e0)
+        + least((col("tok_chars") / col("n_tok")) / lit(8e0), lit(1e0)) * lit(0.3e0)
+        + (lit(1e0) - col("stop_ratio")) * lit(0.2e0)
+        + (lit(1e0) - col("punct_ratio")) * lit(0.1e0))
+
   /** The curation pipeline as a LIBRARY function: the surviving
     * documents (all original columns + `quality`) after exact dedup
     * (lowest doc_id per content hash), near-dup removal among the
     * exact-dedup survivors (MinHash-LSH est_sim >= 0.5, higher doc_id
     * of each pair dropped), and the quality floor (>= 0.5). q37 is the
     * per-language accounting over this; downstream stages (split,
-    * packing, decontamination) run on it directly. */
-  def curatedDocs(s: SparkSession, d: String): DataFrame = {
+    * packing, decontamination) run on it directly.
+    *
+    * Caching: the signature table is persisted (all band-join branches
+    * scan it). Pass a [[graft.engine.CacheScope]] and `close()` it
+    * after your consuming action to release the blocks; the default
+    * leaves them for `spark.catalog.clearCache()` (Bench/Verify). */
+  def curatedDocs(s: SparkSession, d: String,
+                  scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked): DataFrame = {
     val docs = Tables.documents(s, d)
     // exact dedup: canonical doc per text hash
     val canonical = docs.select(col("doc_id"), md5(col("text")).as("h"))
@@ -112,26 +141,10 @@ object TextQueries {
     // per copy). Also prevents content loss: flagging from the full
     // set can drop BOTH members of a canonical pair when a
     // lower-id replica of one flags the other.
-    val losers = lshPairsOf(
-      signatures(s, d).join(canonical, Seq("doc_id"), "left_semi").persist())
+    val losers = lshPairsOf(scope.persist(
+      signatures(s, d).join(canonical, Seq("doc_id"), "left_semi")))
       .select(col("doc_b").as("doc_id")).distinct()
-    // quality floor (same formula as q31; toks materialized once —
-    // see q31's comment)
-    val scored = docs
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("n_tok", size(col("toks")))
-      .where(col("n_tok") > 0)
-      .withColumn("tok_chars",
-        aggregate(transform(col("toks"), t => length(t)), lit(0), (acc, x) => acc + x))
-      .withColumn("stop_ratio",
-        size(filter(col("toks"), t => t.isin(TextOps.lexicons.head._2: _*))) / col("n_tok"))
-      .withColumn("punct_ratio",
-        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))) / length(col("text")))
-      .withColumn("quality",
-        least(col("n_tok") / lit(100e0), lit(1e0)) * lit(0.4e0)
-          + least((col("tok_chars") / col("n_tok")) / lit(8e0), lit(1e0)) * lit(0.3e0)
-          + (lit(1e0) - col("stop_ratio")) * lit(0.2e0)
-          + (lit(1e0) - col("punct_ratio")) * lit(0.1e0))
+    val scored = withQuality(docs)
     scored
       .join(canonical, Seq("doc_id"), "left_semi")
       .join(losers, Seq("doc_id"), "left_anti")
@@ -162,9 +175,14 @@ object TextQueries {
     * is the quadratic term — the cap bounds each posting's work at
     * C(maxDf, 2) by construction, trading bounded recall (a pair is
     * missed only if ALL its shared prefix hashes are ultra-common) for
-    * a survivable curve. Default None = exact, oracle-parity. */
-  def ngramJaccardPairs(s: SparkSession, d: String, maxDf: Option[Int] = None): DataFrame = {
-    val base = Tables.documents(s, d)
+    * a survivable curve. Default None = exact, oracle-parity.
+    *
+    * Caching: the shingle-hash base is persisted (index + both closing
+    * join sides scan it) — pass a [[graft.engine.CacheScope]] to own
+    * the release, as with [[curatedDocs]]. */
+  def ngramJaccardPairs(s: SparkSession, d: String, maxDf: Option[Int] = None,
+                        scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked): DataFrame = {
+    val base = scope.persist(Tables.documents(s, d)
       // cheap-precursor filter — see signatures() for why not
       // hs0.isNotNull (pushdown would run the kernel twice per row)
       .where(size(tokens(col("text"))) >= 3)
@@ -173,8 +191,7 @@ object TextQueries {
       .withColumn("n", size(col("hs")))
       // prefix_len = n - ceil(0.8n) + 1, in integer arithmetic
       // (ceil(0.8n) via (4n+4) div 5 — no float rounding traps)
-      .withColumn("plen", col("n") - expr("(4*n + 4) div 5") + lit(1))
-      .persist()
+      .withColumn("plen", col("n") - expr("(4*n + 4) div 5") + lit(1)))
     val idx = base.select(col("doc_id"), col("n"),
       explode(slice(col("hs"), lit(1), col("plen"))).as("h"))
     val postingAll = idx.groupBy(col("h"))
@@ -267,26 +284,9 @@ object TextQueries {
     // with arithmetic only (no transcendentals — cross-engine exact).
     "q31_text_quality" -> Q(
       (s, d) => {
-        val stop = TextOps.lexicons.head._2 // english stopword list
-        // toks materialized ONCE as a column — three downstream columns
-        // reference it, and each reference to the raw split expression
-        // would re-run the regex tokenizer (TextOps class doc)
-        val perDoc = Tables.documents(s, d)
-          .withColumn("toks", tokens(col("text")))
-          .withColumn("n_tok", size(col("toks")))
-          .where(col("n_tok") > 0)
-          .withColumn("tok_chars",
-            aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x))
-          .withColumn("avg_tok_len", col("tok_chars") / col("n_tok"))
-          .withColumn("stop_ratio",
-            size(filter(col("toks"), t => t.isin(stop: _*))) / col("n_tok"))
-          .withColumn("punct_ratio",
-            (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))) / length(col("text")))
-          .withColumn("quality",
-            least(col("n_tok") / lit(100e0), lit(1e0)) * lit(0.4e0)
-              + least(col("avg_tok_len") / lit(8e0), lit(1e0)) * lit(0.3e0)
-              + (lit(1e0) - col("stop_ratio")) * lit(0.2e0)
-              + (lit(1e0) - col("punct_ratio")) * lit(0.1e0))
+        // per-doc scoring is [[withQuality]] — ONE definition of the
+        // formula, shared with the curation floor of curatedDocs
+        val perDoc = withQuality(Tables.documents(s, d))
         perDoc.groupBy(col("source")).agg(
           count(lit(1)).as("n_docs"),
           davg12(col("quality")).as("avg_quality"),

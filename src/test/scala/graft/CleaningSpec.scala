@@ -54,6 +54,27 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache() // the pipeline persists its signature table
   }
 
+  test("CacheScope releases every block the curation pipeline persists") {
+    val sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache() // isolate from other suites' leftovers
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val scope = new graft.engine.CacheScope
+    try {
+      val kept = graft.queries.TextQueries.curatedDocs(spark, sf, scope)
+      assert(kept.count() > 0) // consuming action: caches materialize here
+      val pairs = graft.queries.TextQueries.ngramJaccardPairs(spark, sf, None, scope)
+      pairs.count()
+      // the caches are live while the scope is open
+      assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+        "pipeline should have materialized tracked caches")
+    } finally scope.close()
+    // ... and fully released after close — a long-lived session calling
+    // the library repeatedly must not accumulate storage blocks
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after.diff(before).isEmpty,
+      s"cached RDDs leaked past scope.close(): ${after.diff(before)}")
+  }
+
   test("q43 maxDf cap: cap-off is the registry query; cap-on loses no rare-shingle pair") {
     val sf = "/root/testdata/sf0.001"
     val exact = graft.queries.TextQueries.ngramJaccardPairs(spark, sf)
