@@ -25,39 +25,61 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  import scala.util.chaining.scalaUtilChainingOps
+
+  /** Lineage-truncation strategy for the iteration state: lazy
+    * localCheckpoint (executor block stores — fast, not fault-tolerant)
+    * by default, or lazy RELIABLE checkpoint when a directory is given.
+    * Lazy in both cases: each round's convergence count is the action
+    * that materializes the round's checkpoint as a side effect. */
+  private def checkpointer(probe: DataFrame, dir: Option[String]): DataFrame => DataFrame =
+    dir match {
+      case Some(d) =>
+        probe.sparkSession.sparkContext.setCheckpointDir(d)
+        df => df.checkpoint(eager = false)
+      case None => df => df.localCheckpoint(eager = false)
+    }
+
   /** Components of the undirected graph given by `edges`; returns one
     * row per distinct endpoint: (node, component) with component = min
     * node id reachable. Deterministic for any input order.
     * `starContraction = true` switches to the alternating small-star /
     * large-star algorithm — O(log^2 n) rounds regardless of diameter,
-    * for chain-shaped graphs that would exhaust min-label's round cap. */
+    * for chain-shaped graphs that would exhaust min-label's round cap.
+    *
+    * `checkpointDir = Some(dir)` truncates lineage through RELIABLE
+    * checkpoints (HDFS/object-store files) instead of localCheckpoint:
+    * localCheckpoint keeps iteration state in executor block stores, so
+    * on a real cluster one lost executor kills the job mid-propagation;
+    * with a reliable dir the state survives executor loss at the cost
+    * of a write per round. Set it for any run long enough that executor
+    * churn is expected. */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 50,
-                          starContraction: Boolean = false): DataFrame = {
-    if (starContraction) return connectedComponentsStar(edges, src, dst, maxIter)
+                          starContraction: Boolean = false,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    if (starContraction)
+      return connectedComponentsStar(edges, src, dst, maxIter, checkpointDir)
+    val ckpt = checkpointer(edges, checkpointDir)
     val e = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
     // symmetric closure once, so each round is a single directed join.
-    // Iteration state goes through localCheckpoint, NOT persist: the
+    // Iteration state goes through checkpoints, NOT persist: the
     // round's plan references the previous labels twice (propagation +
     // convergence check), so without lineage truncation the logical plan
     // doubles per round and analysis itself blows up after ~15 rounds.
-    // (On a real cluster prefer reliable checkpoint() for fault
-    // tolerance; localCheckpoint keeps the toy-scale path driverless.)
     // lazy checkpoints: the convergence count is the round's ONLY job —
     // it materializes the checkpoint as a side effect
-    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(false)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint(false)
+    val sym = ckpt(e.unionAll(e.select(col("b").as("a"), col("a").as("b"))))
+    var labels = ckpt(sym.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node")))
     var it = 0
     var changed = 1L
     while (changed > 0 && it < maxIter) {
       // neighbor labels + own label -> min per node
-      val next = sym.join(labels, sym("a") === labels("node"))
+      val next = ckpt(sym.join(labels, sym("a") === labels("node"))
         .select(col("b").as("node"), col("lbl"))
         .unionAll(labels)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(false)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl")))
       changed = next.join(labels.select(col("node"), col("lbl").as("prev")), Seq("node"))
         .where(col("lbl") =!= col("prev")).count()
       labels = next // the superseded RDD blocks are GC'd by ContextCleaner
@@ -83,16 +105,17 @@ object Graph {
     * root fan-in streams through the aggregate, it is never materialized
     * as one array). */
   def connectedComponentsStar(edges: DataFrame, src: String, dst: String,
-                              maxIter: Int = 30): DataFrame = {
+                              maxIter: Int = 30,
+                              checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = checkpointer(edges, checkpointDir)
     val e0 = edges.select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
       .where(col("u") =!= col("v"))
-    val nodes = e0.select(col("u").as("node"))
-      .unionAll(e0.select(col("v").as("node"))).distinct()
-      .localCheckpoint(false)
+    val nodes = ckpt(e0.select(col("u").as("node"))
+      .unionAll(e0.select(col("v").as("node"))).distinct())
     // state: distinct edges oriented (larger u, smaller v); same
-    // localCheckpoint lineage truncation as the min-label loop
-    var cur = e0.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint(false)
+    // lineage truncation as the min-label loop
+    var cur = ckpt(e0.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct())
     var curCount = cur.count()
     var it = 0
     var done = curCount == 0
@@ -114,7 +137,7 @@ object Graph {
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(smins.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(false)
+        .pipe(ckpt)
       val nextCount = small.count()
       // fixpoint = identical edge SET (count match + empty anti-join;
       // counts alone can tie without equality)

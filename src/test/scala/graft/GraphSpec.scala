@@ -73,6 +73,27 @@ class GraphSpec extends SparkSpec {
     assert(got == (1L to 201L).map(_ -> 1L).toMap)
   }
 
+  test("reliable checkpoint dir: same labels as the localCheckpoint path, files written") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(200)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+      .filter { case (a, b) => a != b }
+    val viaReliable = Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst",
+      checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaReliable == unionFind(edges))
+    // the iteration state really went through the reliable dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "reliable checkpoint must write files to the given dir")
+    // star-contraction variant honors the same option
+    val starReliable = Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst",
+      starContraction = true, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starReliable == viaReliable)
+  }
+
   test("star contraction matches union-find on a random graph with chains and clumps") {
     val rnd = new scala.util.Random(7)
     val clumpy = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
