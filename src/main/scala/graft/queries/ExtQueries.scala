@@ -250,6 +250,45 @@ object ExtQueries {
         |       quantile_cont(value, 0.99) AS p99, COUNT(value) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // The approximate companion to q38 — the at-scale percentile path.
+    // Exact percentile sorts every group; approx_percentile folds a
+    // bounded-error quantile sketch (Greenwald-Khanna here, t-digest in
+    // DuckDB) in one pass, mergeable across partitions. As with q17,
+    // the approx VALUE is engine/merge-order specific, so the oracle
+    // contract is the exact percentile plus a rank-error-bound check
+    // each engine's own sketch must meet: accuracy=100 bounds Spark's
+    // rank error at 1%, so the approx value must land between the exact
+    // percentiles at p ∓ 2% (p99's upper window caps at the max).
+    "q59_approx_percentiles" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, array(0.48, 0.5, 0.52, 0.88, 0.9, 0.92, 0.97, 0.99, 1.0))").as("ex"),
+          expr("approx_percentile(value, 0.5, 100)").as("a50"),
+          expr("approx_percentile(value, 0.9, 100)").as("a90"),
+          expr("approx_percentile(value, 0.99, 100)").as("a99"),
+          count(col("value")).as("n"))
+        .select(col("event_type"),
+          element_at(col("ex"), 2).as("p50"),
+          element_at(col("ex"), 5).as("p90"),
+          element_at(col("ex"), 8).as("p99"),
+          col("n"),
+          col("a50").between(element_at(col("ex"), 1), element_at(col("ex"), 3)).as("p50_ok"),
+          col("a90").between(element_at(col("ex"), 4), element_at(col("ex"), 6)).as("p90_ok"),
+          col("a99").between(element_at(col("ex"), 7), element_at(col("ex"), 9)).as("p99_ok"))
+        .orderBy(col("event_type")),
+      """SELECT event_type,
+        |       quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.9) AS p90,
+        |       quantile_cont(value, 0.99) AS p99,
+        |       COUNT(value) AS n,
+        |       approx_quantile(value, 0.5) BETWEEN quantile_cont(value, 0.48)
+        |         AND quantile_cont(value, 0.52) AS p50_ok,
+        |       approx_quantile(value, 0.9) BETWEEN quantile_cont(value, 0.88)
+        |         AND quantile_cont(value, 0.92) AS p90_ok,
+        |       approx_quantile(value, 0.99) BETWEEN quantile_cont(value, 0.97)
+        |         AND quantile_cont(value, 1.0) AS p99_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Semi-structured payload extraction: pull the numeric `k` property
     // out of the JSON props column and aggregate it — the reference's
     // raw-JSON parsing surface re-expressed as a queryable column
