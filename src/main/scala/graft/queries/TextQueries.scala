@@ -64,6 +64,25 @@ object TextQueries {
   private def lshPairs(s: SparkSession, d: String): DataFrame =
     lshPairsOf(signatures(s, d).persist())
 
+  private val bands = Seq((0, 1), (2, 3), (4, 5), (6, 7))
+
+  /** A signature table exploded to one row per (band, k1, k2) bucket
+    * key, with the full signature and the doc id (renamed) carried
+    * along — the shared building block of the symmetric pair join and
+    * the asymmetric store probe. */
+  private def bandedKeys(sig: DataFrame, idAs: String, hPrefix: String): DataFrame =
+    sig.select(col("doc_id") +:
+      (0 until nHashes).map(k => col(s"h$k")) :+
+      explode(array(bands.zipWithIndex.map { case ((i, j), bandNo) =>
+        struct(lit(bandNo).as("band"), col(s"h$i").as("k1"), col(s"h$j").as("k2"))
+      }: _*)).as("bk"): _*)
+      .select(col("bk.band").as("band") +: col("bk.k1").as("k1") +: col("bk.k2").as("k2") +:
+        col("doc_id").as(idAs) +: (0 until nHashes).map(k => col(s"h$k").as(s"$hPrefix$k")): _*)
+
+  private def estSim(a: String, b: String): org.apache.spark.sql.Column =
+    ((0 until nHashes).map(k => when(col(s"$a$k") === col(s"$b$k"), 1).otherwise(0))
+      .reduce(_ + _) / lit(8e0))
+
   /** Band joins + similarity estimate over an arbitrary signature table
     * (persist it first — both join sides scan it). ONE self-join over
     * exploded (band, h_i, h_j) keys rather than four separate band
@@ -71,27 +90,25 @@ object TextQueries {
     * a quarter of the join stages, and one exchange per side instead of
     * four — at cluster scale that is 6 fewer shuffles of the signature
     * table per run. */
-  private def lshPairsOf(sig: DataFrame): DataFrame = {
-    val bands = Seq((0, 1), (2, 3), (4, 5), (6, 7))
-    val banded = sig.select(col("doc_id") +:
-      (0 until nHashes).map(k => col(s"h$k")) :+
-      explode(array(bands.zipWithIndex.map { case ((i, j), bandNo) =>
-        struct(lit(bandNo).as("band"), col(s"h$i").as("k1"), col(s"h$j").as("k2"))
-      }: _*)).as("bk"): _*)
-      .select(col("doc_id") +: (0 until nHashes).map(k => col(s"h$k")) :+
-        col("bk.band").as("band") :+ col("bk.k1").as("k1") :+ col("bk.k2").as("k2"): _*)
-    val a = banded.select(col("band") +: col("k1") +: col("k2") +:
-      col("doc_id").as("doc_a") +: (0 until nHashes).map(k => col(s"h$k").as(s"a$k")): _*)
-    val b = banded.select(col("band") +: col("k1") +: col("k2") +:
-      col("doc_id").as("doc_b") +: (0 until nHashes).map(k => col(s"h$k").as(s"b$k")): _*)
-    val cands = a.join(b, Seq("band", "k1", "k2"))
+  private[graft] def lshPairsOf(sig: DataFrame): DataFrame =
+    bandedKeys(sig, "doc_a", "a").join(bandedKeys(sig, "doc_b", "b"), Seq("band", "k1", "k2"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (0 until nHashes).map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0)).reduce(_ + _).as("matches"))
+      .select(col("doc_a"), col("doc_b"), estSim("a", "b").as("est_sim"))
       .distinct()
-    cands.withColumn("est_sim", col("matches") / lit(8e0))
       .where(col("est_sim") >= 0.5)
-  }
+
+  /** Asymmetric banded probe — the ingest-time form of the q42 join:
+    * (probe doc, stored doc) pairs that collide in at least one band
+    * and estimate similar, self-pairs (same doc_id, the crash-replay
+    * case) excluded. Both inputs are (doc_id, h0..h7) signature
+    * tables; the store side is typically orders of magnitude larger,
+    * and only its band-colliding slice is ever joined. */
+  private[graft] def lshProbe(probe: DataFrame, store: DataFrame): DataFrame =
+    bandedKeys(probe, "doc_a", "a").join(bandedKeys(store, "doc_b", "b"), Seq("band", "k1", "k2"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), estSim("a", "b").as("est_sim"))
+      .distinct()
+      .where(col("est_sim") >= 0.5)
 
   /** THE quality formula — shared verbatim by q31 (scoring per source)
     * and the curation floor of [[curatedDocs]]: appends toks / n_tok

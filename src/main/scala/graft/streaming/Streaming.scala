@@ -124,6 +124,81 @@ object Streaming {
       }
   }
 
+  /** Streaming near-dup suppression — the streaming form of the q42
+    * LSH join: every micro-batch of documents (columns must include
+    * `doc_id` and `text`) is admitted to a parquet store only if it is
+    * not a near-duplicate (MinHash est_sim >= 0.5) of anything already
+    * accepted. Per batch:
+    *
+    *   1. exact-content dedup within the batch (lowest doc_id per text
+    *      hash — also covers sub-3-token docs, whose signature is null);
+    *   2. within-batch near-dup removal via the banded self-join
+    *      (higher doc_id loses, as in q42/curatedDocs);
+    *   3. banded PROBE of the accumulated signature store
+    *      ([[graft.queries.TextQueries.lshProbe]]): survivors colliding
+    *      in >= 1 band with a stored doc and estimating >= 0.5 are
+    *      suppressed — this catches PERTURBED late arrivals whose
+    *      signature differs from the original, which signature-equality
+    *      dedup cannot;
+    *   4. survivors upsert into the partition-scoped store keyed on
+    *      doc_id — so a crash-replayed batch re-admits its own docs
+    *      idempotently (self-pairs are excluded from the probe) instead
+    *      of double-inserting or self-suppressing.
+    *
+    * Scale shape: signatures are a narrow map; the probe joins only the
+    * band-colliding slice of the store; the store write touches only
+    * the key-hash partitions of the admitted docs. State is the store
+    * itself — no unbounded in-memory dedup state. */
+  def nearDupSuppressSink(stream: DataFrame, storePath: String,
+                          numBuckets: Int = 64): DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val sigCols = (0 until 8).map(k => col(s"h$k"))
+        val sigged = batch
+          .withColumn("sig", graft.expressions.Exprs.minhashSig(col("text")))
+          .select(col("*") +: col("sig") +: (0 until 8).map(k =>
+            element_at(col("sig"), k + 1).as(s"h$k")): _*)
+          .drop("sig")
+          .withColumn("th", md5(col("text")))
+        // 1. exact dedup inside the batch, deterministic winner
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("th")).orderBy(col("doc_id"))
+        val exactKept = sigged.withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1).drop("_rn").persist()
+        try {
+          // 2. within-batch near-dups (null-sig docs have no bands to join)
+          val batchSig = exactKept.where(col("h0").isNotNull)
+            .select(col("doc_id") +: sigCols: _*)
+          val batchLosers = graft.queries.TextQueries.lshPairsOf(batchSig)
+            .select(col("doc_b").as("doc_id")).distinct()
+          val afterBatch = exactKept.join(batchLosers, Seq("doc_id"), "left_anti")
+          // 3. probe the accumulated store (if it exists yet)
+          val dst = new org.apache.hadoop.fs.Path(storePath)
+          val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val survivors = if (fs.exists(dst)) {
+            val store = Sinks.readUpsertStore(s, storePath)
+            val nearHits = graft.queries.TextQueries.lshProbe(
+              afterBatch.where(col("h0").isNotNull).select(col("doc_id") +: sigCols: _*),
+              store.where(col("h0").isNotNull).select(col("doc_id") +: sigCols: _*))
+              .select(col("doc_a").as("doc_id")).distinct()
+            // exact-text late copies under a DIFFERENT doc_id (same id =
+            // replay, handled by the upsert)
+            val exactHits = afterBatch.join(
+                store.select(col("th"), col("doc_id").as("_sid")), Seq("th"))
+              .where(col("doc_id") =!= col("_sid"))
+              .select(col("doc_id")).distinct()
+            afterBatch
+              .join(nearHits, Seq("doc_id"), "left_anti")
+              .join(exactHits, Seq("doc_id"), "left_anti")
+          } else afterBatch
+          Sinks.upsertParquetPartitioned(s, survivors, storePath,
+            Seq("doc_id"), orderCol = None, numBuckets = numBuckets)
+        } finally exactKept.unpersist(false)
+      }
+
   /** foreachBatch upsert sink: every micro-batch merges into the target
     * parquet with last-write-wins per key — the streaming form of the
     * reference's idempotent re-load.

@@ -77,6 +77,58 @@ class StreamingSpec extends SparkSpec {
     assert(kept.length == 3 && !kept.contains(3L), kept.mkString(","))
   }
 
+  test("banded store probe suppresses a PERTURBED near-duplicate late arrival") {
+    // the true streaming form of q42: the late arrival's signature
+    // DIFFERS from the original (signature-equality dedup cannot catch
+    // it) but collides in >= 1 LSH band with the accumulated store
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val original = "the quick brown fox jumps over the lazy dog while the calm " +
+      "river flows past the old stone bridge at dawn"
+    val perturbed = original.replace("calm", "quiet") // 7/8 minhash matches
+    val in = tmpDir("stream_probe_in")
+    val ckpt = tmpDir("stream_probe_ckpt").toString
+    val store = tmpDir("stream_probe_store").resolve("docs").toString
+    writeBatch(in, "b1.json", Seq(
+      s"""{"doc_id":1,"ts":"2025-12-11T00:00:00Z","text":"$original"}""",
+      """{"doc_id":2,"ts":"2025-12-11T00:01:00Z","text":"an entirely different document body about ships and harbors"}""",
+      """{"doc_id":6,"ts":"2025-12-11T00:02:00Z","text":"too short"}"""))
+    def runOnce(): Unit = {
+      val stream = Streaming.jsonFileStream(spark, docSchema, in.toString + "/*.json", multiLine = false)
+      val q = Streaming.nearDupSuppressSink(stream, store, numBuckets = 8)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    assert(Sinks.readUpsertStore(spark, store).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 6L))
+    // the perturbed arrival really is a different-signature near-dup
+    import spark.implicits._
+    val sigs = Seq(original, perturbed).toDF("text")
+      .select(graft.expressions.Exprs.minhashSig(col("text")).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    val nMatch = sigs(0).zip(sigs(1)).count { case (a, b) => a == b }
+    assert(sigs(0) != sigs(1), "perturbation must change the signature")
+    assert(nMatch >= 4, s"perturbation must stay est_sim >= 0.5 (got $nMatch/8)")
+    // late batch: the perturbed near-dup (3), a fresh doc (4), an exact
+    // text copy of doc 2 under a new id (5), and a copy of the short
+    // doc under a new id (7) — the checkpoint guarantees this batch is
+    // processed WITHOUT doc 1/2/6 alongside, so only the store probe
+    // can do the suppressing
+    writeBatch(in, "b2.json", Seq(
+      s"""{"doc_id":3,"ts":"2025-12-11T01:00:00Z","text":"$perturbed"}""",
+      """{"doc_id":4,"ts":"2025-12-11T01:01:00Z","text":"a completely fresh subject concerning mountain weather patterns and climbing routes"}""",
+      """{"doc_id":5,"ts":"2025-12-11T01:02:00Z","text":"an entirely different document body about ships and harbors"}""",
+      """{"doc_id":7,"ts":"2025-12-11T01:03:00Z","text":"too short"}"""))
+    runOnce()
+    val kept = Sinks.readUpsertStore(spark, store).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 4L, 6L),
+      s"3 (near-dup), 5 (exact copy), 7 (short dup) must be suppressed; got $kept")
+  }
+
   test("streaming tumbling-hour mean matches the batch q08 expression") {
     val in = tmpDir("stream_win")
     writeBatch(in, "b1.json", Seq(
