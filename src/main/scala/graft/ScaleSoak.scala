@@ -55,6 +55,9 @@ object ScaleSoak {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft_soak"
     val reps = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-separated query subset (targeted probes —
+    // e.g. the q43 cap-on/cap-off pair at 30x without the full sweep)
+    val subset = if (args.length > 3) Some(args(3).split(",").toSet) else None
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -74,7 +77,8 @@ object ScaleSoak {
       java.nio.file.Files.createDirectories(marker.getParent)
       java.nio.file.Files.writeString(marker, stamp)
     }
-    def timeAll(d: String): Map[String, Double] = soakQueries.map { q =>
+    val active = soakQueries.filter(q => subset.forall(_.contains(q)))
+    def timeAll(d: String): Map[String, Double] = active.map { q =>
       val t0 = System.nanoTime()
       val n = extraRunners.getOrElse(q, SparkEntry.queries(q))(spark, d).count()
       val dt = (System.nanoTime() - t0) / 1e9 // clearCache stays untimed, as in Bench
@@ -86,7 +90,7 @@ object ScaleSoak {
     val small = timeAll(src)
     val big = timeAll(out)
     println(f"SOAK RATIO (${reps}x data)")
-    soakQueries.foreach { q =>
+    active.foreach { q =>
       println(f"SOAK $q%-26s ${small(q)}%6.2f -> ${big(q)}%7.2f s   x${big(q) / small(q)}%.1f")
     }
     spark.stop()
