@@ -102,22 +102,31 @@ object Sinks {
   private val MetaFile = ".graft_upsert_meta"
 
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
-                        meta: org.apache.hadoop.fs.Path, n: Int): Unit = {
+                        meta: org.apache.hadoop.fs.Path, n: Int,
+                        keys: Seq[String]): Unit = {
     val out = fs.create(meta, true)
-    try out.write(s"""{"numBuckets":$n}""".getBytes("UTF-8")) finally out.close()
+    val ks = keys.map(k => "\"" + k + "\"").mkString("[", ",", "]")
+    try out.write(s"""{"numBuckets":$n,"keys":$ks}""".getBytes("UTF-8")) finally out.close()
   }
 
+  /** (numBuckets, creation keys). Both are properties of the STORE: a
+    * merge hashing different keys (or a different count) would land
+    * rows in the wrong partitions and silently duplicate them. */
   private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
-                       meta: org.apache.hadoop.fs.Path): Int = {
+                       meta: org.apache.hadoop.fs.Path): (Int, Seq[String]) = {
     val in = fs.open(meta)
     val txt = try {
       val buf = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
       buf.toString("UTF-8")
     } finally in.close()
-    """"numBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+    val n = """"numBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
       .map(_.group(1).toInt)
       .getOrElse(throw new java.io.IOException(s"upsert store meta unreadable: $txt"))
+    val keys = """"keys"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    (n, keys)
   }
 
   /** S11 at scale — partition-scoped upsert. [[upsertParquet]] is correct
@@ -166,17 +175,21 @@ object Sinks {
     }
     fs.delete(tmpRoot, true)
     val meta = new org.apache.hadoop.fs.Path(dst, MetaFile)
-    // the bucket count is a property of the STORE, not the call: later
-    // merges must hash with the creation-time count or keys would land
-    // in the wrong partitions
-    val n = if (fs.exists(meta)) readMeta(fs, meta) else numBuckets
+    val n = if (fs.exists(meta)) {
+      val (storedN, storedKeys) = readMeta(fs, meta)
+      if (storedKeys.nonEmpty && storedKeys != keys)
+        throw new IllegalArgumentException(
+          s"upsert store at $path was created with keys ${storedKeys.mkString(",")}; " +
+            s"merging with ${keys.mkString(",")} would mis-bucket rows")
+      storedN
+    } else numBuckets
     val keyed = batch.withColumn(BucketCol,
       pmod(xxhash64(keys.map(col): _*), lit(n.toLong)).cast("int"))
     if (!fs.exists(meta)) {
       // creation: lay the whole batch out bucketed, then stamp the meta
       // (meta-last so a crash mid-creation re-runs creation cleanly)
       keyed.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
-      writeMeta(fs, meta, n)
+      writeMeta(fs, meta, n, keys)
       return
     }
     // touched buckets: bounded by numBuckets, so the collect is small by

@@ -123,6 +123,25 @@ class PlanAuditSpec extends SparkSpec {
       "never an all-pairs stage")
   }
 
+  test("lshProbe (streaming ingest): ONE banded join, never an all-pairs stage") {
+    // the store side of the ingest probe is corpus-sized; the probe must
+    // stay a single equi-join over the exploded (band,k1,k2) keys — the
+    // q42 property, pinned for the asymmetric form the streaming sink runs
+    import org.apache.spark.sql.functions._
+    val sig = graft.engine.Tables.documents(spark, sf)
+      .where(size(graft.ext.TextOps.tokens(col("text"))) >= 3)
+      .withColumn("s", graft.expressions.Exprs.minhashSig(col("text")))
+      .select(col("doc_id") +: (0 until 8).map(k =>
+        element_at(col("s"), k + 1).as(s"h$k")): _*)
+    val probe = graft.queries.TextQueries.lshProbe(sig.limit(10), sig)
+    probe.count()
+    val p = probe.queryExecution.executedPlan.toString
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(p).length
+    assert(joins == 1, s"probe must be one banded equi-join, got $joins")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "never an all-pairs stage")
+  }
+
   test("q55 repetition: kernel runs ONCE per row; no corpus-sized gram shuffle") {
     val p = plan("q55_repetition_stats")
     // reading two struct fields must not duplicate the kernel

@@ -357,6 +357,41 @@ class StreamingSpec extends SparkSpec {
     assert(out.where(col("city") === "city_3").head.getAs[Double]("value") == 99.0)
   }
 
+  test("partitioned upsert: merge read is partition-pruned to touched buckets") {
+    val schema = StructType(Seq(StructField("city", StringType),
+      StructField("value", DoubleType), StructField("seq", LongType)))
+    val target = tmpDir("upsert_part_prune").resolve("t").toString
+    val seed = spark.createDataFrame(java.util.List.of(
+      (0 until 64).map(i =>
+        org.apache.spark.sql.Row(s"c$i", i.toDouble, 1L)): _*), schema)
+    Sinks.upsertParquetPartitioned(spark, seed, target, Seq("city"), Some("seq"), numBuckets = 16)
+    // the exact pruned read the merge performs: only the touched
+    // partition directories may appear in the scan
+    val pruned = spark.read.parquet(target).where(col("gbucket").isin(3))
+    val scan = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("PartitionFilters") && scan.contains("gbucket"),
+      s"merge read must prune on the bucket partition column: $scan")
+    val counted = "PartitionCount: (\\d+)".r.findFirstMatchIn(
+      pruned.queryExecution.executedPlan.toString)
+    assert(counted.forall(_.group(1).toInt <= 1),
+      s"pruned scan must touch at most 1 of 16 partitions: ${counted.map(_.group(0))}")
+  }
+
+  test("partitioned upsert rejects a merge with different keys than creation") {
+    val schema = StructType(Seq(StructField("city", StringType),
+      StructField("value", DoubleType), StructField("seq", LongType)))
+    val target = tmpDir("upsert_part_keys").resolve("t").toString
+    val b = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row("delhi", 1.0, 1L)), schema)
+    Sinks.upsertParquetPartitioned(spark, b, target, Seq("city"), Some("seq"))
+    // hashing a different key set would land rows in wrong partitions —
+    // must fail loudly, never silently duplicate
+    intercept[IllegalArgumentException] {
+      Sinks.upsertParquetPartitioned(spark, b, target, Seq("city", "seq"), None)
+    }
+  }
+
   test("partitioned upsert recovers a bucket stranded aside by a crashed swap") {
     val schema = StructType(Seq(StructField("city", StringType),
       StructField("value", DoubleType), StructField("seq", LongType)))
