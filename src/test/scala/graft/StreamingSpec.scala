@@ -245,6 +245,45 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache() // q37 persists its signature table
   }
 
+  test("10x soak: streaming near-dup ingest equals the batch dedup formulation") {
+    // the nearDupSuppressSink at worst-case duplication scale: every
+    // sf0.001 doc landed 10 times under distinct ids. The admitted set
+    // must equal the batch formulation computed directly: exact-dedup
+    // winners (min doc_id per content hash) minus LSH near-dup losers
+    // among them — i.e. the stream path and the batch path agree on
+    // 10x-replicated data end-to-end.
+    import graft.engine.Tables
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+    val tenX = (0 until 10).map(r =>
+      base.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))).reduce(_ unionAll _)
+    val inDir = tmpDir("neardup_soak_in").toString
+    tenX.repartition(4).write.mode("overwrite").parquet(inDir)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val store = tmpDir("neardup_soak_store").resolve("docs").toString
+    val q = Streaming.nearDupSuppressSink(
+      Streaming.parquetFileStream(spark, docSchema, inDir), store).start()
+    q.awaitTermination(120000)
+    val admitted = Sinks.readUpsertStore(spark, store).select("doc_id")
+    // batch formulation over the same corpus
+    val canonical = tenX.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val canonSigs = tenX.join(canonical, Seq("doc_id"), "left_semi")
+      .where(size(graft.ext.TextOps.tokens(col("text"))) >= 3)
+      .withColumn("s", graft.expressions.Exprs.minhashSig(col("text")))
+      .select(col("doc_id") +: (0 until 8).map(k =>
+        element_at(col("s"), k + 1).as(s"h$k")): _*)
+    val losers = graft.queries.TextQueries.lshPairsOf(canonSigs)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val expected = canonical.join(losers, Seq("doc_id"), "left_anti")
+    assert(admitted.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(admitted).count() == 0,
+      "streamed near-dup ingest must admit exactly the batch survivor set")
+    spark.catalog.clearCache()
+  }
+
   test("checkpoint recovery: a restarted stream processes only NEW files") {
     // the incremental contract a production ingest loop depends on: with
     // a persistent checkpoint, re-running the same stream after more
