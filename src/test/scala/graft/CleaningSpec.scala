@@ -93,6 +93,28 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache() // ngramJaccardPairs persists its base table
   }
 
+  test("lshProbe(sig, sig) restricted to doc_a < doc_b IS lshPairsOf(sig)") {
+    // the asymmetric ingest probe and the symmetric q42 join share the
+    // banded-key building block; this pins that they can never drift
+    // apart semantically (probe of a table against itself = the pair
+    // join, modulo pair orientation)
+    val sf = "/root/testdata/sf0.001"
+    val sig = graft.engine.Tables.documents(spark, sf)
+      .where(size(TextOps.tokens(col("text"))) >= 3)
+      .withColumn("s", graft.expressions.Exprs.minhashSig(col("text")))
+      .select(col("doc_id") +: (0 until 8).map(k =>
+        element_at(col("s"), k + 1).as(s"h$k")): _*)
+      .persist()
+    val viaPairs = graft.queries.TextQueries.lshPairsOf(sig)
+      .select("doc_a", "doc_b", "est_sim")
+    val viaProbe = graft.queries.TextQueries.lshProbe(sig, sig)
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "est_sim")
+    assert(viaPairs.exceptAll(viaProbe).count() == 0 &&
+      viaProbe.exceptAll(viaPairs).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("ORC round-trip preserves the documents schema and values") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/documents.orc"
