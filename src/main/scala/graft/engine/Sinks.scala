@@ -229,4 +229,38 @@ object Sinks {
     * (the internal bucket column stripped). */
   def readUpsertStore(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop(BucketCol)
+
+  /** Maintenance: re-lay a partition-scoped store out with a new bucket
+    * count. The count is fixed at creation (merges must hash with it),
+    * so a store that has grown far past its sizing needs this offline
+    * step to restore merge granularity — one full read+write, then the
+    * same whole-directory swap as [[upsertParquet]] (crash before the
+    * final rename leaves the original store untouched). Single-writer:
+    * do not run concurrent merges during a rebucket. */
+  def rebucketUpsertStore(spark: SparkSession, path: String, newBuckets: Int): Unit = {
+    require(newBuckets > 0, "newBuckets must be positive")
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(dst, MetaFile)
+    if (!fs.exists(meta))
+      throw new java.io.IOException(s"no upsert store meta at $path")
+    val (_, keys) = readMeta(fs, meta)
+    if (keys.isEmpty)
+      throw new java.io.IOException(s"store meta at $path lacks keys; cannot rebucket")
+    val tmp = new org.apache.hadoop.fs.Path(path + "_rebucket_tmp")
+    fs.delete(tmp, true)
+    val rekeyed = readUpsertStore(spark, path).withColumn(BucketCol,
+      pmod(xxhash64(keys.map(col): _*), lit(newBuckets.toLong)).cast("int"))
+    rekeyed.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmp.toString)
+    writeMeta(fs, new org.apache.hadoop.fs.Path(tmp, MetaFile), newBuckets, keys)
+    val orphan = new org.apache.hadoop.fs.Path(path + "_old")
+    fs.delete(orphan, true)
+    if (!fs.rename(dst, orphan))
+      throw new java.io.IOException(s"rebucket: cannot move $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(orphan, dst)
+      throw new java.io.IOException(s"rebucket: cannot move $tmp into place")
+    }
+    fs.delete(orphan, true)
+  }
 }

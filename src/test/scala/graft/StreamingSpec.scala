@@ -431,6 +431,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("rebucket re-lays the store at a new count; content and merges survive") {
+    val schema = StructType(Seq(StructField("city", StringType),
+      StructField("value", DoubleType), StructField("seq", LongType)))
+    val target = tmpDir("upsert_rebucket").resolve("t").toString
+    val seed = spark.createDataFrame(java.util.List.of(
+      (0 until 40).map(i =>
+        org.apache.spark.sql.Row(s"c$i", i.toDouble, 1L)): _*), schema)
+    Sinks.upsertParquetPartitioned(spark, seed, target, Seq("city"), Some("seq"), numBuckets = 4)
+    val before = Sinks.readUpsertStore(spark, target).collect().toSet
+    Sinks.rebucketUpsertStore(spark, target, 16)
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(target))
+      .map(_.getPath.getName).filter(_.startsWith("gbucket=")).length
+    assert(dirs > 4, s"store must spread past the old 4 buckets, got $dirs dirs")
+    assert(Sinks.readUpsertStore(spark, target).collect().toSet == before,
+      "rebucket must preserve content exactly")
+    // merges keep working, hashing at the NEW count from the meta
+    val b2 = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row("c3", 99.0, 2L)), schema)
+    Sinks.upsertParquetPartitioned(spark, b2, target, Seq("city"), Some("seq"))
+    val out = Sinks.readUpsertStore(spark, target)
+    assert(out.count() == 40)
+    assert(out.where(col("city") === "c3").head.getAs[Double]("value") == 99.0)
+  }
+
   test("partitioned upsert recovers a bucket stranded aside by a crashed swap") {
     val schema = StructType(Seq(StructField("city", StringType),
       StructField("value", DoubleType), StructField("seq", LongType)))
