@@ -142,6 +142,17 @@ class PlanAuditSpec extends SparkSpec {
       "never an all-pairs stage")
   }
 
+  test("q59 approx percentiles: sketches merge map-side (partial aggregation)") {
+    // exact percentile + the GK sketch must both fold partially per
+    // partition and merge at the reducer — a final-only aggregation
+    // would ship raw rows and serialize one group per reducer at scale
+    val p = plan("q59_approx_percentiles")
+    assert(p.contains("partial_percentile") || p.contains("partial_approx_percentile"),
+      s"aggregates must have a partial (map-side) phase:\n$p")
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges <= 2, s"one agg shuffle + output sort at most, got $exchanges")
+  }
+
   test("q55 repetition: kernel runs ONCE per row; no corpus-sized gram shuffle") {
     val p = plan("q55_repetition_stats")
     // reading two struct fields must not duplicate the kernel
