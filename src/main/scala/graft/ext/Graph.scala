@@ -75,14 +75,17 @@ object Graph {
     var it = 0
     var changed = 1L
     while (changed > 0 && it < maxIter) {
-      // neighbor labels + own label -> min per node
+      // neighbor labels + own label -> min per node. The node's PREVIOUS
+      // label rides through the aggregation as min of a null-for-
+      // neighbors column (each node has exactly one own row), so the
+      // convergence check needs no extra join against the old labels —
+      // one join + one aggregation per round, then a filter-count.
       val next = ckpt(sym.join(labels, sym("a") === labels("node"))
-        .select(col("b").as("node"), col("lbl"))
-        .unionAll(labels)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl")))
-      changed = next.join(labels.select(col("node"), col("lbl").as("prev")), Seq("node"))
-        .where(col("lbl") =!= col("prev")).count()
-      labels = next // the superseded RDD blocks are GC'd by ContextCleaner
+        .select(col("b").as("node"), col("lbl"), lit(null).cast("long").as("own"))
+        .unionAll(labels.select(col("node"), col("lbl"), col("lbl").as("own")))
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"), min(col("own")).as("prev")))
+      changed = next.where(col("lbl") =!= col("prev")).count()
+      labels = next.select(col("node"), col("lbl")) // superseded blocks GC'd by ContextCleaner
       it += 1
     }
     // silent non-convergence would return an UNDER-MERGED clustering —
