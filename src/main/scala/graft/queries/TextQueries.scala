@@ -457,6 +457,42 @@ object TextQueries {
          |SELECT node AS doc_id, MIN(lbl) AS cluster_id
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // The df-capped q43: same pairs, but prefix postings with document
+    // frequency > 64 are dropped before expansion — the bounded-work
+    // variant for boilerplate-heavy corpora (BENCH_NOTES: x1.4 at 30x
+    // where exact is x28.6). The cap changes SEMANTICS (a pair must
+    // share >= 1 rare prefix hash), so it gets its own FULL oracle: the
+    // SQL states the prefix-filter + df-cap + exact-intersection
+    // definition declaratively and must agree hash-exactly.
+    "q60_capped_jaccard_pairs" -> Q(
+      (s, d) => ngramJaccardPairs(s, d, Some(64)),
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |s2 AS (SELECT doc_id, ${TextOps.sqlShingleList("tk")} AS sh FROM t),
+         |hs AS (SELECT doc_id,
+         |              list_sort(list_distinct(list_transform(sh,
+         |                x -> ('0x' || substr(md5('g:' || x), 1, 15))::BIGINT))) AS hl
+         |       FROM s2 WHERE len(sh) > 0),
+         |hn AS (SELECT doc_id, hl, len(hl) AS n,
+         |              len(hl) - ((4 * len(hl) + 4) // 5) + 1 AS plen
+         |       FROM hs),
+         |pfx AS (SELECT doc_id, n, hl, unnest(hl[1:plen]) AS h FROM hn),
+         |rare AS (SELECT h FROM pfx GROUP BY h
+         |         HAVING COUNT(*) > 1 AND COUNT(*) <= 64),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.n AS na, b.n AS nb, a.hl AS ha, b.hl AS hb
+         |  FROM pfx a JOIN rare USING (h) JOIN pfx b USING (h)
+         |  WHERE a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(len(list_intersect(ha, hb)) AS BIGINT) AS n_common, na, nb
+         |  FROM cand)
+         |SELECT doc_a, doc_b, n_common,
+         |       n_common / (na + nb - n_common) AS jaccard
+         |FROM scored
+         |WHERE n_common / (na + nb - n_common) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
     // Exact n-gram Jaccard near-dup pairs via inverted-index join — no
     // O(n²) stage. The index carries 60-bit hashed shingles (longs, not
     // strings: ~8 bytes/key through the shuffle instead of ~50-char
@@ -464,7 +500,8 @@ object TextQueries {
     // rows, so the Jaccard formula closes inside the pair aggregation
     // with no extra joins. Skew on ultra-common shingles is the known
     // scale risk — bounded by the maxDf cap of [[ngramJaccardPairs]]
-    // (the oracle runs cap-off for exactness).
+    // (this oracle runs cap-off for exactness; q60 gates the capped
+    // path with its own oracle).
     "q43_ngram_jaccard_pairs" -> Q(
       (s, d) => ngramJaccardPairs(s, d),
       s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
