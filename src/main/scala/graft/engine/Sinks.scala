@@ -160,9 +160,17 @@ object Sinks {
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmpRoot = new org.apache.hadoop.fs.Path(path + "_tmp")
-    // entry recovery: a crash mid-swap leaves a bucket at its aside name
-    // and nothing live — restore it; an aside WITH a live dir is a stale
-    // copy from a crash after the new data landed — drop it
+    // entry recovery, store level: a rebucket that crashed between its
+    // two renames leaves the whole store at _old and nothing at dst —
+    // restore it, or the merge below would "create" a batch-only store
+    // and strand the real one
+    val storeOrphan = new org.apache.hadoop.fs.Path(path + "_old")
+    if (!fs.exists(dst) && fs.exists(storeOrphan) && !fs.rename(storeOrphan, dst))
+      throw new java.io.IOException(s"cannot restore $storeOrphan to $dst")
+    // entry recovery, bucket level: a crash mid-swap leaves a bucket at
+    // its aside name and nothing live — restore it; an aside WITH a
+    // live dir is a stale copy from a crash after the new data landed —
+    // drop it
     if (fs.exists(dst)) fs.listStatus(dst).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith(AsidePrefix)) {
@@ -241,6 +249,10 @@ object Sinks {
     require(newBuckets > 0, "newBuckets must be positive")
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // restore a store stranded at _old by a previously crashed rebucket
+    val prevOrphan = new org.apache.hadoop.fs.Path(path + "_old")
+    if (!fs.exists(dst) && fs.exists(prevOrphan) && !fs.rename(prevOrphan, dst))
+      throw new java.io.IOException(s"cannot restore $prevOrphan to $dst")
     val meta = new org.apache.hadoop.fs.Path(dst, MetaFile)
     if (!fs.exists(meta))
       throw new java.io.IOException(s"no upsert store meta at $path")

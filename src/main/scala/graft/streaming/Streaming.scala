@@ -156,6 +156,10 @@ object Streaming {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
+        val reserved = (0 until 8).map(k => s"h$k").toSet ++ Set("sig", "th")
+        val clash = batch.columns.filter(reserved)
+        require(clash.isEmpty,
+          s"nearDupSuppressSink reserves columns ${clash.mkString(",")} for signature state")
         val sigCols = (0 until 8).map(k => col(s"h$k"))
         val sigged = batch
           .withColumn("sig", graft.expressions.Exprs.minhashSig(col("text")))

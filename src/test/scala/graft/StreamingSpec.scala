@@ -457,6 +457,32 @@ class StreamingSpec extends SparkSpec {
     assert(out.where(col("city") === "c3").head.getAs[Double]("value") == 99.0)
   }
 
+  test("merge restores a store stranded at _old by a crashed rebucket") {
+    val schema = StructType(Seq(StructField("city", StringType),
+      StructField("value", DoubleType), StructField("seq", LongType)))
+    val target = tmpDir("upsert_rebucket_crash").resolve("t").toString
+    val seed = spark.createDataFrame(java.util.List.of(
+      (0 until 20).map(i =>
+        org.apache.spark.sql.Row(s"c$i", i.toDouble, 1L)): _*), schema)
+    Sinks.upsertParquetPartitioned(spark, seed, target, Seq("city"), Some("seq"), numBuckets = 4)
+    // simulate a rebucket that died between its two whole-store renames
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(target),
+      new org.apache.hadoop.fs.Path(target + "_old")))
+    val b2 = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row("extra", 50.0, 2L)), schema)
+    // the merge must restore the stranded store first, NOT recreate a
+    // batch-only store over it
+    Sinks.upsertParquetPartitioned(spark, b2, target, Seq("city"), Some("seq"))
+    assert(Sinks.readUpsertStore(spark, target).count() == 21)
+    // and rebucket itself also restores before re-laying out
+    assert(fs.rename(new org.apache.hadoop.fs.Path(target),
+      new org.apache.hadoop.fs.Path(target + "_old")))
+    Sinks.rebucketUpsertStore(spark, target, 8)
+    assert(Sinks.readUpsertStore(spark, target).count() == 21)
+  }
+
   test("partitioned upsert recovers a bucket stranded aside by a crashed swap") {
     val schema = StructType(Seq(StructField("city", StringType),
       StructField("value", DoubleType), StructField("seq", LongType)))
