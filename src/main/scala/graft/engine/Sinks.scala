@@ -194,6 +194,9 @@ object Sinks {
     val keyed = batch.withColumn(BucketCol,
       pmod(xxhash64(keys.map(col): _*), lit(n.toLong)).cast("int"))
     if (!fs.exists(meta)) {
+      // an empty batch must not create a zero-file store — later reads
+      // of it would fail schema inference and wedge every merge
+      if (batch.isEmpty) return
       // creation: lay the whole batch out bucketed, then stamp the meta
       // (meta-last so a crash mid-creation re-runs creation cleanly)
       keyed.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
@@ -204,6 +207,7 @@ object Sinks {
     // construction (this is the semi-join that scopes the merge)
     val touched = keyed.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return // empty batch: nothing to merge
     val existing = spark.read.parquet(path)
       .where(col(BucketCol).isin(touched.toIndexedSeq: _*)) // partition-pruned
       .withColumn("_is_new", lit(0))

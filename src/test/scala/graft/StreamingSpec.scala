@@ -457,6 +457,23 @@ class StreamingSpec extends SparkSpec {
     assert(out.where(col("city") === "c3").head.getAs[Double]("value") == 99.0)
   }
 
+  test("empty batches neither create a zero-file store nor disturb an existing one") {
+    val schema = StructType(Seq(StructField("city", StringType),
+      StructField("value", DoubleType), StructField("seq", LongType)))
+    val target = tmpDir("upsert_empty").resolve("t").toString
+    val empty = spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](), schema)
+    Sinks.upsertParquetPartitioned(spark, empty, target, Seq("city"), Some("seq"))
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(target)),
+      "an empty first batch must not create a store no reader can open")
+    val seed = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row("delhi", 1.0, 1L)), schema)
+    Sinks.upsertParquetPartitioned(spark, seed, target, Seq("city"), Some("seq"))
+    Sinks.upsertParquetPartitioned(spark, empty, target, Seq("city"), Some("seq"))
+    assert(Sinks.readUpsertStore(spark, target).count() == 1)
+  }
+
   test("merge restores a store stranded at _old by a crashed rebucket") {
     val schema = StructType(Seq(StructField("city", StringType),
       StructField("value", DoubleType), StructField("seq", LongType)))
