@@ -167,6 +167,9 @@ object Sinks {
     val storeOrphan = new org.apache.hadoop.fs.Path(path + "_old")
     if (!fs.exists(dst) && fs.exists(storeOrphan) && !fs.rename(storeOrphan, dst))
       throw new java.io.IOException(s"cannot restore $storeOrphan to $dst")
+    // dst present + _old present = a rebucket crashed after its final
+    // rename landed; the _old copy is stale — drop it, don't leak it
+    if (fs.exists(dst)) fs.delete(storeOrphan, true)
     // entry recovery, bucket level: a crash mid-swap leaves a bucket at
     // its aside name and nothing live — restore it; an aside WITH a
     // live dir is a stale copy from a crash after the new data landed —
@@ -194,6 +197,18 @@ object Sinks {
     val keyed = batch.withColumn(BucketCol,
       pmod(xxhash64(keys.map(col): _*), lit(n.toLong)).cast("int"))
     if (!fs.exists(meta)) {
+      // creation overwrites dst, so it must never run over a directory
+      // that is NOT a half-created store of ours: a crashed creation
+      // leaves only gbucket=* dirs (+ markers), anything else (e.g. an
+      // unpartitioned upsertParquet table) would be silently destroyed
+      if (fs.exists(dst)) {
+        val foreign = fs.listStatus(dst).map(_.getPath.getName).filterNot(nm =>
+          nm.startsWith(s"$BucketCol=") || nm.startsWith("_") || nm.startsWith("."))
+        if (foreign.nonEmpty)
+          throw new IllegalArgumentException(
+            s"$path exists but is not a partition-scoped upsert store " +
+              s"(found: ${foreign.take(3).mkString(",")}); refusing to overwrite")
+      }
       // an empty batch must not create a zero-file store — later reads
       // of it would fail schema inference and wedge every merge
       if (batch.isEmpty) return

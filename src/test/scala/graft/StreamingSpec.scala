@@ -457,6 +457,21 @@ class StreamingSpec extends SparkSpec {
     assert(out.where(col("city") === "c3").head.getAs[Double]("value") == 99.0)
   }
 
+  test("partitioned upsert refuses to overwrite a directory that is not its store") {
+    val schema = StructType(Seq(StructField("city", StringType),
+      StructField("value", DoubleType), StructField("seq", LongType)))
+    val target = tmpDir("upsert_foreign").resolve("t").toString
+    val b = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row("delhi", 1.0, 1L)), schema)
+    // an UNPARTITIONED upsert table lives at the path
+    Sinks.upsertParquet(spark, b, target, Seq("city"), Some("seq"))
+    intercept[IllegalArgumentException] {
+      Sinks.upsertParquetPartitioned(spark, b, target, Seq("city"), Some("seq"))
+    }
+    // the foreign table is intact
+    assert(spark.read.parquet(target).count() == 1)
+  }
+
   test("empty batches neither create a zero-file store nor disturb an existing one") {
     val schema = StructType(Seq(StructField("city", StringType),
       StructField("value", DoubleType), StructField("seq", LongType)))
