@@ -457,6 +457,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.where(col("city") === "c3").head.getAs[Double]("value") == 99.0)
   }
 
+  test("randomized batch sequences: partitioned and full-rewrite sinks always converge") {
+    // seeded random merge histories (unique seq per row so the
+    // last-write winner is deterministic) — the two sinks must agree on
+    // the final store for ANY history, not just the hand-picked cases
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("v", DoubleType), StructField("seq", LongType)))
+    for (seed <- Seq(7, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val full = tmpDir(s"upsert_rand_full_$seed").resolve("t").toString
+      val part = tmpDir(s"upsert_rand_part_$seed").resolve("t").toString
+      var seq = 0L
+      for (_ <- 0 until 4) {
+        val rows = (0 until 12).map { _ =>
+          seq += 1
+          org.apache.spark.sql.Row(s"k${rnd.nextInt(8)}", rnd.nextDouble(), seq)
+        }
+        val batch = spark.createDataFrame(java.util.List.of(rows: _*), schema)
+        Sinks.upsertParquet(spark, batch, full, Seq("k"), Some("seq"))
+        Sinks.upsertParquetPartitioned(spark, batch, part, Seq("k"), Some("seq"), numBuckets = 4)
+      }
+      val a = spark.read.parquet(full)
+      val b = Sinks.readUpsertStore(spark, part).select(a.columns.map(col).toIndexedSeq: _*)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"stores diverged for seed $seed")
+    }
+  }
+
   test("partitioned upsert refuses to overwrite a directory that is not its store") {
     val schema = StructType(Seq(StructField("city", StringType),
       StructField("value", DoubleType), StructField("seq", LongType)))
