@@ -194,9 +194,10 @@ object TextQueries {
     * missed only if ALL its shared prefix hashes are ultra-common) for
     * a survivable curve. Default None = exact, oracle-parity.
     *
-    * Caching: the shingle-hash base is persisted (index + both closing
-    * join sides scan it) — pass a [[graft.engine.CacheScope]] to own
-    * the release, as with [[curatedDocs]]. */
+    * Caching: the shingle-hash base (index + both closing join sides
+    * scan it) and the posting table (both expansion branches scan it)
+    * are persisted — pass a [[graft.engine.CacheScope]] to own the
+    * release, as with [[curatedDocs]]. */
   def ngramJaccardPairs(s: SparkSession, d: String, maxDf: Option[Int] = None,
                         scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked): DataFrame = {
     val base = scope.persist(Tables.documents(s, d)
@@ -214,7 +215,13 @@ object TextQueries {
     val postingAll = idx.groupBy(col("h"))
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
       .where(size(col("ds")) > 1)
-    val posting = maxDf.fold(postingAll)(c => postingAll.where(size(col("ds")) <= c))
+    // persisted: BOTH expansion branches below scan the posting table,
+    // and without the cache each branch re-runs the explode + groupBy
+    // chain from base — the single most expensive stage of this query
+    // paid twice. One row per duplicated prefix hash (tiny next to the
+    // index), released by the same scope as base.
+    val posting = scope.persist(
+      maxDf.fold(postingAll)(c => postingAll.where(size(col("ds")) <= c)))
     // compiled triangle enumeration + size-ratio prune (the HOF
     // formulation re-slices the list per element, interpreted —
     // quadratic CPU on hot shingles' posting lists)
@@ -239,7 +246,13 @@ object TextQueries {
         element_at(col("cs"), col("ij.j") + 1).as("cb"))
       .repartition(numShufflePartitions(s))
       .select(explode(graft.expressions.Exprs.crossPairs(col("ca"), col("cb"))).as("p"))
-    val cands = small.unionAll(hot)
+    // a df cap at or under the hot threshold makes the hot branch empty
+    // BY CONSTRUCTION (size(ds) <= maxDf <= hotList) — drop it at plan-
+    // build time rather than paying its scan + empty shuffle (Catalyst
+    // cannot prove the two filters contradict)
+    val expanded =
+      if (maxDf.exists(_ <= hotList)) small else small.unionAll(hot)
+    val cands = expanded
       .select(col("p.doc_a"), col("p.na"), col("p.doc_b"), col("p.nb"))
       .distinct() // a pair may share several prefix hashes (or chunk orders)
     val inter = cands

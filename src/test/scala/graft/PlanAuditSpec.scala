@@ -81,6 +81,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "never an all-pairs stage")
   }
 
+  test("q60 capped jaccard: hot branch eliminated; posting table read from cache") {
+    val p = plan("q60_capped_jaccard_pairs")
+    assert(p.toLowerCase.contains("explode(prefixpairexpand"),
+      "candidate expansion must go through the compiled expression")
+    // cap (64) <= hotList (512) proves every posting list fits the small
+    // branch — the chunked hot path must be dropped at plan-build time,
+    // not carried as a never-matching scan + empty shuffle
+    assert(!p.toLowerCase.contains("crosspairexpand"),
+      "capped path must not build the hot-list branch")
+    // base AND posting are persisted: the expansion must scan the cached
+    // posting table, not re-run the explode+groupBy chain per branch
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "expansion must read the persisted posting/base tables")
+  }
+
   test("q54 decontamination: benchmark index broadcasts; corpus probe never shuffles it") {
     val p = plan("q54_decontamination")
     assert(p.contains("BroadcastHashJoin"), "the benchmark inverted index must broadcast")
