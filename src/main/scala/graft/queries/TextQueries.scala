@@ -659,11 +659,17 @@ object TextQueries {
     "q57_containment_pairs" -> Q(
       (s, d) => {
         val k = 8; val w = 4; val dfCap = 32
-        val fps = Tables.documents(s, d)
+        // persist the ARRAY form, not the exploded index: same bytes,
+        // ~2 orders of magnitude fewer cached rows, and the winnow
+        // kernel (the expensive part) still runs exactly once — the
+        // downstream consumers re-explode from cache, which is a
+        // per-element array walk, not a kernel re-evaluation.
+        val fpArr = Tables.documents(s, d)
           .where(length(col("text")) >= k + w - 1)
           .select(col("doc_id"),
-            explode(graft.expressions.Exprs.winnowFingerprints(col("text"), k, w)).as("fp"))
-          .persist() // index + df table + both join sides; Bench/Verify clearCache()s
+            graft.expressions.Exprs.winnowFingerprints(col("text"), k, w).as("fps"))
+          .persist() // df table + join sides; Bench/Verify clearCache()s
+        val fps = fpArr.select(col("doc_id"), explode(col("fps")).as("fp"))
         val dfTab = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
           .where(col("df") <= dfCap)
         val rare = fps.join(dfTab, Seq("fp"))
