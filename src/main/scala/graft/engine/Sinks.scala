@@ -51,6 +51,15 @@ object Sinks {
     // s3a:// or hdfs:// target must not resolve against file://
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = acquireWriterLock(fs, path)
+    try upsertWholeTableLocked(spark, batch, path, keys, orderCol, dst, fs)
+    finally fs.delete(lock, false)
+  }
+
+  private def upsertWholeTableLocked(spark: SparkSession, batch: DataFrame, path: String,
+                                     keys: Seq[String], orderCol: Option[String],
+                                     dst: org.apache.hadoop.fs.Path,
+                                     fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val orphan = new org.apache.hadoop.fs.Path(path + "_old")
     // crash recovery: a previous run that died between its two swap
     // renames leaves the table at _old and nothing at dst — restore it
@@ -101,6 +110,34 @@ object Sinks {
   private val AsidePrefix = ".aside_"
   private val MetaFile = ".graft_upsert_meta"
 
+  /** Create-exclusive writer fence for every mutating store operation.
+    * The swap protocols here are SINGLE-writer: two concurrent merges
+    * could interleave their bucket swaps undetected (each one's aside
+    * copy clobbering the other's fresh data). The fence is a sibling
+    * `<path>_lock` file created with overwrite = false — atomic on HDFS
+    * and local FS (object stores without atomic create-exclusive need an
+    * external coordinator; this fence still catches the common
+    * same-cluster double-writer). The second writer fails LOUDLY rather
+    * than corrupting the store; a lock left by a crashed writer must be
+    * deleted by an operator (the message says so — auto-expiry would
+    * reintroduce the race it exists to prevent). */
+  private def acquireWriterLock(fs: org.apache.hadoop.fs.FileSystem,
+                                path: String): org.apache.hadoop.fs.Path = {
+    val lock = new org.apache.hadoop.fs.Path(path + "_lock")
+    val out = try fs.create(lock, false) catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"store at $path has another writer in flight (fence $lock exists); " +
+            "concurrent merges are not coordinated — retry after it finishes, " +
+            "or delete the fence file if the previous writer crashed", e)
+    }
+    try out.write(
+      s"""{"holder_pid":${ProcessHandle.current.pid},"acquired_ms":${System.currentTimeMillis}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    lock
+  }
+
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
                         meta: org.apache.hadoop.fs.Path, n: Int,
                         keys: Seq[String]): Unit = {
@@ -149,8 +186,10 @@ object Sinks {
     * 8192 buckets ≈ 12 GB); more buckets = finer merge granularity.
     * Reference semantics: ETL_Multi_Lvl_API/load.py:117-163 (upsert
     * touches only conflicting keys). Read back via [[readUpsertStore]].
-    * Single-writer, like upsertParquet — concurrent merges are not
-    * coordinated. */
+    * Single-writer, ENFORCED: a create-exclusive `<path>_lock` fence
+    * rejects a second concurrent merge loudly (see
+    * [[acquireWriterLock]]) instead of letting interleaved bucket swaps
+    * corrupt the store. */
   def upsertParquetPartitioned(spark: SparkSession, batch: DataFrame, path: String,
                                keys: Seq[String], orderCol: Option[String] = None,
                                numBuckets: Int = 64): Unit = {
@@ -159,6 +198,18 @@ object Sinks {
       s"batch already has a '$BucketCol' column — it is reserved for the store layout")
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fence FIRST: entry recovery itself mutates the store, so even the
+    // recovery scan must not run under a concurrent writer
+    val lock = acquireWriterLock(fs, path)
+    try mergePartitionedLocked(spark, batch, path, keys, orderCol, numBuckets, dst, fs)
+    finally fs.delete(lock, false)
+  }
+
+  private def mergePartitionedLocked(spark: SparkSession, batch: DataFrame, path: String,
+                                     keys: Seq[String], orderCol: Option[String],
+                                     numBuckets: Int,
+                                     dst: org.apache.hadoop.fs.Path,
+                                     fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val tmpRoot = new org.apache.hadoop.fs.Path(path + "_tmp")
     // entry recovery, store level: a rebucket that crashed between its
     // two renames leaves the whole store at _old and nothing at dst —
@@ -262,12 +313,21 @@ object Sinks {
     * so a store that has grown far past its sizing needs this offline
     * step to restore merge granularity — one full read+write, then the
     * same whole-directory swap as [[upsertParquet]] (crash before the
-    * final rename leaves the original store untouched). Single-writer:
-    * do not run concurrent merges during a rebucket. */
+    * final rename leaves the original store untouched). Takes the same
+    * writer fence as the merge, so a rebucket and a merge cannot
+    * interleave. */
   def rebucketUpsertStore(spark: SparkSession, path: String, newBuckets: Int): Unit = {
     require(newBuckets > 0, "newBuckets must be positive")
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = acquireWriterLock(fs, path)
+    try rebucketLocked(spark, path, newBuckets, dst, fs)
+    finally fs.delete(lock, false)
+  }
+
+  private def rebucketLocked(spark: SparkSession, path: String, newBuckets: Int,
+                             dst: org.apache.hadoop.fs.Path,
+                             fs: org.apache.hadoop.fs.FileSystem): Unit = {
     // restore a store stranded at _old by a previously crashed rebucket
     val prevOrphan = new org.apache.hadoop.fs.Path(path + "_old")
     if (!fs.exists(dst) && fs.exists(prevOrphan) && !fs.rename(prevOrphan, dst))

@@ -8,20 +8,27 @@ import org.apache.spark.sql.functions._
   * minhash emits near-dup PAIRS; keeping one doc per duplicate GROUP
   * needs the transitive closure of those pairs).
   *
-  * Algorithm: iterative min-label propagation. Every node starts
-  * labeled with itself; each round every node takes the min of its own
-  * and its neighbors' labels; a fixpoint means every node carries the
-  * min node id of its component. Each round is one shuffle join plus
-  * one aggregation over the edge list — no driver-side graph, no
-  * collect; the driver loop only checks the convergence count, so the
-  * operator scales with the cluster like any join.
+  * Algorithm: iterative min-label propagation WITH pointer jumping.
+  * Every node starts labeled with itself; each round every node takes
+  * the min of its own and its neighbors' labels (one shuffle join +
+  * one aggregation over the edge list), then jumps its label to its
+  * label's label (one self-join of the small per-node label table:
+  * lbl <- lbl[lbl]). Labels only ever decrease and always name a node
+  * of the same component, so the fixpoint — every node carries the min
+  * node id of its component — is unchanged by the jump; what changes
+  * is the convergence rate: propagation alone needs diameter rounds
+  * (label 1 crosses one edge per round), while the jump doubles the
+  * collapsed pointer distance per round, so a depth-d chain converges
+  * in O(log d) rounds. Fewer rounds = fewer jobs = less scheduler and
+  * driver-contention exposure per query (each round's only action is
+  * the convergence count). No driver-side graph, no collect.
   *
-  * Rounds needed = the largest component's diameter. Near-dup graphs
-  * are dense clumps (diameter 2-3, so 3-4 rounds). For adversarially
-  * chain-shaped graphs the alternating small-star/large-star contraction
-  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-  * SoCC'14) drops rounds to O(log n) at the cost of two joins per
-  * round; min-label is the right default for the dedup workload.
+  * Near-dup graphs are dense clumps (diameter 2-3: 3 rounds). For
+  * graphs whose EDGE LIST itself is too large to re-join each round,
+  * the alternating small-star/large-star contraction (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) shrinks
+  * the state as it goes at the cost of two edge-table shuffles per
+  * round; it remains available via `starContraction = true`.
   */
 object Graph {
 
@@ -44,8 +51,9 @@ object Graph {
     * row per distinct endpoint: (node, component) with component = min
     * node id reachable. Deterministic for any input order.
     * `starContraction = true` switches to the alternating small-star /
-    * large-star algorithm — O(log^2 n) rounds regardless of diameter,
-    * for chain-shaped graphs that would exhaust min-label's round cap.
+    * large-star algorithm — also O(log^2 n) rounds, but its per-round
+    * state is the (shrinking) edge set rather than the edge set re-joined
+    * against labels, which can win when edges >> nodes.
     *
     * `checkpointDir = Some(dir)` truncates lineage through RELIABLE
     * checkpoints (HDFS/object-store files) instead of localCheckpoint:
@@ -78,19 +86,35 @@ object Graph {
       // neighbor labels + own label -> min per node. The node's PREVIOUS
       // label rides through the aggregation as min of a null-for-
       // neighbors column (each node has exactly one own row), so the
-      // convergence check needs no extra join against the old labels —
-      // one join + one aggregation per round, then a filter-count.
-      val next = ckpt(sym.join(labels, sym("a") === labels("node"))
+      // convergence check needs no extra join against the old labels.
+      val prop = sym.join(labels, sym("a") === labels("node"))
         .select(col("b").as("node"), col("lbl"), lit(null).cast("long").as("own"))
         .unionAll(labels.select(col("node"), col("lbl"), col("lbl").as("own")))
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"), min(col("own")).as("prev")))
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"), min(col("own")).as("prev"))
+      // pointer jump: lbl <- lbl[lbl]. Every label value is itself a
+      // node id present in the table (labels start as node ids and only
+      // mins of existing labels propagate), and lbl(x) <= x always, so
+      // the jumped label is <= the propagated one and still inside the
+      // component — this is what collapses a depth-d chain in O(log d)
+      // rounds instead of d. Self-join of the SAME Dataset: Spark
+      // de-duplicates the attribute ids; both references reuse the
+      // aggregation's shuffle output (ReuseExchange), so the agg runs
+      // once. The label table is one row per node — tiny next to the
+      // edge join — so the extra exchange is cheap; left+coalesce is
+      // belt-and-braces for the (impossible) dangling-label case.
+      val next = ckpt(prop.alias("x").join(prop.alias("y"),
+          col("x.lbl") === col("y.node"), "left")
+        .select(col("x.node").as("node"),
+          least(col("x.lbl"), coalesce(col("y.lbl"), col("x.lbl"))).as("lbl"),
+          col("x.prev").as("prev")))
       changed = next.where(col("lbl") =!= col("prev")).count()
       labels = next.select(col("node"), col("lbl")) // superseded blocks GC'd by ContextCleaner
       it += 1
     }
     // silent non-convergence would return an UNDER-MERGED clustering —
-    // fail loudly instead (a diameter > maxIter component needs a
-    // higher cap or the star-contraction variant)
+    // fail loudly instead (with pointer jumping, rounds ~ log2(diameter),
+    // so hitting the default cap means a pathological graph — raise the
+    // cap or use the star-contraction variant)
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds ($changed labels still changing)")

@@ -192,13 +192,32 @@ object TextQueries {
     * is the quadratic term — the cap bounds each posting's work at
     * C(maxDf, 2) by construction, trading bounded recall (a pair is
     * missed only if ALL its shared prefix hashes are ultra-common) for
-    * a survivable curve. Default None = exact, oracle-parity.
+    * a survivable curve.
+    *
+    * DEFAULT = `Some(DefaultMaxDf)` (capped), because the default is
+    * what production callers run at 100 TB and the exact path's cost is
+    * pair-volume-bound: on a 30x-replicated worst-case corpus the exact
+    * path ran 64.9 s (x28.6 vs 1x) where the capped path ran 2.75 s
+    * (x1.4, flat) — see BENCH_NOTES. The recall trade is measured, not
+    * guessed: lossless at sf0.001 and sf0.1, drops 1 of 26 pairs at
+    *  sf0.01, and loses ~27% of pairs only on the adversarial
+    * all-replicas corpus where every prefix shingle is ultra-common.
+    * Exact enumeration is an EXPLICIT choice — pass `maxDf = None`
+    * (what the q43 oracle does; the capped default is oracle-gated in
+    * its own right by q60).
     *
     * Caching: the shingle-hash base (index + both closing join sides
     * scan it) and the posting table (both expansion branches scan it)
     * are persisted — pass a [[graft.engine.CacheScope]] to own the
     * release, as with [[curatedDocs]]. */
-  def ngramJaccardPairs(s: SparkSession, d: String, maxDf: Option[Int] = None,
+  /** The scale-safe default df cap (see [[ngramJaccardPairs]]): small
+    * enough to bound per-posting expansion at C(64,2) = 2016 pairs,
+    * large enough that every measured non-adversarial corpus keeps
+    * (near-)full recall. */
+  val DefaultMaxDf: Int = 64
+
+  def ngramJaccardPairs(s: SparkSession, d: String,
+                        maxDf: Option[Int] = Some(DefaultMaxDf),
                         scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked): DataFrame = {
     val base = scope.persist(Tables.documents(s, d)
       // cheap-precursor filter — see signatures() for why not
@@ -477,8 +496,11 @@ object TextQueries {
     // share >= 1 rare prefix hash), so it gets its own FULL oracle: the
     // SQL states the prefix-filter + df-cap + exact-intersection
     // definition declaratively and must agree hash-exactly.
+    // Runs the library DEFAULT (capped at DefaultMaxDf = 64): the oracle
+    // below gates exactly what a production caller gets without opting
+    // into anything.
     "q60_capped_jaccard_pairs" -> Q(
-      (s, d) => ngramJaccardPairs(s, d, Some(64)),
+      (s, d) => ngramJaccardPairs(s, d),
       s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
          |s2 AS (SELECT doc_id, ${TextOps.sqlShingleList("tk")} AS sh FROM t),
          |hs AS (SELECT doc_id,
@@ -516,7 +538,7 @@ object TextQueries {
     // (this oracle runs cap-off for exactness; q60 gates the capped
     // path with its own oracle).
     "q43_ngram_jaccard_pairs" -> Q(
-      (s, d) => ngramJaccardPairs(s, d),
+      (s, d) => ngramJaccardPairs(s, d, maxDf = None), // exact: opt-out of the scale-safe default cap
       s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
          |s2 AS (SELECT doc_id, ${TextOps.sqlShingleList("tk")} AS sh FROM t),
          |hs AS (SELECT doc_id, len(sh) AS n,
@@ -735,6 +757,50 @@ object TextQueries {
          |  FROM tok GROUP BY 1)
          |SELECT doc_id,
          |       CAST(${(0 until 32).map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
-         |FROM votes ORDER BY doc_id""".stripMargin)
+         |FROM votes ORDER BY doc_id""".stripMargin),
+
+    // PII redaction ([[TextOps.redactPii]]): URL -> email -> phone
+    // regexp_replace chain, codegen'd, zero shuffles — corpus cleaning's
+    // standard pre-tokenization pass. The test corpus carries no PII
+    // (verified: no '@'/'http' anywhere), so the query INJECTS a
+    // deterministic synthetic email + phone + URL per doc before
+    // redacting — the oracle must agree on the redacted text hash-
+    // exactly, and chars_delta != 0 proves the chain rewrote every row
+    // (CleaningSpec pins that plus the marker tokens). Both engines'
+    // regex dialects (Java, RE2) agree on these lookaround-free patterns
+    // by construction — see the TextOps scaladoc.
+    "q61_pii_redaction" -> Q(
+      (s, d) => {
+        val dirty = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          concat(col("text"),
+            lit(" Contact user"), col("doc_id").cast("string"), lit("@example.com"),
+            lit(" or +1 (555) 010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" via https://ex.org/u/"), col("doc_id").cast("string"),
+            lit(" now.")).as("t"))
+        // redacted text materialized ONCE as its own projection stage
+        // (the TextOps rule: never make two consumers re-run the chain)
+        dirty.withColumn("clean", TextOps.redactPii(col("t")))
+          .select(col("doc_id"),
+            md5(col("clean")).as("red_hash"),
+            (length(col("t")) - length(col("clean"))).cast("long").as("chars_removed"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |         text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |              || ' or +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |              || ' via https://ex.org/u/' || CAST(doc_id AS VARCHAR) || ' now.' AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, t,
+        |         regexp_replace(regexp_replace(regexp_replace(t,
+        |           'https?://[^\s]+', '<URL>', 'g'),
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS clean
+        |  FROM dirty)
+        |SELECT doc_id, md5(clean) AS red_hash,
+        |       CAST(length(t) - length(clean) AS BIGINT) AS chars_removed
+        |FROM red ORDER BY doc_id""".stripMargin)
   )
 }

@@ -27,6 +27,31 @@ class CleaningSpec extends SparkSpec {
     assert(got("e") == "mixed: <URL> <EMAIL> <PHONE> end")
   }
 
+  test("q61 provably rewrites: injected PII is redacted in EVERY row, markers present") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q61_pii_redaction")(spark, sf)
+    val n = out.count()
+    assert(n > 0)
+    // the injected email + phone + URL shrink to fixed markers, so every
+    // row must have lost characters — a no-op redaction chain would
+    // produce chars_removed == 0 everywhere and still hash-match a
+    // no-op oracle; this is the non-vacuousness guard
+    assert(out.where(col("chars_removed") <= 0).count() == 0,
+      "every row carries injected PII, so every row must shrink under redaction")
+    // and the redacted text really carries the markers (recompute the
+    // projection with the clean text exposed)
+    val dirty = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" Contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1 (555) 010-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" via https://ex.org/u/"), col("doc_id").cast("string"), lit(" now.")).as("t"))
+      .select(col("doc_id"), TextOps.redactPii(col("t")).as("clean"))
+    assert(dirty.where(!col("clean").contains("<EMAIL>") ||
+      !col("clean").contains("<PHONE>") || !col("clean").contains("<URL>")).count() == 0,
+      "each injected PII kind must be replaced by its marker in every row")
+  }
+
   test("redaction composes with the quality/token operators downstream") {
     import spark.implicits._
     val df = Seq(("x", "visit https://spam.example.com now"))
@@ -75,12 +100,21 @@ class CleaningSpec extends SparkSpec {
       s"cached RDDs leaked past scope.close(): ${after.diff(before)}")
   }
 
-  test("q43 maxDf cap: cap-off is the registry query; cap-on loses no rare-shingle pair") {
+  test("q43 maxDf cap: exact is an explicit opt-out; the DEFAULT is the scale-safe cap") {
     val sf = "/root/testdata/sf0.001"
-    val exact = graft.queries.TextQueries.ngramJaccardPairs(spark, sf)
+    val exact = graft.queries.TextQueries.ngramJaccardPairs(spark, sf, maxDf = None)
       .select("doc_a", "doc_b", "n_common", "jaccard")
-    val capped = graft.queries.TextQueries.ngramJaccardPairs(spark, sf, Some(64))
+    val capped = graft.queries.TextQueries.ngramJaccardPairs(spark, sf,
+      Some(graft.queries.TextQueries.DefaultMaxDf))
       .select("doc_a", "doc_b", "n_common", "jaccard")
+    // the no-args call IS the capped path — a production caller gets the
+    // bounded-work plan without opting into anything (r6 verdict: the
+    // 100-TB scale-killer was exact-as-default, not exact-as-option)
+    val default = graft.queries.TextQueries.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+    assert(default.exceptAll(capped).count() == 0 &&
+      capped.exceptAll(default).count() == 0,
+      "default must equal the explicit DefaultMaxDf cap")
     // cap-on can only DROP candidates (postings with df > cap) — every
     // pair it reports is an exact pair with the exact Jaccard value
     assert(capped.exceptAll(exact).count() == 0,

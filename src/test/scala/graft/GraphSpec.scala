@@ -45,10 +45,45 @@ class GraphSpec extends SparkSpec {
 
   test("non-convergence within maxIter fails loudly, never returns wrong labels") {
     import spark.implicits._
+    // one round collapses a chain only a couple of hops (propagation +
+    // one pointer jump), so a 9-node chain cannot converge in 1 round
     val chain = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("src", "dst")
     intercept[IllegalStateException] {
-      Graph.connectedComponents(chain, "src", "dst", maxIter = 3).collect()
+      Graph.connectedComponents(chain, "src", "dst", maxIter = 1).collect()
     }
+  }
+
+  /** Jobs submitted while `body` runs (AQE submits several per round, so
+    * absolute counts are config-dependent; RATIOS across inputs are not). */
+  private def countingJobs[T](body: => T): (T, Int) = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out = try body finally {
+      Thread.sleep(500) // listener bus is async; let the last events land
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    (out, jobs.get)
+  }
+
+  test("pointer jumping: DEFAULT-path job count grows ~log(depth), not linearly") {
+    def chain(n: Long) = (1L to n).sliding(2).map(s => (s(1), s(0))).toSeq
+    // default maxIter = 50: propagation alone could not even finish the
+    // depth-200 chain (it would throw); the jump collapses it
+    val (got63, jobs63) = countingJobs(run(chain(64)))
+    val (got200, jobs200) = countingJobs(run(chain(201)))
+    assert(got63 == (1L to 64L).map(_ -> 1L).toMap)
+    assert(got200 == (1L to 201L).map(_ -> 1L).toMap)
+    // rounds ~ log2(depth): 64 -> ~7, 201 -> ~9. Linear propagation would
+    // be 63 vs 200 rounds — a 3.2x job ratio; logarithmic is ~1.3x. The
+    // 2x cut line separates the two regimes with slack on both sides.
+    assert(jobs200 < 2 * jobs63,
+      s"depth-200 chain took $jobs200 jobs vs $jobs63 for depth-63 — " +
+        "that is linear-in-diameter growth; pointer jumping should be logarithmic")
   }
 
   test("random graph matches union-find reference") {
@@ -102,7 +137,7 @@ class GraphSpec extends SparkSpec {
     val tail = (1000L to 1060L).sliding(2).map(s => (s(0), s(1))).toSeq :+ (5L, 1000L)
     val edges = clumpy ++ tail
     assert(runStar(edges) == unionFind(edges))
-    // min-label needs a cap past the 62-deep tail; star does not
-    assert(runStar(edges) == run(edges, maxIter = 80))
+    // the 62-deep tail is no sweat for the jumped default either
+    assert(runStar(edges) == run(edges))
   }
 }

@@ -431,6 +431,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("writer fence: a second concurrent merge is rejected loudly, store intact") {
+    val schema = StructType(Seq(StructField("city", StringType),
+      StructField("value", DoubleType), StructField("seq", LongType)))
+    val target = tmpDir("upsert_fence").resolve("t").toString
+    val seed = spark.createDataFrame(java.util.List.of(
+      (0 until 8).map(i =>
+        org.apache.spark.sql.Row(s"c$i", i.toDouble, 1L)): _*), schema)
+    Sinks.upsertParquetPartitioned(spark, seed, target, Seq("city"), Some("seq"), numBuckets = 4)
+    val before = Sinks.readUpsertStore(spark, target).collect().toSet
+    // simulate a merge in flight: its fence file exists
+    val fence = new org.apache.hadoop.fs.Path(target + "_lock")
+    val fs = fence.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(fence, false).close()
+    val b2 = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row("c3", 99.0, 2L)), schema)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Sinks.upsertParquetPartitioned(spark, b2, target, Seq("city"), Some("seq"))
+    }
+    assert(e.getMessage.contains("another writer"),
+      s"rejection must explain itself: ${e.getMessage}")
+    // the fenced-out merge must not have touched ANYTHING — data or fence
+    assert(Sinks.readUpsertStore(spark, target).collect().toSet == before,
+      "a fenced-out merge must leave the store byte-identical")
+    assert(fs.exists(fence), "the loser must not delete the holder's fence")
+    // rebucket honors the same fence
+    intercept[java.util.ConcurrentModificationException] {
+      Sinks.rebucketUpsertStore(spark, target, 8)
+    }
+    // holder finishes (fence released) -> the next merge proceeds and wins
+    fs.delete(fence, false)
+    Sinks.upsertParquetPartitioned(spark, b2, target, Seq("city"), Some("seq"))
+    val out = Sinks.readUpsertStore(spark, target)
+    assert(out.count() == 8)
+    assert(out.where(col("city") === "c3").head.getAs[Double]("value") == 99.0)
+    // ... and the successful merge cleaned its own fence up
+    assert(!fs.exists(fence), "a completed merge must release its fence")
+  }
+
   test("rebucket re-lays the store at a new count; content and merges survive") {
     val schema = StructType(Seq(StructField("city", StringType),
       StructField("value", DoubleType), StructField("seq", LongType)))
