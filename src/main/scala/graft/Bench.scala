@@ -51,7 +51,28 @@ object Bench {
         df.agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
           df.columns.map(c => org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.col(c))): _*).collect()
       }
-    } catch { case _: Throwable => () }
+      // ... and of the session MACHINERY, on a 2-row in-memory frame
+      // that shares nothing with the bench tables (so no cached-subplan
+      // leakage into timed results): the first shuffle exchange, first
+      // broadcast join, first window exec, and first persist each pay a
+      // one-off init (shuffle system, broadcast infra, Janino/codegen
+      // compiler load, InMemoryRelation) that would otherwise be billed
+      // to the first timed query — with heavy-first ordering, the most
+      // expensive one (q60 carried ~2 s of it in r6/r7 readings).
+      locally {
+        import org.apache.spark.sql.functions.{broadcast, col, count, row_number}
+        val tiny = spark.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(1, "a"), org.apache.spark.sql.Row(2, "b")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+        tiny.groupBy("k").agg(count(col("v"))).collect()
+        tiny.join(broadcast(tiny.select(col("k"))), "k").collect()
+        tiny.select(row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy("v")).as("r")).collect()
+        val cached = tiny.persist(); cached.count(); cached.unpersist(true)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
     // NOT warmed: the queries themselves. Running them untimed at
     // sf0.001 was measured at ~30 s of extra wall (AQE picks different
     // join strategies at that scale, so even the codegen cache misses) —
@@ -111,6 +132,10 @@ object Bench {
     // durations keep ms precision, offsets get 2 decimals.
     def fmt(v: Double): String = "%.3f".format(v)
     def short(n: String): String = n.takeWhile(_ != '_')
+    // two queries sharing a qNN prefix would silently collide to one
+    // stdout key — fail loudly instead (full names stay in BENCH_DETAIL)
+    require(names.map { case (n, _) => short(n) }.distinct.size == names.size,
+      "bench stdout keys (qNN prefixes) must be unique across queries")
     val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val t0s = names.map { case (n, _) =>
@@ -130,7 +155,7 @@ object Bench {
       val body = s"""{"total_s":${fmt(total)},"iters":$iters,"sf":"$sfDir","note":"t0_s = offset of the query's first timed start from pass start; stdout line keys are the qNN prefixes of these names","queries":$detail}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         body.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"t0":$t0s,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty)

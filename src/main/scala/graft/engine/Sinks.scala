@@ -114,27 +114,65 @@ object Sinks {
     * The swap protocols here are SINGLE-writer: two concurrent merges
     * could interleave their bucket swaps undetected (each one's aside
     * copy clobbering the other's fresh data). The fence is a sibling
-    * `<path>_lock` file created with overwrite = false — atomic on HDFS
-    * and local FS (object stores without atomic create-exclusive need an
-    * external coordinator; this fence still catches the common
-    * same-cluster double-writer). The second writer fails LOUDLY rather
-    * than corrupting the store; a lock left by a crashed writer must be
-    * deleted by an operator (the message says so — auto-expiry would
-    * reintroduce the race it exists to prevent). */
+    * `<path>_lock` file created exclusively — atomic on HDFS
+    * (`create(overwrite = false)` is a single namenode op); on the
+    * local FS Hadoop's `RawLocalFileSystem` is check-then-create, NOT
+    * atomic, so the `file` scheme goes through `java.nio` `CREATE_NEW`
+    * (`O_CREAT|O_EXCL`) instead. Object stores without atomic
+    * create-exclusive need an external coordinator; this fence still
+    * catches the common same-cluster double-writer. The second writer
+    * fails LOUDLY rather than corrupting the store; a lock left by a
+    * crashed writer must be deleted by an operator (the message says
+    * so — auto-expiry would reintroduce the race it exists to
+    * prevent). If the fence file is created but the metadata payload
+    * fails to land (close() is the actual PUT on object stores), the
+    * fence is deleted before rethrowing so a transient write failure
+    * cannot strand a lock that blocks all future merges. */
   private def acquireWriterLock(fs: org.apache.hadoop.fs.FileSystem,
                                 path: String): org.apache.hadoop.fs.Path = {
     val lock = new org.apache.hadoop.fs.Path(path + "_lock")
-    val out = try fs.create(lock, false) catch {
-      case e: java.io.IOException =>
-        throw new java.util.ConcurrentModificationException(
-          s"store at $path has another writer in flight (fence $lock exists); " +
-            "concurrent merges are not coordinated — retry after it finishes, " +
-            "or delete the fence file if the previous writer crashed", e)
-    }
-    try out.write(
+    val payload =
       s"""{"holder_pid":${ProcessHandle.current.pid},"acquired_ms":${System.currentTimeMillis}}"""
-        .getBytes("UTF-8"))
-    finally out.close()
+        .getBytes("UTF-8")
+    def contended(e: Throwable) =
+      new java.util.ConcurrentModificationException(
+        s"store at $path has another writer in flight (fence $lock exists); " +
+          "concurrent merges are not coordinated — retry after it finishes, " +
+          "or delete the fence file if the previous writer crashed", e)
+    if (fs.getScheme == "file") {
+      val p = java.nio.file.Paths.get(fs.makeQualified(lock).toUri.getPath)
+      // hadoop fs.create makes parent dirs implicitly; nio does not —
+      // a first-ever merge has no store dir yet
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      try java.nio.file.Files.write(p, payload,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException => throw contended(e)
+        case scala.util.control.NonFatal(t) =>
+          // create succeeded but the payload write failed — don't strand
+          // the fence (FileAlreadyExists was already rethrown above, so
+          // this can only delete OUR file, never another writer's)
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () }
+          throw t
+      }
+    } else {
+      val out = try fs.create(lock, false) catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException => throw contended(e)
+        case e: java.nio.file.FileAlreadyExistsException => throw contended(e)
+        // a generic IOException is only contention if the fence actually
+        // exists — permission/transient-FS failures propagate as plain IO
+        // errors instead of sending the operator chasing a phantom writer
+        case e: java.io.IOException if (try fs.exists(lock) catch { case _: java.io.IOException => false }) =>
+          throw contended(e)
+      }
+      try { try out.write(payload) finally out.close() }
+      catch {
+        case scala.util.control.NonFatal(t) =>
+          try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+          throw t
+      }
+    }
     lock
   }
 

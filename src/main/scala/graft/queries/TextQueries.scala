@@ -169,6 +169,12 @@ object TextQueries {
       .select(docs.columns.map(col) :+ col("quality"): _*)
   }
 
+  /** The scale-safe default df cap (see [[ngramJaccardPairs]]): small
+    * enough to bound per-posting expansion at C(64,2) = 2016 pairs,
+    * large enough that every measured non-adversarial corpus keeps
+    * (near-)full recall. */
+  val DefaultMaxDf: Int = 64
+
   /** q43 as a library function: exact n-gram Jaccard near-dup pairs
     * (jaccard >= 0.8, doc_a < doc_b) via a prefix-filtered
     * set-similarity join (PPJoin shape), entirely result-identical to
@@ -210,12 +216,6 @@ object TextQueries {
     * scan it) and the posting table (both expansion branches scan it)
     * are persisted — pass a [[graft.engine.CacheScope]] to own the
     * release, as with [[curatedDocs]]. */
-  /** The scale-safe default df cap (see [[ngramJaccardPairs]]): small
-    * enough to bound per-posting expansion at C(64,2) = 2016 pairs,
-    * large enough that every measured non-adversarial corpus keeps
-    * (near-)full recall. */
-  val DefaultMaxDf: Int = 64
-
   def ngramJaccardPairs(s: SparkSession, d: String,
                         maxDf: Option[Int] = Some(DefaultMaxDf),
                         scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked): DataFrame = {

@@ -64,7 +64,9 @@ class GraphSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     val out = try body finally {
-      Thread.sleep(500) // listener bus is async; let the last events land
+      // drain the async bus deterministically (vs a fixed sleep, which
+      // both undercounts under load and wastes half a second per call)
+      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(spark.sparkContext, 30000)
       spark.sparkContext.removeSparkListener(listener)
     }
     (out, jobs.get)

@@ -469,6 +469,45 @@ class StreamingSpec extends SparkSpec {
     assert(!fs.exists(fence), "a completed merge must release its fence")
   }
 
+  test("writer fence: two truly concurrent merges — exactly one wins, store consistent") {
+    val schema = StructType(Seq(StructField("city", StringType),
+      StructField("value", DoubleType), StructField("seq", LongType)))
+    val target = tmpDir("upsert_race").resolve("t").toString
+    val seed = spark.createDataFrame(java.util.List.of(
+      (0 until 8).map(i =>
+        org.apache.spark.sql.Row(s"c$i", i.toDouble, 1L)): _*), schema)
+    Sinks.upsertParquetPartitioned(spark, seed, target, Seq("city"), Some("seq"), numBuckets = 4)
+    val batch = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row("c3", 99.0, 2L)), schema)
+    // both racers release from the barrier together; the fence is taken
+    // within microseconds of entry and held for the whole (hundreds of
+    // ms) merge, so the loser always finds it occupied
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 2).map { i =>
+      new Thread(() => {
+        barrier.await()
+        try {
+          Sinks.upsertParquetPartitioned(spark, batch, target, Seq("city"), Some("seq"))
+          outcomes.add("win")
+        } catch {
+          case _: java.util.ConcurrentModificationException => outcomes.add("fenced")
+          case t: Throwable => outcomes.add(s"unexpected: $t")
+        }
+      }, s"race-merger-$i")
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    val res = outcomes.toArray(Array.empty[String]).sorted.toSeq
+    assert(res == Seq("fenced", "win"), s"expected exactly one winner, got: $res")
+    // the surviving store carries the merge, the fence is released
+    val out = Sinks.readUpsertStore(spark, target)
+    assert(out.count() == 8)
+    assert(out.where(col("city") === "c3").head.getAs[Double]("value") == 99.0)
+    val fence2 = new org.apache.hadoop.fs.Path(target + "_lock")
+    val fs2 = fence2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs2.exists(fence2), "the winner must release the fence; the loser must not have created one")
+  }
+
   test("rebucket re-lays the store at a new count; content and merges survive") {
     val schema = StructType(Seq(StructField("city", StringType),
       StructField("value", DoubleType), StructField("seq", LongType)))
