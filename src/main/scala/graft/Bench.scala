@@ -73,12 +73,23 @@ object Bench {
         val cached = tiny.persist(); cached.count(); cached.unpersist(true)
       }
     } catch { case scala.util.control.NonFatal(_) => () }
-    // NOT warmed: the queries themselves. Running them untimed at
-    // sf0.001 was measured at ~30 s of extra wall (AQE picks different
-    // join strategies at that scale, so even the codegen cache misses) —
-    // the first timed query simply carries ~1.5-2 s of session init
-    // (first shuffle, first cache, first kernel codegen); BENCH_NOTES
-    // accounts for it.
+    // Queries themselves are NOT warmed wholesale: running all ~60
+    // untimed at sf0.001 was measured at ~30 s of extra wall (AQE picks
+    // different join strategies at that scale, so even the codegen
+    // cache misses). Only the top-3 heavy dedup queries pre-run at
+    // sf0.001 (~2 s total): they own the pass's first positions, and
+    // their residual first-position cost is classloading (TextQueries +
+    // kernel Expression classes) and C2-JIT of the prefix-expand /
+    // posting-table codepaths — which only executing those functions
+    // compiles. Data is sf0.001, results uncached (clearCache below),
+    // so nothing result-shaped leaks into timed readings.
+    try {
+      Seq("q60_capped_jaccard_pairs", "q43_ngram_jaccard_pairs",
+        "q49_dup_clusters").foreach { n =>
+        SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      }
+      spark.catalog.clearCache()
+    } catch { case scala.util.control.NonFatal(_) => () }
     val samples = names.map { case (n, _) =>
       n -> scala.collection.mutable.ArrayBuffer.empty[Double] }.toMap
     // per-query start offset from pass start (r6 verdict: durations alone
