@@ -34,17 +34,33 @@ object Graph {
 
   import scala.util.chaining.scalaUtilChainingOps
 
-  /** Lineage-truncation strategy for the iteration state: lazy
+  /** Lineage-truncation strategies for the iteration state:
     * localCheckpoint (executor block stores — fast, not fault-tolerant)
-    * by default, or lazy RELIABLE checkpoint when a directory is given.
-    * Lazy in both cases: each round's convergence count is the action
-    * that materializes the round's checkpoint as a side effect. */
-  private def checkpointer(probe: DataFrame, dir: Option[String]): DataFrame => DataFrame =
+    * by default, or RELIABLE checkpoint when a directory is given.
+    * Returns (lazy, eager):
+    *   - LAZY for per-round state — each round's convergence count is
+    *     the action that materializes the round's checkpoint as a side
+    *     effect, keeping one job per round;
+    *   - EAGER for the loop INPUTS (the symmetric edge table and the
+    *     initial labels). These must be materialized before the first
+    *     round: a lazy checkpoint finalizes only at the END of the
+    *     first job that computes it, so every OTHER reference to it in
+    *     that same job re-executes the full upstream plan. With the
+    *     edge list that upstream plan is the caller's candidate-pair
+    *     generation (e.g. the LSH band join), which appears twice in
+    *     the symmetric union and again under the label init — measured
+    *     at a 30x-scale corpus, the lazy version re-ran pair-gen ~4x
+    *     inside round 0 (19 s shipped vs 4 s pair-gen + 0.5 s of
+    *     rounds when materialized eagerly). Two up-front jobs are noise
+    *     next to that. */
+  private def checkpointers(probe: DataFrame,
+                            dir: Option[String]): (DataFrame => DataFrame, DataFrame => DataFrame) =
     dir match {
       case Some(d) =>
         probe.sparkSession.sparkContext.setCheckpointDir(d)
-        df => df.checkpoint(eager = false)
-      case None => df => df.localCheckpoint(eager = false)
+        (df => df.checkpoint(eager = false), df => df.checkpoint(eager = true))
+      case None =>
+        (df => df.localCheckpoint(eager = false), df => df.localCheckpoint(eager = true))
     }
 
   /** Components of the undirected graph given by `edges`; returns one
@@ -68,17 +84,18 @@ object Graph {
                           checkpointDir: Option[String] = None): DataFrame = {
     if (starContraction)
       return connectedComponentsStar(edges, src, dst, maxIter, checkpointDir)
-    val ckpt = checkpointer(edges, checkpointDir)
+    val (ckpt, ckptNow) = checkpointers(edges, checkpointDir)
     val e = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
     // symmetric closure once, so each round is a single directed join.
     // Iteration state goes through checkpoints, NOT persist: the
     // round's plan references the previous labels twice (propagation +
     // convergence check), so without lineage truncation the logical plan
     // doubles per round and analysis itself blows up after ~15 rounds.
-    // lazy checkpoints: the convergence count is the round's ONLY job —
-    // it materializes the checkpoint as a side effect
-    val sym = ckpt(e.unionAll(e.select(col("b").as("a"), col("a").as("b"))))
-    var labels = ckpt(sym.select(col("a").as("node")).distinct()
+    // Inputs are EAGER (pair-gen upstream runs exactly once — see
+    // checkpointers); per-round state stays lazy so the convergence
+    // count remains the round's ONLY job.
+    val sym = ckptNow(e.unionAll(e.select(col("b").as("a"), col("a").as("b"))))
+    var labels = ckptNow(sym.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node")))
     var it = 0
     var changed = 1L
@@ -134,9 +151,12 @@ object Graph {
   def connectedComponentsStar(edges: DataFrame, src: String, dst: String,
                               maxIter: Int = 30,
                               checkpointDir: Option[String] = None): DataFrame = {
-    val ckpt = checkpointer(edges, checkpointDir)
-    val e0 = edges.select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
-      .where(col("u") =!= col("v"))
+    val (ckpt, ckptNow) = checkpointers(edges, checkpointDir)
+    // eager: the caller's pair-gen runs once; nodes / the oriented edge
+    // init / the final join all read the materialized blocks instead of
+    // re-executing the upstream plan (see checkpointers)
+    val e0 = ckptNow(edges.select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .where(col("u") =!= col("v")))
     val nodes = ckpt(e0.select(col("u").as("node"))
       .unionAll(e0.select(col("v").as("node"))).distinct())
     // state: distinct edges oriented (larger u, smaller v); same
