@@ -64,6 +64,60 @@ object TextQueries {
   private def lshPairs(s: SparkSession, d: String): DataFrame =
     lshPairsOf(signatures(s, d).persist())
 
+  /** Duplicate-cluster formation (q49's body): connected components over
+    * the MinHash-LSH near-dup graph, with exact replicas COLLAPSED by
+    * full signature before the band join.
+    *
+    * Why the collapse is free (semantics-preserving, not approximate):
+    * docs with identical signatures are always DIRECTLY connected in
+    * the doc-level graph — every band key matches, so the pair survives
+    * candidate generation, and est_sim = 8/8 >= 0.5 — so a signature
+    * group expands to a clique, and cliques change nothing about
+    * connectivity. Cross-group edges are determined entirely by the two
+    * signatures, so the doc-level graph IS the group-level graph with
+    * groups expanded. Components over group representatives (rep = min
+    * doc_id per signature), with every member inheriting its rep's
+    * component, therefore equal the doc-level components exactly — and
+    * the component label (min rep reachable) equals the doc-level min,
+    * because each rep is already its group's min.
+    *
+    * Why it matters at scale: the band join's candidate volume is
+    * quadratic in replica count (N identical replicas -> N^2 candidate
+    * rows per band bucket). Collapsing first makes q49 row-proportional
+    * in the replica dimension — measured at the 100x soak corpus (100
+    * exact replicas of every doc) this path clusters all 500k docs in
+    * seconds where the doc-level join took 80 s building ~25M pairs
+    * (BENCH_NOTES round-8). Same principle as [[curatedDocs]]'
+    * exact-dedup-first ordering, applied inside the cluster operator.
+    *
+    * Members of a multi-doc signature group are clustered even when the
+    * group has no external near-dup edge (they are each other's
+    * duplicates); a singleton group appears only if its rep gained an
+    * edge — exactly the doc-level "nodes of the edge set" semantics. */
+  private[graft] def dupClusters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigCols = (0 until nHashes).map(k => col(s"h$k"))
+    // one shuffle: rep + group size as window aggregates over the full
+    // signature (no groupBy+self-join of the signature table)
+    val grouped = signatures(s, d)
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(sigCols: _*)))
+      .withColumn("members", count(lit(1)).over(Window.partitionBy(sigCols: _*)))
+      .persist()
+    val repSig = grouped.where(col("doc_id") === col("rep"))
+      .select(col("doc_id") +: sigCols: _*).persist()
+    val repEdges = lshPairsOf(repSig).select(col("doc_a"), col("doc_b"))
+    val repComp = graft.ext.Graph.connectedComponents(repEdges, "doc_a", "doc_b")
+      .select(col("node").as("rep"), col("component"))
+    // rep -> component is <= one row per distinct signature in an edge —
+    // usually tiny, but not guaranteed driver-sized at corpus scale, so
+    // the broadcast decision is left to AQE's runtime size observation
+    grouped.join(repComp, Seq("rep"), "left")
+      .where(col("members") >= 2 || col("component").isNotNull)
+      .select(col("doc_id"),
+        coalesce(col("component"), col("rep")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   private val bands = Seq((0, 1), (2, 3), (4, 5), (6, 7))
 
   /** A signature table exploded to one row per (band, k1, k2) bucket
@@ -464,12 +518,7 @@ object TextQueries {
     // same closure as a recursive CTE. Output: one row per clustered
     // doc with its cluster id (= min doc_id in the component).
     "q49_dup_clusters" -> Q(
-      (s, d) => {
-        val edges = lshPairs(s, d).select(col("doc_a"), col("doc_b"))
-        graft.ext.Graph.connectedComponents(edges, "doc_a", "doc_b")
-          .select(col("node").as("doc_id"), col("component").as("cluster_id"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => dupClusters(s, d),
       s"""WITH RECURSIVE $sqlSigCtes,
          |cand AS (
          |${Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (i, j) =>

@@ -149,6 +149,35 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dupClusters' signature collapse equals doc-level components on a replica-heavy corpus") {
+    // 5 exact replicas of every doc — the shape where the collapse pays
+    // (doc-level candidate volume is quadratic in replica count) and
+    // where its correctness argument is actually exercised: multi-doc
+    // signature groups with AND without external near-dup edges
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_dup").toString
+    val base = graft.engine.Tables.documents(spark, sf)
+    (0 until 5).map(r => base.withColumn("doc_id", col("doc_id") + lit(r * 10000000L)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.dupClusters(spark, dir)
+    // reference: the pre-collapse definition — band join over EVERY doc's
+    // signature, components over the doc-level edge set
+    val sig = graft.engine.Tables.documents(spark, dir)
+      .where(size(TextOps.tokens(col("text"))) >= 3)
+      .withColumn("s", graft.expressions.Exprs.minhashSig(col("text")))
+      .select(col("doc_id") +: (0 until 8).map(k =>
+        element_at(col("s"), k + 1).as(s"h$k")): _*)
+      .persist()
+    val edges = graft.queries.TextQueries.lshPairsOf(sig).select("doc_a", "doc_b")
+    val naive = graft.ext.Graph.connectedComponents(edges, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0,
+      "collapsed and doc-level cluster assignments must be identical")
+    spark.catalog.clearCache()
+  }
+
   test("ORC round-trip preserves the documents schema and values") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/documents.orc"
