@@ -23,13 +23,14 @@ object ScaleSoak {
     "q49_dup_clusters", "q53_packing_plan", "q54_decontamination",
     "q55_repetition_stats", "q57_containment_pairs",
     "q45_ann_bruteforce_topk", "q46_lsh_bucket_pairs", "q47_ivf_topk",
-    "q48_embedding_neardup", "q43_capped_df64")
+    "q48_embedding_neardup", "q43_capped_df64", "q42_capped_b64")
 
-  /** Non-registry soak subjects: the q43 df-cap path (maxDf=64) — the
-    * bounded-curve evidence for the near-identical-heavy-corpus
-    * mitigation. Oracle queries stay cap-off (exact). */
+  /** Non-registry soak subjects: the q43 df-cap path (maxDf=64) and the
+    * q42 band-bucket cap — the bounded-curve evidence for the
+    * dense-corpus mitigations. Oracle queries stay cap-off (exact). */
   private val extraRunners: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q43_capped_df64" -> ((s, d) => graft.queries.TextQueries.ngramJaccardPairs(s, d, Some(64))))
+    "q43_capped_df64" -> ((s, d) => graft.queries.TextQueries.ngramJaccardPairs(s, d, Some(64))),
+    "q42_capped_b64" -> ((s, d) => graft.queries.TextQueries.lshCappedPairs(s, d, 64)))
 
   /** Tables replicated with a per-replica key offset; dimension tables
     * are shared (the realistic shape: facts grow, dims don't). */

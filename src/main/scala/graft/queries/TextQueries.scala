@@ -41,7 +41,13 @@ object TextQueries {
     * per ExprEquivalenceSpec). No explode, no shuffle — the signature
     * table is ~n_docs rows of 9 longs regardless of document length. */
   private def signatures(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    signaturesOf(Tables.documents(s, d))
+
+  /** Signature derivation over an arbitrary (doc_id, text, ...) frame —
+    * shared by the table-backed path above and queries that build their
+    * corpus inline (q62 injects replicas the way q61 injects PII). */
+  private def signaturesOf(docs: DataFrame): DataFrame =
+    docs
       // the kernel is null exactly when the doc has < 3 tokens
       // (ExprEquivalenceSpec) — filter on that CHEAP precursor, not on
       // sig.isNotNull: a filter on the derived column gets pushed below
@@ -63,6 +69,12 @@ object TextQueries {
     * so without the cache the pipeline runs 8 times. */
   private def lshPairs(s: SparkSession, d: String): DataFrame =
     lshPairsOf(signatures(s, d).persist())
+
+  /** Table-backed form of the band-bucket-capped pair join (see
+    * [[lshPairsOf]]'s maxBucket doc) — the soak harness measures this
+    * against the exact q42 path on replica-dense corpora. */
+  private[graft] def lshCappedPairs(s: SparkSession, d: String, maxBucket: Int): DataFrame =
+    lshPairsOf(signatures(s, d).persist(), Some(maxBucket))
 
   /** Duplicate-cluster formation (q49's body): connected components over
     * the MinHash-LSH near-dup graph, with exact replicas COLLAPSED by
@@ -93,8 +105,17 @@ object TextQueries {
     * Members of a multi-doc signature group are clustered even when the
     * group has no external near-dup edge (they are each other's
     * duplicates); a singleton group appears only if its rep gained an
-    * edge — exactly the doc-level "nodes of the edge set" semantics. */
-  private[graft] def dupClusters(s: SparkSession, d: String): DataFrame = {
+    * edge — exactly the doc-level "nodes of the edge set" semantics.
+    *
+    * `maxBucket`: opt-in band-bucket cap forwarded to [[lshPairsOf]] —
+    * the bound for the corpus shape the collapse cannot defuse
+    * (near-identical-but-distinct docs: distinct signatures, colliding
+    * bands, quadratic rep-level candidates). Default None preserves the
+    * exact q49 oracle semantics; clusters reachable only through hot
+    * buckets fragment under a cap (documented recall trade, same family
+    * as q60's df-cap). */
+  private[graft] def dupClusters(s: SparkSession, d: String,
+                                 maxBucket: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sigCols = (0 until nHashes).map(k => col(s"h$k"))
     // one shuffle: rep + group size as window aggregates over the full
@@ -105,7 +126,7 @@ object TextQueries {
       .persist()
     val repSig = grouped.where(col("doc_id") === col("rep"))
       .select(col("doc_id") +: sigCols: _*).persist()
-    val repEdges = lshPairsOf(repSig).select(col("doc_a"), col("doc_b"))
+    val repEdges = lshPairsOf(repSig, maxBucket).select(col("doc_a"), col("doc_b"))
     val repComp = graft.ext.Graph.connectedComponents(repEdges, "doc_a", "doc_b")
       .select(col("node").as("rep"), col("component"))
     // rep -> component is <= one row per distinct signature in an edge —
@@ -143,13 +164,41 @@ object TextQueries {
     * joins: same candidate pairs (the band id is part of the join key),
     * a quarter of the join stages, and one exchange per side instead of
     * four — at cluster scale that is 6 fewer shuffles of the signature
-    * table per run. */
-  private[graft] def lshPairsOf(sig: DataFrame): DataFrame =
-    bandedKeys(sig, "doc_a", "a").join(bandedKeys(sig, "doc_b", "b"), Seq("band", "k1", "k2"))
+    * table per run.
+    *
+    * `maxBucket = Some(cap)`: band buckets holding more than `cap`
+    * signatures are excluded from pair formation — the LSH member of
+    * the capped-operator family (q60's prefix df-cap, q57's df ≤ 32).
+    * A band bucket is the unit of quadratic blow-up (b members → b²
+    * candidates), and the one corpus shape the exact-replica collapse
+    * cannot defuse — near-identical-but-DISTINCT docs (templated text)
+    * — lands exactly there: distinct full signatures, colliding bands.
+    * The cap bounds per-bucket work at C(cap, 2) by dropping hot
+    * buckets; a pair is still found through ANY surviving shared band,
+    * so recall is lost only for pairs whose EVERY shared band is hot.
+    * Reported est_sim stays exact (computed from full signatures).
+    * Only the probe side is filtered: pairs form on join-key equality,
+    * so keys absent from one side form nothing, and the build side
+    * avoids a second aggregation pass. */
+  private[graft] def lshPairsOf(sig: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
+    val left0 = bandedKeys(sig, "doc_a", "a")
+    val left = maxBucket match {
+      case Some(cap) =>
+        // occupancy per band key; group keys make `ok` distinct, so the
+        // inner join below is a semi-join that keeps only cool buckets
+        val ok = left0.groupBy(col("band"), col("k1"), col("k2"))
+          .agg(count(lit(1)).as("bucket_n"))
+          .where(col("bucket_n") <= cap)
+          .select(col("band"), col("k1"), col("k2"))
+        left0.join(ok, Seq("band", "k1", "k2"))
+      case None => left0
+    }
+    left.join(bandedKeys(sig, "doc_b", "b"), Seq("band", "k1", "k2"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), estSim("a", "b").as("est_sim"))
       .distinct()
       .where(col("est_sim") >= 0.5)
+  }
 
   /** Asymmetric banded probe — the ingest-time form of the q42 join:
     * (probe doc, stored doc) pairs that collide in at least one band
@@ -339,13 +388,14 @@ object TextQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** DuckDB mirror of [[signatures]] as a `sig` CTE chain. */
-  private val sqlSigCtes: String = {
+  /** DuckDB mirror of [[signaturesOf]] as a `sig` CTE chain over an
+    * arbitrary (doc_id, text) relation. */
+  private def sqlSigCtesFrom(table: String): String = {
     def h(k: Int) = {
       val src = if (k < 4) "m0" else "m1"
       s"list_min(list_transform($src, m -> ('0x' || substr(m, ${1 + 8 * (k % 4)}, 8))::BIGINT)) AS h$k"
     }
-    s"""t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+    s"""t AS (SELECT doc_id, $sqlToks AS tk FROM $table),
        |s2 AS (SELECT doc_id, ${TextOps.sqlShingleList("tk")} AS sh FROM t),
        |s3 AS (SELECT doc_id, list_transform(sh, x -> md5('0:' || x)) AS m0,
        |              list_transform(sh, x -> md5('1:' || x)) AS m1
@@ -353,6 +403,9 @@ object TextQueries {
        |sig AS (SELECT doc_id, ${(0 until nHashes).map(h).mkString(",\n               ")}
        |        FROM s3)""".stripMargin
   }
+
+  /** DuckDB mirror of [[signatures]] (the documents-table form). */
+  private val sqlSigCtes: String = sqlSigCtesFrom("documents")
 
   val defs: Map[String, Q] = Map(
 
@@ -850,6 +903,53 @@ object TextQueries {
         |  FROM dirty)
         |SELECT doc_id, md5(clean) AS red_hash,
         |       CAST(length(t) - length(clean) AS BIGINT) AS chars_removed
-        |FROM red ORDER BY doc_id""".stripMargin)
+        |FROM red ORDER BY doc_id""".stripMargin),
+
+    // Band-bucket-capped LSH pairs — the LSH member of the capped-
+    // operator family (q60: prefix df-cap; q57: posting df <= 32). A
+    // band bucket is the unit of quadratic blow-up, and the one corpus
+    // shape the q49 signature collapse cannot defuse (near-identical-
+    // but-DISTINCT docs) lands exactly there. The synthetic corpus has
+    // no hot buckets, so — like q61 injecting PII — the query builds
+    // them: 4 extra replicas of every 7th doc. Their 5-doc signature
+    // groups exceed the cap (4) in EVERY band, so all their pairs drop
+    // and only cool-bucket pairs survive; the oracle states bucket
+    // occupancy + the cap + the full-signature estimate declaratively,
+    // so both engines must agree on exactly which pairs those are.
+    "q62_lsh_capped_pairs" -> Q(
+      (s, d) => {
+        val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val aug = (1 to 4).map(r =>
+          base.where(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + lit(1000000L * r)).as("doc_id"), col("text")))
+          .foldLeft(base)(_ unionAll _)
+        val sig = signaturesOf(aug).persist()
+        lshPairsOf(sig, maxBucket = Some(4))
+          .select(col("doc_a"), col("doc_b"), col("est_sim"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      s"""WITH docs2 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 * r AS doc_id, text FROM documents
+         |  CROSS JOIN (VALUES (1), (2), (3), (4)) AS reps(r)
+         |  WHERE doc_id % 7 = 0),
+         |${sqlSigCtesFrom("docs2")},
+         |k AS (
+         |  SELECT 0 AS band, h0 AS k1, h1 AS k2, doc_id FROM sig
+         |  UNION ALL SELECT 1, h2, h3, doc_id FROM sig
+         |  UNION ALL SELECT 2, h4, h5, doc_id FROM sig
+         |  UNION ALL SELECT 3, h6, h7, doc_id FROM sig),
+         |ok AS (SELECT band, k1, k2 FROM k GROUP BY 1, 2, 3 HAVING COUNT(*) <= 4),
+         |ka AS (SELECT k.* FROM k JOIN ok USING (band, k1, k2)),
+         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM ka a JOIN k b USING (band, k1, k2)
+         |       WHERE a.doc_id < b.doc_id),
+         |est AS (SELECT doc_a, doc_b,
+         |        (${(0 until nHashes).map(k => s"CAST(sa.h$k = sb.h$k AS INTEGER)").mkString(" + ")}) / 8e0 AS est_sim
+         |        FROM pr JOIN sig sa ON sa.doc_id = pr.doc_a
+         |                JOIN sig sb ON sb.doc_id = pr.doc_b)
+         |SELECT doc_a, doc_b, est_sim FROM est WHERE est_sim >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin)
   )
 }

@@ -175,6 +175,40 @@ class CleaningSpec extends SparkSpec {
     assert(got.count() > 0)
     assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0,
       "collapsed and doc-level cluster assignments must be identical")
+    // a generous band-bucket cap is a no-op here (post-collapse buckets
+    // are all cool) — pins the maxBucket pass-through without changing
+    // the expected clusters
+    val capped = graft.queries.TextQueries.dupClusters(spark, dir, maxBucket = Some(1000))
+    assert(capped.exceptAll(got).count() == 0 && got.exceptAll(capped).count() == 0)
+    spark.catalog.clearCache()
+  }
+
+  test("lshPairsOf maxBucket: hot buckets drop entirely, cool buckets are untouched") {
+    import spark.implicits._
+    // 6 copies of text A (every band bucket of A's signature holds 6 >
+    // cap), 2 copies of text B (bucket size 2 <= cap). Exact: 15 A-pairs
+    // + 1 B-pair, all est_sim = 1.0; capped at 4: ONLY the B-pair.
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "pack my box with five dozen liquor jugs today"
+    val docs = ((1L to 6L).map(i => (i, a)) ++ Seq((7L, b), (8L, b))).toDF("doc_id", "text")
+    val sig = docs
+      .where(size(TextOps.tokens(col("text"))) >= 3)
+      .withColumn("s", graft.expressions.Exprs.minhashSig(col("text")))
+      .select(col("doc_id") +: (0 until 8).map(k =>
+        element_at(col("s"), k + 1).as(s"h$k")): _*)
+      .persist()
+    val exact = graft.queries.TextQueries.lshPairsOf(sig)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = graft.queries.TextQueries.lshPairsOf(sig, maxBucket = Some(4))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val aPairs = (for (i <- 1L to 6L; j <- (i + 1) to 6L) yield (i, j)).toSet
+    assert(exact == aPairs + ((7L, 8L)))
+    assert(capped == Set((7L, 8L)),
+      "cap=4 must drop every pair of the 6-doc hot group and keep the cool pair")
+    // and a cap above the hottest bucket is exactly the exact path
+    val loose = graft.queries.TextQueries.lshPairsOf(sig, maxBucket = Some(100))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == exact)
     spark.catalog.clearCache()
   }
 
