@@ -27,7 +27,8 @@ object Bench {
     val heavyFirst = Seq(
       "q60_capped_jaccard_pairs", "q43_ngram_jaccard_pairs",
       "q37_curation_pipeline", "q57_containment_pairs",
-      "q49_dup_clusters", "q21_top_revenue_orders",
+      "q49_dup_clusters", "q62_lsh_capped_pairs", // ~1.3 s clean (r8) — shielded like its peers
+      "q21_top_revenue_orders",
       "q22_region_revenue", "q16_flatten_arrays", "q12_upsert_latest",
       "q39_topk_aggregator", "q14_summary_metrics", "q26_priority_top3",
       "q53_packing_plan", "q07_histogram", "q03_avg_by_date_hour")

@@ -88,6 +88,25 @@ class GraphSpec extends SparkSpec {
         "that is linear-in-diameter growth; pointer jumping should be logarithmic")
   }
 
+  test("loop inputs materialize eagerly: edge upstream evaluates at most twice") {
+    import spark.implicits._
+    // the symmetric union references the edge plan twice (forward +
+    // swapped), so the ONE eager materialization of the loop input may
+    // evaluate the upstream up to 2x. The pre-fix LAZY inputs finalized
+    // only at the end of round 0's job, so every other reference in that
+    // job re-ran the full upstream (~4x measured at the 30x soak corpus,
+    // where the upstream is the LSH pair join and the re-runs dominated
+    // the query). The accumulator counts actual row evaluations.
+    val evals = spark.sparkContext.longAccumulator("edgeEvals")
+    val pairs = (1L to 50L).sliding(2).map(s => (s(1), s(0))).toSeq
+    val df = spark.sparkContext.parallelize(pairs, 4)
+      .map { p => evals.add(1); p }.toDF("src", "dst")
+    Graph.connectedComponents(df, "src", "dst").collect()
+    assert(evals.value <= 2L * pairs.size,
+      s"edge upstream evaluated ${evals.value} row-reads for ${pairs.size} edges — " +
+        "lazy-checkpoint recompute of the loop inputs is back")
+  }
+
   test("random graph matches union-find reference") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))

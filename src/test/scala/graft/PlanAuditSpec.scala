@@ -138,6 +138,20 @@ class PlanAuditSpec extends SparkSpec {
       "never an all-pairs stage")
   }
 
+  test("q62 capped LSH pairs: occupancy filter adds one agg+join, never an all-pairs stage") {
+    val p = plan("q62_lsh_capped_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "never an all-pairs stage")
+    // the bucket-occupancy count must combine map-side before its shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "occupancy count must be a partial aggregation")
+    // exactly one MORE equi-join than the exact q42 shape: the cool-bucket
+    // semi filter plus the banded pair join (the corpus-augmenting union
+    // adds no joins)
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(p).length
+    assert(joins == 2, s"expected occupancy semi-join + banded pair join, got $joins joins")
+  }
+
   test("lshProbe (streaming ingest): ONE banded join, never an all-pairs stage") {
     // the store side of the ingest probe is corpus-sized; the probe must
     // stay a single equi-join over the exploded (band,k1,k2) keys — the
