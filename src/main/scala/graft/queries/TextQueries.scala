@@ -184,13 +184,17 @@ object TextQueries {
     val left0 = bandedKeys(sig, "doc_a", "a")
     val left = maxBucket match {
       case Some(cap) =>
-        // occupancy per band key; group keys make `ok` distinct, so the
-        // inner join below is a semi-join that keeps only cool buckets
-        val ok = left0.groupBy(col("band"), col("k1"), col("k2"))
-          .agg(count(lit(1)).as("bucket_n"))
+        // occupancy as an unordered window over the band key — ONE
+        // shuffle of the exploded key table, already partitioned on the
+        // pair join's key when the filter's output reaches it. (An
+        // aggregate + semi-join states the same thing but shuffles the
+        // wide exploded table twice; at 300x-scale that was most of the
+        // capped path's cost.)
+        left0.withColumn("bucket_n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("band"), col("k1"), col("k2"))))
           .where(col("bucket_n") <= cap)
-          .select(col("band"), col("k1"), col("k2"))
-        left0.join(ok, Seq("band", "k1", "k2"))
+          .drop("bucket_n")
       case None => left0
     }
     left.join(bandedKeys(sig, "doc_b", "b"), Seq("band", "k1", "k2"))
