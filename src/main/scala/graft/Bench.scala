@@ -35,6 +35,11 @@ object Bench {
     val rank = heavyFirst.zipWithIndex.toMap
     val names = SparkEntry.queries.toSeq
       .sortBy { case (n, _) => (rank.getOrElse(n, Int.MaxValue), n) }
+    // two queries sharing a qNN prefix would silently collide to one
+    // stdout key — fail loudly BEFORE the multi-minute timed pass, not
+    // after it has produced data the failure would then discard
+    require(names.map { case (n, _) => n.takeWhile(_ != '_') }.distinct.size == names.size,
+      "bench stdout keys (qNN prefixes) must be unique across queries")
     // untimed warmup on the smallest SF: JVM/codegen/parquet-reader init
     // and first-touch of every table must not be billed to whichever
     // query happens to run first
@@ -89,8 +94,13 @@ object Bench {
         "q49_dup_clusters").foreach { n =>
         SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       }
-      spark.catalog.clearCache()
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch { case scala.util.control.NonFatal(_) => ()
+    } finally {
+      // ALWAYS drop the prewarm's cached blocks: a throw mid-prewarm must
+      // not leak sf0.001 caches into the first (heaviest) timed query
+      try spark.catalog.clearCache()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     val samples = names.map { case (n, _) =>
       n -> scala.collection.mutable.ArrayBuffer.empty[Double] }.toMap
     // per-query start offset from pass start (r6 verdict: durations alone
@@ -143,11 +153,7 @@ object Bench {
     // BENCH_DETAIL.json, written below with everything at full fidelity);
     // durations keep ms precision, offsets get 2 decimals.
     def fmt(v: Double): String = "%.3f".format(v)
-    def short(n: String): String = n.takeWhile(_ != '_')
-    // two queries sharing a qNN prefix would silently collide to one
-    // stdout key — fail loudly instead (full names stay in BENCH_DETAIL)
-    require(names.map { case (n, _) => short(n) }.distinct.size == names.size,
-      "bench stdout keys (qNN prefixes) must be unique across queries")
+    def short(n: String): String = n.takeWhile(_ != '_') // uniqueness required above, pre-pass
     val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val t0s = names.map { case (n, _) =>

@@ -58,7 +58,18 @@ object Graph {
     dir match {
       case Some(d) =>
         probe.sparkSession.sparkContext.setCheckpointDir(d)
-        (df => df.checkpoint(eager = false), df => df.checkpoint(eager = true))
+        // eager reliable checkpoints compute the plan TWICE unpersisted
+        // (Dataset.checkpoint's count, then the checkpoint-file writer
+        // job recomputing every partition) — persist across the two jobs
+        // so the upstream still runs exactly once, then release the
+        // blocks (the checkpoint files are the durable copy)
+        (df => df.checkpoint(eager = false),
+          df => {
+            val cached = df.persist()
+            val out = cached.checkpoint(eager = true)
+            cached.unpersist()
+            out
+          })
       case None =>
         (df => df.localCheckpoint(eager = false), df => df.localCheckpoint(eager = true))
     }

@@ -44,9 +44,11 @@ object TextQueries {
     signaturesOf(Tables.documents(s, d))
 
   /** Signature derivation over an arbitrary (doc_id, text, ...) frame —
-    * shared by the table-backed path above and queries that build their
-    * corpus inline (q62 injects replicas the way q61 injects PII). */
-  private def signaturesOf(docs: DataFrame): DataFrame =
+    * shared by the table-backed path above, queries that build their
+    * corpus inline (q62 injects replicas the way q61 injects PII), and
+    * the specs that mirror the pipeline (private[graft] so tests run
+    * the REAL derivation instead of hand-copying it). */
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame =
     docs
       // the kernel is null exactly when the doc has < 3 tokens
       // (ExprEquivalenceSpec) — filter on that CHEAP precursor, not on

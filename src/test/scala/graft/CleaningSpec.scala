@@ -133,11 +133,8 @@ class CleaningSpec extends SparkSpec {
     // apart semantically (probe of a table against itself = the pair
     // join, modulo pair orientation)
     val sf = "/root/testdata/sf0.001"
-    val sig = graft.engine.Tables.documents(spark, sf)
-      .where(size(TextOps.tokens(col("text"))) >= 3)
-      .withColumn("s", graft.expressions.Exprs.minhashSig(col("text")))
-      .select(col("doc_id") +: (0 until 8).map(k =>
-        element_at(col("s"), k + 1).as(s"h$k")): _*)
+    val sig = graft.queries.TextQueries
+      .signaturesOf(graft.engine.Tables.documents(spark, sf))
       .persist()
     val viaPairs = graft.queries.TextQueries.lshPairsOf(sig)
       .select("doc_a", "doc_b", "est_sim")
@@ -163,11 +160,8 @@ class CleaningSpec extends SparkSpec {
     val got = graft.queries.TextQueries.dupClusters(spark, dir)
     // reference: the pre-collapse definition — band join over EVERY doc's
     // signature, components over the doc-level edge set
-    val sig = graft.engine.Tables.documents(spark, dir)
-      .where(size(TextOps.tokens(col("text"))) >= 3)
-      .withColumn("s", graft.expressions.Exprs.minhashSig(col("text")))
-      .select(col("doc_id") +: (0 until 8).map(k =>
-        element_at(col("s"), k + 1).as(s"h$k")): _*)
+    val sig = graft.queries.TextQueries
+      .signaturesOf(graft.engine.Tables.documents(spark, dir))
       .persist()
     val edges = graft.queries.TextQueries.lshPairsOf(sig).select("doc_a", "doc_b")
     val naive = graft.ext.Graph.connectedComponents(edges, "doc_a", "doc_b")
@@ -191,12 +185,7 @@ class CleaningSpec extends SparkSpec {
     val a = "the quick brown fox jumps over the lazy dog"
     val b = "pack my box with five dozen liquor jugs today"
     val docs = ((1L to 6L).map(i => (i, a)) ++ Seq((7L, b), (8L, b))).toDF("doc_id", "text")
-    val sig = docs
-      .where(size(TextOps.tokens(col("text"))) >= 3)
-      .withColumn("s", graft.expressions.Exprs.minhashSig(col("text")))
-      .select(col("doc_id") +: (0 until 8).map(k =>
-        element_at(col("s"), k + 1).as(s"h$k")): _*)
-      .persist()
+    val sig = graft.queries.TextQueries.signaturesOf(docs).persist()
     val exact = graft.queries.TextQueries.lshPairsOf(sig)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val capped = graft.queries.TextQueries.lshPairsOf(sig, maxBucket = Some(4))

@@ -65,8 +65,11 @@ class GraphSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     val out = try body finally {
       // drain the async bus deterministically (vs a fixed sleep, which
-      // both undercounts under load and wastes half a second per call)
-      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(spark.sparkContext, 30000)
+      // both undercounts under load and wastes half a second per call).
+      // A drain timeout must neither mask the body's real exception nor
+      // skip the listener removal (it would leak into later tests).
+      try org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(spark.sparkContext, 30000)
+      catch { case scala.util.control.NonFatal(_) => () }
       spark.sparkContext.removeSparkListener(listener)
     }
     (out, jobs.get)

@@ -15,11 +15,17 @@ import sys
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        sys.exit("usage: merge_clean_bench.py OUT.json SESSION1.json [SESSION2.json ...]")
     out_path, *session_paths = sys.argv[1:]
     sessions = [json.load(open(p)) for p in session_paths]
     names = [q["name"] for q in sessions[0]["queries"]]
     for s in sessions[1:]:
         assert [q["name"] for q in s["queries"]] == names, "query sets differ"
+        # mixed-scale or mixed-iters sessions would merge into one median
+        # table silently and misstate the published config
+        assert s["sf"] == sessions[0]["sf"], "sessions ran different sf dirs"
+        assert s.get("iters") == sessions[0].get("iters"), "sessions ran different iters"
     per_query = {
         n: [q["dur_s"] for s in sessions for q in s["queries"] if q["name"] == n]
         for n in names
