@@ -35,10 +35,14 @@ object Bench {
     val rank = heavyFirst.zipWithIndex.toMap
     val names = SparkEntry.queries.toSeq
       .sortBy { case (n, _) => (rank.getOrElse(n, Int.MaxValue), n) }
+    // stdout keys shrink to the qNN prefix (the driver records only the
+    // tail of stdout; see the emit section) — ONE definition, used by
+    // both the pre-pass guard and the emitters, so they cannot diverge
+    def short(n: String): String = n.takeWhile(_ != '_')
     // two queries sharing a qNN prefix would silently collide to one
     // stdout key — fail loudly BEFORE the multi-minute timed pass, not
     // after it has produced data the failure would then discard
-    require(names.map { case (n, _) => n.takeWhile(_ != '_') }.distinct.size == names.size,
+    require(names.map { case (n, _) => short(n) }.distinct.size == names.size,
       "bench stdout keys (qNN prefixes) must be unique across queries")
     // untimed warmup on the smallest SF: JVM/codegen/parquet-reader init
     // and first-touch of every table must not be billed to whichever
@@ -78,7 +82,14 @@ object Bench {
           .partitionBy("k").orderBy("v")).as("r")).collect()
         val cached = tiny.persist(); cached.count(); cached.unpersist(true)
       }
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch {
+      // best-effort by design (a missing warmup dir must not fail the
+      // bench), but NEVER silent: a dead warmup shifts init cost into
+      // the first timed query and corrupts cross-round comparability —
+      // the trace is how a skewed BENCH_r*.json gets diagnosed
+      case scala.util.control.NonFatal(t) =>
+        System.err.println(s"bench: table/machinery warmup failed (timings will carry init cost): $t")
+    }
     // Queries themselves are NOT warmed wholesale: running all ~60
     // untimed at sf0.001 was measured at ~30 s of extra wall (AQE picks
     // different join strategies at that scale, so even the codegen
@@ -94,7 +105,9 @@ object Bench {
         "q49_dup_clusters").foreach { n =>
         SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       }
-    } catch { case scala.util.control.NonFatal(_) => ()
+    } catch {
+      case scala.util.control.NonFatal(t) =>
+        System.err.println(s"bench: heavy-query prewarm failed (first timed positions will carry JIT/classload cost): $t")
     } finally {
       // ALWAYS drop the prewarm's cached blocks: a throw mid-prewarm must
       // not leak sf0.001 caches into the first (heaviest) timed query
@@ -153,7 +166,7 @@ object Bench {
     // BENCH_DETAIL.json, written below with everything at full fidelity);
     // durations keep ms precision, offsets get 2 decimals.
     def fmt(v: Double): String = "%.3f".format(v)
-    def short(n: String): String = n.takeWhile(_ != '_') // uniqueness required above, pre-pass
+    // short() is defined above the pre-pass uniqueness guard
     val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val t0s = names.map { case (n, _) =>

@@ -51,9 +51,9 @@ object Sinks {
     // s3a:// or hdfs:// target must not resolve against file://
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lock = acquireWriterLock(fs, path)
-    try upsertWholeTableLocked(spark, batch, path, keys, orderCol, dst, fs)
-    finally fs.delete(lock, false)
+    withWriterLock(fs, path) {
+      upsertWholeTableLocked(spark, batch, path, keys, orderCol, dst, fs)
+    }
   }
 
   private def upsertWholeTableLocked(spark: SparkSession, batch: DataFrame, path: String,
@@ -128,6 +128,31 @@ object Sinks {
     * fails to land (close() is the actual PUT on object stores), the
     * fence is deleted before rethrowing so a transient write failure
     * cannot strand a lock that blocks all future merges. */
+  /** Fence hold intervals (store path, acquire nanos, release nanos),
+    * recorded by [[withWriterLock]]. Test-visible: mutual exclusion is
+    * about when the FENCE was held, not when the enclosing merge call
+    * started — a loser descheduled before its fence check can overlap
+    * the winner's whole call and still be a legal sequential reacquire,
+    * so a race test timing the call would false-fail on exactly the
+    * schedule it means to permit (round-8 advisor). Unbounded only in
+    * name: one small tuple per merge, and a real deployment's merge
+    * count dwarfs the JVM lifetime this diagnostic would matter for. */
+  private[graft] val fenceHolds =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+
+  /** Acquire the writer fence for `path`, run `body`, release — and
+    * record the [acquire, release) interval in [[fenceHolds]]. */
+  private def withWriterLock(fs: org.apache.hadoop.fs.FileSystem,
+                             path: String)(body: => Unit): Unit = {
+    val lock = acquireWriterLock(fs, path)
+    val t0 = System.nanoTime()
+    try body
+    finally {
+      fs.delete(lock, false)
+      fenceHolds.add((path, t0, System.nanoTime()))
+    }
+  }
+
   private def acquireWriterLock(fs: org.apache.hadoop.fs.FileSystem,
                                 path: String): org.apache.hadoop.fs.Path = {
     val lock = new org.apache.hadoop.fs.Path(path + "_lock")
@@ -238,9 +263,9 @@ object Sinks {
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // fence FIRST: entry recovery itself mutates the store, so even the
     // recovery scan must not run under a concurrent writer
-    val lock = acquireWriterLock(fs, path)
-    try mergePartitionedLocked(spark, batch, path, keys, orderCol, numBuckets, dst, fs)
-    finally fs.delete(lock, false)
+    withWriterLock(fs, path) {
+      mergePartitionedLocked(spark, batch, path, keys, orderCol, numBuckets, dst, fs)
+    }
   }
 
   private def mergePartitionedLocked(spark: SparkSession, batch: DataFrame, path: String,
@@ -358,9 +383,9 @@ object Sinks {
     require(newBuckets > 0, "newBuckets must be positive")
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lock = acquireWriterLock(fs, path)
-    try rebucketLocked(spark, path, newBuckets, dst, fs)
-    finally fs.delete(lock, false)
+    withWriterLock(fs, path) {
+      rebucketLocked(spark, path, newBuckets, dst, fs)
+    }
   }
 
   private def rebucketLocked(spark: SparkSession, path: String, newBuckets: Int,

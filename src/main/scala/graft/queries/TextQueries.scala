@@ -117,12 +117,21 @@ object TextQueries {
     * buckets fragment under a cap (documented recall trade, same family
     * as q60's df-cap). */
   private[graft] def dupClusters(s: SparkSession, d: String,
-                                 maxBucket: Option[Int] = None): DataFrame = {
+                                 maxBucket: Option[Int] = None): DataFrame =
+    dupClustersOfSignatures(signatures(s, d), maxBucket)
+
+  /** [[dupClusters]] over an arbitrary (doc_id, h0..h7) signature table —
+    * the whole operator below the signature derivation, split out so the
+    * cap's documented fragmentation semantics are pinnable in a spec on
+    * a CONSTRUCTED signature table (controlled band collisions cannot be
+    * produced through the text hash pipeline). */
+  private[graft] def dupClustersOfSignatures(sig: DataFrame,
+                                             maxBucket: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sigCols = (0 until nHashes).map(k => col(s"h$k"))
     // one shuffle: rep + group size as window aggregates over the full
     // signature (no groupBy+self-join of the signature table)
-    val grouped = signatures(s, d)
+    val grouped = sig
       .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(sigCols: _*)))
       .withColumn("members", count(lit(1)).over(Window.partitionBy(sigCols: _*)))
       .persist()
@@ -142,6 +151,11 @@ object TextQueries {
   }
 
   private val bands = Seq((0, 1), (2, 3), (4, 5), (6, 7))
+
+  /** Rows of the exploded (band, k1, k2) key table per shuffle partition
+    * for the capped path's occupancy window — ~40 MB of 9-long rows, a
+    * sort that stays in execution memory on small executor heaps. */
+  private val CappedWindowRowsPerPartition = 1L << 18
 
   /** A signature table exploded to one row per (band, k1, k2) bucket
     * key, with the full signature and the doc id (renamed) carried
@@ -192,7 +206,25 @@ object TextQueries {
         // aggregate + semi-join states the same thing but shuffles the
         // wide exploded table twice; at 300x-scale that was most of the
         // capped path's cost.)
-        left0.withColumn("bucket_n", count(lit(1)).over(
+        //
+        // That one shuffle is sized to the EXPLODED row count, not
+        // inherited from spark.sql.shuffle.partitions: at the 1000x soak
+        // (5M sigs -> 20M exploded rows) partitions=cores put ~100 MB of
+        // keys per task and the window sort spilled — the 19-52 s
+        // session spread diagnosed in BENCH_NOTES r8 (commit 8e79b59;
+        // a 16 g control held 17.7-20.0 s). An explicit hash
+        // repartition on the window's partitionBy key satisfies its
+        // required distribution, so Catalyst plans no second exchange,
+        // and the pair join downstream reuses the same partitioning.
+        // sig is persisted by every capped caller, so the count is a
+        // cache scan; ~256k rows (~40 MB) per task keeps the sort
+        // in memory at any scale while never dropping below the
+        // session's parallelism at bench scale.
+        val parts = math.max(
+          sig.sparkSession.sparkContext.defaultParallelism,
+          (sig.count() * bands.size / CappedWindowRowsPerPartition + 1).toInt)
+        left0.repartition(parts, col("band"), col("k1"), col("k2"))
+          .withColumn("bucket_n", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("band"), col("k1"), col("k2"))))
           .where(col("bucket_n") <= cap)

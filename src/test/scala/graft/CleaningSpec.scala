@@ -201,6 +201,48 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dupClusters cap: clusters reachable only through hot buckets fragment exactly as documented") {
+    import spark.implicits._
+    // The scaladoc'd recall trade of dupClusters(maxBucket): a cluster
+    // whose EVERY connecting band bucket is hot splits. Constructed
+    // signature table (controlled band collisions cannot be produced
+    // through the text hash pipeline):
+    //   A(1)   [10,11,12,13, 90,91,92,93]   A-B collide in bands 0,1 (cool)
+    //   B(2)   [10,11,12,13, 50,51,60,61]   B-C collide ONLY in bands 2,3
+    //   C(3)   [70,71,72,73, 50,51,60,61]
+    //   D(10)  exact replica of C (identical full signature)
+    //   F4..F9 [2xx,3xx,4xx,5xx, 50,51,60,61]  six fillers heating bands 2,3
+    // The band-2/3 buckets hold 8 DISTINCT signatures (B, C-rep, six
+    // fillers) — the near-identical-but-distinct corpus shape the
+    // exact-replica collapse cannot defuse. Every colliding pair has
+    // est_sim = 4/8 = 0.5, so nothing is lost to the similarity floor.
+    val sig = (Seq(
+      (1L, 10L, 11L, 12L, 13L, 90L, 91L, 92L, 93L),
+      (2L, 10L, 11L, 12L, 13L, 50L, 51L, 60L, 61L),
+      (3L, 70L, 71L, 72L, 73L, 50L, 51L, 60L, 61L),
+      (10L, 70L, 71L, 72L, 73L, 50L, 51L, 60L, 61L)) ++
+      (4 to 9).map(i => (i.toLong, 200L + i, 300L + i, 400L + i, 500L + i, 50L, 51L, 60L, 61L)))
+      .toDF("doc_id", "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7")
+    def clusters(maxBucket: Option[Int]): Set[Set[Long]] =
+      graft.queries.TextQueries.dupClustersOfSignatures(sig, maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    // uncapped: A-B (cool) + B-C and all filler pairs (hot bands) chain
+    // everything into ONE cluster, D via C's signature group
+    assert(clusters(None) == Set((1L to 10L).toSet),
+      "uncapped, the hot-band edges must chain all ten docs into one cluster")
+    // cap=3: bands 2,3 exceed the cap in every bucket, so the B-C edge —
+    // whose every shared band is hot — drops, and the cluster fragments
+    // to exactly {A,B} (the cool-band edge survives) + {C,D} (an exact-
+    // replica signature group, which the cap can NEVER drop: the
+    // collapse groups by full signature before any band join). The six
+    // fillers lose their only edges and leave the output entirely.
+    assert(clusters(Some(3)) == Set(Set(1L, 2L), Set(3L, 10L)),
+      "capped, the documented fragmentation must be exact: cool edge kept, " +
+        "hot-only edge dropped, exact-replica group intact, edgeless singletons gone")
+    spark.catalog.clearCache()
+  }
+
   test("ORC round-trip preserves the documents schema and values") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/documents.orc"

@@ -105,7 +105,12 @@ class GraphSpec extends SparkSpec {
     val df = spark.sparkContext.parallelize(pairs, 4)
       .map { p => evals.add(1); p }.toDF("src", "dst")
     Graph.connectedComponents(df, "src", "dst").collect()
-    assert(evals.value <= 2L * pairs.size,
+    // 3x, not the exactly-tight 2x: accumulators updated inside a
+    // transformation double-count on task retry / speculative execution,
+    // so a retried task would fail a tight bound even though the
+    // checkpoint behavior is correct. 3x still sits far below the ~4x
+    // lazy-recompute regression this guards against (r8 advisor).
+    assert(evals.value <= 3L * pairs.size,
       s"edge upstream evaluated ${evals.value} row-reads for ${pairs.size} edges — " +
         "lazy-checkpoint recompute of the loop inputs is back")
   }

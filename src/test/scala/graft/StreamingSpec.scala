@@ -483,36 +483,42 @@ class StreamingSpec extends SparkSpec {
     // within microseconds of entry and held for the whole (hundreds of
     // ms) merge, so the loser always finds it occupied
     val barrier = new java.util.concurrent.CyclicBarrier(2)
-    // outcome + the merge attempt's [start, end) wall-clock interval: a
-    // double-win is a fence VIOLATION only if the intervals overlapped —
-    // a loser descheduled past the winner's whole merge then legally
-    // re-acquires the released fence (sequential writers are allowed)
-    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // mutual exclusion is judged on the FENCE HOLD intervals the sink
+    // records, not on call wall-clock: a loser descheduled inside
+    // upsertParquetPartitioned before its fence check can overlap the
+    // winner's whole call and still be a legal sequential reacquire —
+    // timing the call would false-fail exactly that permitted schedule
+    // (r8 advisor). Drop the seed merge's hold first.
+    Sinks.fenceHolds.clear()
     val threads = (1 to 2).map { i =>
       new Thread(() => {
         barrier.await()
-        val t0 = System.nanoTime()
         try {
           Sinks.upsertParquetPartitioned(spark, batch, target, Seq("city"), Some("seq"))
-          outcomes.add(("win", t0, System.nanoTime()))
+          outcomes.add("win")
         } catch {
-          case _: java.util.ConcurrentModificationException =>
-            outcomes.add(("fenced", t0, System.nanoTime()))
-          case t: Throwable => outcomes.add((s"unexpected: $t", t0, System.nanoTime()))
+          case _: java.util.ConcurrentModificationException => outcomes.add("fenced")
+          case t: Throwable => outcomes.add(s"unexpected: $t")
         }
       }, s"race-merger-$i")
     }
     threads.foreach(_.start()); threads.foreach(_.join(120000))
-    val entries = outcomes.toArray(Array.empty[(String, Long, Long)]).toSeq
-    val res = entries.map(_._1).sorted
+    val res = outcomes.toArray(Array.empty[String]).toSeq.sorted
     assert(res == Seq("fenced", "win") || res == Seq("win", "win"),
       s"no attempt may fail for any reason but the fence: $res")
-    if (res == Seq("win", "win")) {
-      // both-win is legal ONLY as a sequential pair (scheduling stall);
-      // overlapping win intervals mean two writers held the fence at once
-      val Seq(x, y) = entries.sortBy(_._2)
-      assert(x._3 <= y._2,
-        s"two merges overlapped in time and both won — the fence is broken")
+    // every winner recorded exactly one hold on this store, and no two
+    // holds overlapped — two overlapping holds ARE a broken fence,
+    // regardless of how the calls around them were scheduled
+    val holds = Sinks.fenceHolds.toArray(Array.empty[(String, Long, Long)])
+      .toSeq.filter(_._1 == target).sortBy(_._2)
+    assert(holds.size == res.count(_ == "win"),
+      s"each winning merge must record exactly one fence hold: $holds vs $res")
+    holds.sliding(2).foreach {
+      case Seq((_, _, end1), (_, start2, _)) =>
+        assert(end1 <= start2,
+          s"two merges held the fence at once — the fence is broken: $holds")
+      case _ => ()
     }
     // the surviving store carries the merge, the fence is released
     val out = Sinks.readUpsertStore(spark, target)
