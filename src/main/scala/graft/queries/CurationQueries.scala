@@ -224,8 +224,98 @@ object CurationQueries {
          |SELECT d.source, COUNT(*) AS n_docs, COUNT(f.doc_id) AS n_flagged
          |FROM documents d LEFT JOIN flags f ON d.doc_id = f.doc_id
          |WHERE d.source <> 'src0'
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Cross-corpus repeated-line removal (the C4/RefinedWeb boilerplate
+    // filter): drop every line whose content appears in >= minDf
+    // distinct docs — the navigation chrome / cookie banners / license
+    // footers that survive document-level dedup because the documents
+    // AROUND them differ. The testdata texts are single-line token
+    // streams, so (same device as q61's PII injection and q62's hot
+    // buckets) the query builds its own line structure: a universal
+    // boilerplate header (df = n_docs), a second boilerplate on even
+    // docs only (df = n_docs/2), a pair-shared notice (df = 2 at ANY
+    // sf — below threshold by construction) and a unique tail (df = 1).
+    // minDf = 30 removes exactly the two boilerplates; per-doc clean
+    // hash + kept/removed accounting must match DuckDB, which states
+    // the same df rule declaratively.
+    "q63_repeated_line_removal" -> Q(
+      (s, d) => {
+        val docs2 = Tables.documents(s, d).select(col("doc_id"),
+          concat_ws("\n",
+            lit("join the mailing list today"),
+            col("text"),
+            when(col("doc_id") % 2 === 0, lit("all rights reserved worldwide")),
+            concat(lit("shared pair notice "),
+              floor(col("doc_id") / 2).cast("long").cast("string")),
+            concat(lit("doc tail marker "), col("doc_id").cast("string"))).as("text"))
+        removeRepeatedLines(docs2, minDf = 30)
+          .select(col("doc_id"), md5(col("clean")).as("clean_hash"),
+            col("kept_lines"), col("removed_lines"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH docs2 AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    'join the mailing list today',
+        |    text,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'all rights reserved worldwide' END,
+        |    'shared pair notice ' || CAST(doc_id // 2 AS VARCHAR),
+        |    'doc tail marker ' || CAST(doc_id AS VARCHAR)) AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM docs2),
+        |lines AS (SELECT doc_id, unnest(range(1, len(l)+1)) AS pos, unnest(l) AS line FROM ls),
+        |hot AS (SELECT md5(line) AS h FROM lines GROUP BY 1
+        |        HAVING COUNT(DISTINCT doc_id) >= 30),
+        |f AS (SELECT lines.*, (h.h IS NOT NULL) AS is_hot
+        |      FROM lines LEFT JOIN hot h ON md5(lines.line) = h.h),
+        |agg AS (SELECT doc_id,
+        |               string_agg(CASE WHEN NOT is_hot THEN line END, chr(10) ORDER BY pos) AS clean,
+        |               COUNT(CASE WHEN NOT is_hot THEN 1 END) AS kept_lines,
+        |               COUNT(CASE WHEN is_hot THEN 1 END) AS removed_lines
+        |        FROM f GROUP BY doc_id)
+        |SELECT doc_id, md5(coalesce(clean, '')) AS clean_hash,
+        |       CAST(kept_lines AS BIGINT) AS kept_lines,
+        |       CAST(removed_lines AS BIGINT) AS removed_lines
+        |FROM agg ORDER BY doc_id""".stripMargin)
   )
+
+  /** C4/RefinedWeb-style repeated-line removal: drop every line whose
+    * content appears in >= `minDf` distinct documents. Returns
+    * (doc_id, clean, kept_lines, removed_lines); a doc whose every
+    * line is boilerplate stays in the output with clean = "".
+    *
+    * Scale shape: line df is a map-side-combined aggregate keyed on
+    * md5(line) (fixed-width keys — the line text crosses the wire
+    * once, in the reassembly shuffle, never in the df aggregate); the
+    * hot set joins back as the small side — at minDf it holds at most
+    * total_lines / minDf distinct contents and in real corpora is
+    * tiny, so AQE broadcasts it from runtime stats (not forced: a
+    * pathological corpus could make it large, and a shuffle join is
+    * then the correct plan). Reassembly is ONE groupBy(doc_id) with an
+    * order-restoring array_sort over (pos, line) structs — no rejoin
+    * against the document table, and docs with zero surviving lines
+    * are still emitted because every line (kept or hot-flagged)
+    * reaches the group. Three shuffles total. */
+  def removeRepeatedLines(docs: org.apache.spark.sql.DataFrame, minDf: Long,
+                          sep: String = "\n"): org.apache.spark.sql.DataFrame = {
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      .withColumn("h", md5(col("line")))
+    val hot = lines.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("h"), lit(true).as("is_hot"))
+    lines.join(hot, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("is_hot").isNull,
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), sep).as("clean"),
+        count(when(col("is_hot").isNull, 1)).as("kept_lines"),
+        count(when(col("is_hot").isNotNull, 1)).as("removed_lines"))
+  }
 
   private def sqlToks = TextOps.sqlTokens("text")
 }

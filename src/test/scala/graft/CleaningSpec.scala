@@ -243,6 +243,24 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("removeRepeatedLines: boilerplate drops corpus-wide, rare lines survive, all-boilerplate docs stay") {
+    import spark.implicits._
+    val boiler = "subscribe to the newsletter"
+    // 12 docs with header + unique body + pair-shared line, plus one doc
+    // that is NOTHING BUT the boilerplate — the all-removed edge the
+    // synthetic q63 corpus cannot produce (its unique tail always survives)
+    val docs = ((1L to 12L).map(i => (i, s"$boiler\nbody $i\npair ${i / 2}")) :+
+      ((13L, boiler))).toDF("doc_id", "text")
+    val out = graft.queries.CurationQueries.removeRepeatedLines(docs, minDf = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // boiler df = 13 >= 10 -> removed everywhere; pair df <= 2, body df = 1 -> kept in order
+    assert(out(1L) == (("body 1\npair 0", 2L, 1L)))
+    assert(out(4L) == (("body 4\npair 2", 2L, 1L)))
+    // the all-boilerplate doc is not dropped: empty clean, accounting right
+    assert(out(13L) == (("", 0L, 1L)))
+    assert(out.size == 13)
+  }
+
   test("ORC round-trip preserves the documents schema and values") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/documents.orc"

@@ -150,6 +150,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins == 1, s"the banded pair join must be the ONLY join, got $joins")
   }
 
+  test("q63 repeated-line removal: df aggregate is partial, no all-pairs stage") {
+    val p = plan("q63_repeated_line_removal")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "never an all-pairs stage")
+    // the line-df count must combine map-side: a final-only aggregate
+    // would ship every (line, doc) pair to one reducer per line content
+    assert(p.contains("partial_count"),
+      "line-df aggregation must have a partial (map-side) phase")
+  }
+
   test("lshProbe (streaming ingest): ONE banded join, never an all-pairs stage") {
     // the store side of the ingest probe is corpus-sized; the probe must
     // stay a single equi-join over the exploded (band,k1,k2) keys — the
