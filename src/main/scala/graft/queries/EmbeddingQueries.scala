@@ -194,39 +194,7 @@ object EmbeddingQueries {
     // assignment is a narrow map (argmax over 8 fused dots); only the
     // cell-local candidate join and the final top-k shuffle.
     "q47_ivf_topk" -> Q(
-      (s, d) => {
-        val base = vecs(s, d)
-        val cents = base.select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-          .where(col("cent_id") < nSeeds)
-          .groupBy().agg(
-            map_from_arrays(collect_list(col("cent_id")), collect_list(col("cv"))).as("cents"),
-            map_from_arrays(collect_list(col("cent_id")), collect_list(col("cnrm"))).as("cnorms"))
-        // argmax over the 8 centroid cosines via a fused array of structs:
-        // build [(ccos_k, k)], array_max picks (max ccos, max k on ties) —
-        // ties broken toward the SMALLER cent need care: negate k.
-        val assign = base.crossJoin(broadcast(cents))
-          .withColumn("scored", array((0 until nSeeds).map(k => struct(
-            (dotCol(col("v"), element_at(col("cents"), k.toLong))
-              / (col("nrm") * element_at(col("cnorms"), k.toLong))).as("ccos"),
-            lit(-k).as("negk"))): _*))
-          .withColumn("best", array_max(col("scored")))
-          .select(col("vec_id"), col("v"), col("nrm"), (-col("best.negk")).cast("long").as("cell"))
-          // cached: the query side (broadcast) and the candidate side both
-          // read ONE evaluation of the (8 dots per row) assignment map
-          .persist()
-        val qs = assign.where(col("vec_id") < nQueries)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
-        val cands = assign
-          .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"), col("cell"))
-        val cos = cands.join(broadcast(qs), Seq("cell"))
-          .where(col("cand_id") =!= col("query_id"))
-          .withColumn("cosine", dotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
-        val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id").asc)
-        cos.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
-          .select(col("query_id"), col("cell"), col("rank"),
-            col("cand_id").as("neighbor_id"), col("cosine"))
-          .orderBy(col("query_id"), col("rank"))
-      },
+      (s, d) => ivfTopK(Tables.embeddings(s, d), nQueries, nSeeds, k = 3, nprobe = 1),
       s"""WITH $sqlVecs,
          |ccos AS (
          |  SELECT x.vec_id AS v, c.vec_id AS cent,
@@ -247,4 +215,67 @@ object EmbeddingQueries {
          |FROM (SELECT cos.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rn FROM cos) z
          |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin)
   )
+
+  /** IVF-style coarse-quantized top-k: assign every vector to its nearest
+    * centroid (the first `nSeeds` vectors, deterministic), then answer
+    * each query's top-`k` from the `nprobe` nearest cells — the classic
+    * recall-for-throughput knob (nprobe = 1 searches the assignment cell
+    * only; nprobe = nSeeds degrades gracefully to exact brute force,
+    * IvfProbeSpec pins that equivalence against q45).
+    *
+    * Scale shape: the corpus side is untouched by nprobe — centroid
+    * assignment stays a narrow persisted map (8 fused decimal dots per
+    * row against broadcast centroids, argmax via one array_max; no
+    * scored-array column is ever cached). Only the query side widens:
+    * it re-derives its centroid scores on the `vec_id < nQueries`
+    * filtered scan (tiny, pushdown-pruned) and explodes its top-nprobe
+    * cells, so the probe fan-out multiplies the BROADCAST side of the
+    * cell join, never the corpus. Each candidate lives in exactly one
+    * cell and a query's probe cells are distinct, so no candidate is
+    * scored twice — no dedup stage needed. Output `cell` is the cell
+    * the neighbor was found in.
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int, nSeeds: Int = 8, k: Int = 3,
+              nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nSeeds, s"nprobe must be in [1, $nSeeds]")
+    val base = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
+    val cents = base.select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+      .where(col("cent_id") < nSeeds)
+      .groupBy().agg(
+        map_from_arrays(collect_list(col("cent_id")), collect_list(col("cv"))).as("cents"),
+        map_from_arrays(collect_list(col("cent_id")), collect_list(col("cnrm"))).as("cnorms"))
+    // [(ccos_k, -k)] fused struct array: array_max = argmax with ties
+    // broken toward the SMALLER centroid id (hence the negated k);
+    // reverse(array_sort(.)) = the same ordering, all nSeeds deep.
+    def scored = array((0 until nSeeds).map(kk => struct(
+      (dotCol(col("v"), element_at(col("cents"), kk.toLong))
+        / (col("nrm") * element_at(col("cnorms"), kk.toLong))).as("ccos"),
+      lit(-kk).as("negk"))): _*)
+    // cached: the corpus-sized candidate side reads ONE evaluation of
+    // the (nSeeds dots per row) assignment map — narrow, cell only
+    val assign = base.crossJoin(broadcast(cents))
+      .withColumn("best", array_max(scored))
+      .select(col("vec_id"), col("v"), col("nrm"), (-col("best.negk")).cast("long").as("cell"))
+      .persist()
+    val cands = assign
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"), col("cell"))
+    // query side: re-derive scores on the filtered (tiny) scan and take
+    // the top-nprobe cells — recomputing nSeeds dots for nQueries rows
+    // costs nothing and keeps the persisted corpus map nprobe-free
+    val qs = base.where(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("probe", explode(slice(reverse(array_sort(scored)), 1, nprobe)))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        (-col("probe.negk")).cast("long").as("cell"))
+    val cos = cands.join(broadcast(qs), Seq("cell"))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("cosine", dotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id").asc)
+    cos.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("cell"), col("rank"),
+        col("cand_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }
