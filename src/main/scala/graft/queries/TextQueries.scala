@@ -45,10 +45,11 @@ object TextQueries {
 
   /** Signature derivation over an arbitrary (doc_id, text, ...) frame —
     * shared by the table-backed path above, queries that build their
-    * corpus inline (q62 injects replicas the way q61 injects PII), and
-    * the specs that mirror the pipeline (private[graft] so tests run
-    * the REAL derivation instead of hand-copying it). */
-  private[graft] def signaturesOf(docs: DataFrame): DataFrame =
+    * corpus inline (q62 injects replicas the way q61 injects PII), the
+    * specs that mirror the pipeline (so tests run the REAL derivation
+    * instead of hand-copying it), and library callers feeding
+    * [[lshPairsOf]] / [[dupClustersOfSignatures]]. */
+  def signaturesOf(docs: DataFrame): DataFrame =
     docs
       // the kernel is null exactly when the doc has < 3 tokens
       // (ExprEquivalenceSpec) — filter on that CHEAP precursor, not on
@@ -116,8 +117,8 @@ object TextQueries {
     * exact q49 oracle semantics; clusters reachable only through hot
     * buckets fragment under a cap (documented recall trade, same family
     * as q60's df-cap). */
-  private[graft] def dupClusters(s: SparkSession, d: String,
-                                 maxBucket: Option[Int] = None): DataFrame =
+  def dupClusters(s: SparkSession, d: String,
+                  maxBucket: Option[Int] = None): DataFrame =
     dupClustersOfSignatures(signatures(s, d), maxBucket)
 
   /** [[dupClusters]] over an arbitrary (doc_id, h0..h7) signature table —
@@ -125,8 +126,8 @@ object TextQueries {
     * cap's documented fragmentation semantics are pinnable in a spec on
     * a CONSTRUCTED signature table (controlled band collisions cannot be
     * produced through the text hash pipeline). */
-  private[graft] def dupClustersOfSignatures(sig: DataFrame,
-                                             maxBucket: Option[Int] = None): DataFrame = {
+  def dupClustersOfSignatures(sig: DataFrame,
+                              maxBucket: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sigCols = (0 until nHashes).map(k => col(s"h$k"))
     // one shuffle: rep + group size as window aggregates over the full
@@ -196,7 +197,7 @@ object TextQueries {
     * Only the probe side is filtered: pairs form on join-key equality,
     * so keys absent from one side form nothing, and the build side
     * avoids a second aggregation pass. */
-  private[graft] def lshPairsOf(sig: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
+  def lshPairsOf(sig: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
     val left0 = bandedKeys(sig, "doc_a", "a")
     val left = maxBucket match {
       case Some(cap) =>
