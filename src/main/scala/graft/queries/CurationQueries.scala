@@ -21,6 +21,14 @@ object CurationQueries {
   private val chunk = 512
   /** Shared-shingle threshold for contamination flagging. */
   private val contamK = 5
+  /** Per-source token budget for the mixture selection (q64) — sized so
+    * the sf0.01 oracle keeps a strict, non-trivial subset per source. */
+  private val tokenBudget = 600L
+  /** Sliding-window chunking (q65): window length / stride in tokens —
+    * sized to the synthetic docs (~50 tokens) so most docs emit several
+    * overlapping windows; a production caller would use e.g. 2048/1536. */
+  private val winLen = 16
+  private val winStride = 12
 
   val defs: Map[String, Q] = Map(
 
@@ -276,8 +284,126 @@ object CurationQueries {
         |SELECT doc_id, md5(coalesce(clean, '')) AS clean_hash,
         |       CAST(kept_lines AS BIGINT) AS kept_lines,
         |       CAST(removed_lines AS BIGINT) AS removed_lines
-        |FROM agg ORDER BY doc_id""".stripMargin)
+        |FROM agg ORDER BY doc_id""".stripMargin),
+
+    // Token-budget corpus selection: per source, take docs best-quality-
+    // first until a fixed token budget fills — the mixture-construction
+    // step after curation ("n tokens of each source, highest quality
+    // first"). A doc is kept iff it fits ENTIRELY within the budget at
+    // its rank (end_tok <= budget), so the cutoff is deterministic and
+    // rerun-stable; cutoff_quality (min kept quality) is the number a
+    // pipeline publishes as the source's effective quality bar.
+    //
+    // Scale shape: same distributed prefix-sum as q53 — but ordered by
+    // (quality DESC, doc_id), which is the whole point: a per-source
+    // window would sort corpus/#sources rows in ONE reducer per source
+    // (~20 sources at 100 TB = 20 stragglers); range-sharding on the
+    // full sort key keeps every partition bounded at corpus/#shards,
+    // and the per-(shard, source) offsets rejoin via broadcast. The
+    // per-row quality double is bit-identical across engines (q31/q37
+    // prove it by hash), so the DESC order — and therefore the kept
+    // set — agrees exactly; ties break on doc_id.
+    "q64_budget_select" -> Q(
+      (s, d) => budgetSelect(Tables.documents(s, d), tokenBudget)
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("n_tok")).as("tokens_kept"),
+          min(col("quality")).as("cutoff_quality"))
+        .orderBy(col("source")),
+      s"""WITH pd AS (${TextQueries.sqlQualityDocs}),
+         |c AS (
+         |  SELECT source, n_tok, quality,
+         |         SUM(n_tok) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+         |  FROM pd)
+         |SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
+         |       MIN(quality) AS cutoff_quality
+         |FROM c WHERE end_tok <= $tokenBudget
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Fixed-stride sliding-window chunking: each doc becomes
+    // ceil(max(n_tok - L, 0) / S) + 1 token windows of length <= L at
+    // stride S — the per-doc chunking a long-context pipeline runs
+    // (overlap = L - S tokens preserves cross-boundary context). The
+    // chunk_hash is the md5 of the actual window text, so the oracle
+    // verifies CONTENT, not just offsets. Narrow map + explode: no
+    // shuffle before the output sort, embarrassingly parallel at any
+    // corpus size, and the explode multiplies rows only by ~n_tok/S.
+    "q65_chunk_windows" -> Q(
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .withColumn("n_tok", size(col("toks")))
+          .where(col("n_tok") > 0)
+          .withColumn("n_win",
+            (expr(s"(greatest(n_tok - $winLen, 0) + ${winStride - 1}) div $winStride") + 1)
+              .cast("int"))
+        base.withColumn("win_id", explode(sequence(lit(0), col("n_win") - 1)))
+          .withColumn("start_tok", (col("win_id") * winStride).cast("long"))
+          .withColumn("end_tok", least(col("start_tok") + winLen, col("n_tok").cast("long")))
+          .withColumn("chunk_hash", md5(concat_ws(" ",
+            slice(col("toks"), col("start_tok") + 1, (col("end_tok") - col("start_tok")).cast("int")))))
+          .select(col("doc_id"), col("win_id"), col("start_tok"), col("end_tok"),
+            col("chunk_hash"))
+          .orderBy(col("doc_id"), col("win_id"))
+      },
+      s"""WITH b AS (
+         |  SELECT doc_id, toks, len(toks) AS n_tok
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
+         |  WHERE len(toks) > 0),
+         |w AS (
+         |  SELECT doc_id, toks, n_tok,
+         |         unnest(range(0, (greatest(n_tok - $winLen, 0) + ${winStride - 1}) // $winStride + 1)) AS wid
+         |  FROM b)
+         |SELECT doc_id, CAST(wid AS INT) AS win_id,
+         |       CAST(wid * $winStride AS BIGINT) AS start_tok,
+         |       CAST(LEAST(wid * $winStride + $winLen, n_tok) AS BIGINT) AS end_tok,
+         |       md5(array_to_string(toks[(wid * $winStride + 1):LEAST(wid * $winStride + $winLen, n_tok)], ' ')) AS chunk_hash
+         |FROM w ORDER BY doc_id, win_id""".stripMargin)
   )
+
+  /** Token-budget mixture selection: per source, docs best-quality-first
+    * (ties on doc_id) until `budgetPerSource` tokens fill; a doc is kept
+    * iff it fits ENTIRELY (its cumulative end <= budget), so one
+    * over-budget doc at the front of a source blocks that source — the
+    * deterministic "take until full" contract, not best-effort packing.
+    * Returns the kept (source, doc_id, n_tok, quality, end_tok) rows.
+    *
+    * Scale shape: the per-source quality-ranked cumsum runs as the same
+    * sharded prefix-sum as q53 (range-shard on the full sort key, local
+    * window, broadcast offsets) — a plain per-source window would be one
+    * reducer per source (~20 stragglers at corpus scale). PlanAuditSpec
+    * pins the shard-partitioned window + range partitioning. */
+  def budgetSelect(docs: org.apache.spark.sql.DataFrame,
+                   budgetPerSource: Long): org.apache.spark.sql.DataFrame = {
+    val nShards = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // persisted BEFORE the range exchange: unlike q53 (whose sort key
+    // needs no tokens, so it tokenizes after the shuffle), the sort key
+    // HERE is the quality score — and the range partitioner's sampling
+    // job would otherwise run the whole tokenizer+scoring pipeline a
+    // second time for the shuffle write. Four narrow columns per doc.
+    val scored0 = TextQueries.withQuality(docs)
+      .select(col("source"), col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        col("quality"))
+      .persist()
+    val scored = scored0
+      .repartitionByRange(nShards, col("source"), col("quality").desc, col("doc_id"))
+      .withColumn("shard", spark_partition_id())
+    val wLoc = Window.partitionBy(col("shard"), col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val local = scored.withColumn("local_end", sum(col("n_tok")).over(wLoc))
+      .persist() // two consumers (spans + offsets); Bench/Verify clearCache()s
+    val wOff = Window.partitionBy(col("source")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("shard"), col("source"))
+      .agg(max(col("local_end")).as("shard_tok"))
+      .withColumn("offset", coalesce(sum(col("shard_tok")).over(wOff), lit(0L)))
+      .select(col("shard"), col("source"), col("offset"))
+    local.join(broadcast(offsets), Seq("shard", "source"))
+      .withColumn("end_tok", col("local_end") + col("offset"))
+      .where(col("end_tok") <= budgetPerSource)
+      .select(col("source"), col("doc_id"), col("n_tok"), col("quality"), col("end_tok"))
+  }
 
   /** C4/RefinedWeb-style repeated-line removal: drop every line whose
     * content appears in >= `minDf` distinct documents. Returns

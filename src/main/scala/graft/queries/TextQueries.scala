@@ -259,7 +259,7 @@ object TextQueries {
     * column — three downstream columns reference it, and each reference
     * to the raw split expression would re-run the regex tokenizer
     * (TextOps class doc). */
-  private def withQuality(docs: DataFrame): DataFrame = docs
+  private[graft] def withQuality(docs: DataFrame): DataFrame = docs
     .withColumn("toks", tokens(col("text")))
     .withColumn("n_tok", size(col("toks")))
     .where(col("n_tok") > 0)
@@ -274,6 +274,27 @@ object TextQueries {
         + least((col("tok_chars") / col("n_tok")) / lit(8e0), lit(1e0)) * lit(0.3e0)
         + (lit(1e0) - col("stop_ratio")) * lit(0.2e0)
         + (lit(1e0) - col("punct_ratio")) * lit(0.1e0))
+
+  /** Oracle-side mirror of [[withQuality]]: a SQL fragment yielding
+    * per-doc (doc_id, lang, source, n_tok, quality) from `documents`,
+    * stated with the exact sub-expressions q31's oracle proved
+    * hash-equal to the Spark formula (tok_chars as BIGINT, plain `/`
+    * double division). New oracles needing the quality score compose
+    * this instead of restating the formula. */
+  private[queries] def sqlQualityDocs: String =
+    s"""SELECT doc_id, lang, source, n_tok,
+       |       LEAST(n_tok / 100e0, 1e0) * 0.4e0
+       |         + LEAST((tok_chars / n_tok) / 8e0, 1e0) * 0.3e0
+       |         + (1e0 - (stop_hits / n_tok)) * 0.2e0
+       |         + (1e0 - (punct_cnt / n_chars2)) * 0.1e0 AS quality
+       |FROM (
+       |  SELECT doc_id, lang, source, len(toks) AS n_tok,
+       |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS tok_chars,
+       |         len(list_filter(toks, x -> x IN (${TextOps.lexicons.head._2.map(w => s"'$w'").mkString(", ")}))) AS stop_hits,
+       |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_cnt,
+       |         length(text) AS n_chars2
+       |  FROM (SELECT doc_id, lang, source, text, $sqlToks AS toks FROM documents)
+       |  WHERE len(toks) > 0)""".stripMargin
 
   /** The curation pipeline as a LIBRARY function: the surviving
     * documents (all original columns + `quality`) after exact dedup

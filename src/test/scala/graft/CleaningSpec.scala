@@ -261,6 +261,39 @@ class CleaningSpec extends SparkSpec {
     assert(out.size == 13)
   }
 
+  test("budgetSelect: quality-prefix semantics match a driver-side reference; over-budget head blocks its source") {
+    import spark.implicits._
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = graft.queries.CurationQueries.budgetSelect(docs, 600L)
+      .collect().map(r => r.getLong(1)).toSet
+    // independent driver-side model: per source, sort by (quality desc,
+    // doc_id), cumsum n_tok, keep while end <= budget — over the SAME
+    // per-doc scores (the score formula itself is q31's oracle-proven)
+    val scored = graft.queries.TextQueries.withQuality(docs)
+      .select("source", "doc_id", "n_tok", "quality")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong, r.getDouble(3)))
+    val want = scored.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.toSeq.sortBy(r => (-r._4, r._2)).flatMap { r =>
+        cum += r._3; if (cum <= 600L) Some(r._2) else None
+      }
+    }.toSet
+    assert(got == want, s"kept-set mismatch: extra=${got -- want} missing=${want -- got}")
+    assert(got.nonEmpty && got.size < scored.length, "budget must bite but keep something")
+
+    // blocking edge: the best-quality doc of a source exceeds the budget
+    // alone -> cumulative end NEVER fits, the whole source is absent
+    // (deterministic take-until-full, not skip-and-continue)
+    val big = ("w" + " w" * 199)  // 200 tokens, highest quality (n_tok term)
+    val small = "x y z"
+    val synth = Seq((1L, big, "s1"), (2L, small, "s1"), (3L, small, "s2"))
+      .toDF("doc_id", "text", "source")
+    val kept = graft.queries.CurationQueries.budgetSelect(synth, 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept == Set(("s2", 3L)),
+      s"s1's over-budget head must block s1 entirely, s2 unaffected: $kept")
+  }
+
   test("ORC round-trip preserves the documents schema and values") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/documents.orc"

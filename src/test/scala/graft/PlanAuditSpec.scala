@@ -150,6 +150,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins == 1, s"the banded pair join must be the ONLY join, got $joins")
   }
 
+  test("q64 budget select: sharded prefix-sum — no per-source single-reducer sort") {
+    val p = plan("q64_budget_select")
+    // the doc-level cumsum must partition by (shard, source): a window
+    // ordering doc rows with a source-only partition is one reducer per
+    // source (~20 at corpus scale) — the same killer q53's shape avoids
+    val docWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("doc_id")).toList
+    assert(docWindows.nonEmpty, "expect the shard-local cumsum window")
+    assert(docWindows.forall(_.contains("shard")),
+      s"doc-level windows must be shard-partitioned:\n${docWindows.mkString("\n")}")
+    assert(p.contains("rangepartitioning"),
+      "sharding must be an order-respecting range repartition")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (shard, source) offset table must broadcast back")
+  }
+
+  test("q65 chunk windows: narrow map + explode — no shuffle before the output sort") {
+    val p = plan("q65_chunk_windows")
+    assert(p.contains("Generate"), "expect the window-id explode")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      "chunking must not aggregate or join")
+    // rangepartitioning for the final orderBy is the ONLY exchange
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1, s"only the output sort may exchange, got $exchanges")
+  }
+
   test("q63 repeated-line removal: df aggregate is partial, no all-pairs stage") {
     val p = plan("q63_repeated_line_removal")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
