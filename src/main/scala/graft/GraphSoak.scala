@@ -31,11 +31,21 @@ object GraphSoak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    var jobs = 0L
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(s: SparkListenerJobStart): Unit =
-        synchronized { jobs += 1 }
+        jobs.incrementAndGet()
     })
+    // the listener bus delivers asynchronously; without a quiesce a
+    // run's last job-start events can be counted against the NEXT run.
+    // waitUntilEmpty is private[spark], so poll until the count holds
+    // still — job submission has stopped by the time this is called.
+    def settledJobs(): Long = {
+      var prev = -1L
+      var cur = jobs.get()
+      while (cur != prev) { Thread.sleep(200); prev = cur; cur = jobs.get() }
+      cur
+    }
     // node ids 0 .. chains*depth-1; chain c owns [c*depth, (c+1)*depth);
     // an edge links consecutive ids within a chain -> diameter = depth
     val n = chains.toLong * depth
@@ -45,7 +55,7 @@ object GraphSoak {
 
     def run(name: String, star: Boolean): Unit = {
       val t0 = System.nanoTime()
-      val j0 = jobs
+      val j0 = settledJobs()
       val comp = graft.ext.Graph.connectedComponents(
         edges, "a", "b", maxIter = 100, starContraction = star)
       val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("sz"))
@@ -55,7 +65,7 @@ object GraphSoak {
         sizes(0).getLong(1) == chains,
         s"$name wrong components: ${sizes.mkString(", ")}")
       println(f"GRAPHSOAK $name%-14s chains=$chains depth=$depth " +
-        f"wall=$dt%7.2f s jobs=${jobs - j0}")
+        f"wall=$dt%7.2f s jobs=${settledJobs() - j0}")
       spark.catalog.clearCache()
     }
     // untimed warmup on a tiny graph: JIT + codegen out of the timings

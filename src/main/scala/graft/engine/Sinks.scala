@@ -128,31 +128,6 @@ object Sinks {
     * fails to land (close() is the actual PUT on object stores), the
     * fence is deleted before rethrowing so a transient write failure
     * cannot strand a lock that blocks all future merges. */
-  /** Fence hold intervals (store path, acquire nanos, release nanos),
-    * recorded by [[withWriterLock]]. Test-visible: mutual exclusion is
-    * about when the FENCE was held, not when the enclosing merge call
-    * started — a loser descheduled before its fence check can overlap
-    * the winner's whole call and still be a legal sequential reacquire,
-    * so a race test timing the call would false-fail on exactly the
-    * schedule it means to permit (round-8 advisor). Unbounded only in
-    * name: one small tuple per merge, and a real deployment's merge
-    * count dwarfs the JVM lifetime this diagnostic would matter for. */
-  private[graft] val fenceHolds =
-    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
-
-  /** Acquire the writer fence for `path`, run `body`, release — and
-    * record the [acquire, release) interval in [[fenceHolds]]. */
-  private def withWriterLock(fs: org.apache.hadoop.fs.FileSystem,
-                             path: String)(body: => Unit): Unit = {
-    val lock = acquireWriterLock(fs, path)
-    val t0 = System.nanoTime()
-    try body
-    finally {
-      fs.delete(lock, false)
-      fenceHolds.add((path, t0, System.nanoTime()))
-    }
-  }
-
   private def acquireWriterLock(fs: org.apache.hadoop.fs.FileSystem,
                                 path: String): org.apache.hadoop.fs.Path = {
     val lock = new org.apache.hadoop.fs.Path(path + "_lock")
@@ -199,6 +174,42 @@ object Sinks {
       }
     }
     lock
+  }
+
+  /** Fence hold intervals (store path, acquire nanos, release nanos),
+    * recorded by [[withWriterLock]]. Test-visible: mutual exclusion is
+    * about when the FENCE was held, not when the enclosing merge call
+    * started — a loser descheduled before its fence check can overlap
+    * the winner's whole call and still be a legal sequential reacquire,
+    * so a race test timing the call would false-fail on exactly the
+    * schedule it means to permit (round-8 advisor). Bounded: a
+    * long-lived writer (streaming runs one merge per micro-batch)
+    * must not accumulate a tuple per merge forever, so the oldest
+    * entries are dropped past the cap — the race test reads its own
+    * handful of holds immediately after producing them. */
+  private val FenceHoldCap = 4096
+  private[graft] val fenceHolds =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+
+  /** Acquire the writer fence for `path`, run `body`, release — and
+    * record the [acquire, release) interval in [[fenceHolds]]. The
+    * release stamp is taken BEFORE the lock file is deleted: a
+    * successor can acquire the instant the delete lands, and stamping
+    * after it could record our release later than the successor's
+    * acquire — a phantom overlap on a legal sequential schedule. The
+    * recorded interval therefore UNDERcovers the true hold, which is
+    * the conservative direction for a no-overlap assertion. */
+  private def withWriterLock(fs: org.apache.hadoop.fs.FileSystem,
+                             path: String)(body: => Unit): Unit = {
+    val lock = acquireWriterLock(fs, path)
+    val t0 = System.nanoTime()
+    try body
+    finally {
+      val end = System.nanoTime()
+      fs.delete(lock, false)
+      fenceHolds.add((path, t0, end))
+      while (fenceHolds.size > FenceHoldCap) fenceHolds.poll()
+    }
   }
 
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,

@@ -292,6 +292,7 @@ class CleaningSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(kept == Set(("s2", 3L)),
       s"s1's over-budget head must block s1 entirely, s2 unaffected: $kept")
+    spark.catalog.clearCache()
   }
 
   test("ORC round-trip preserves the documents schema and values") {

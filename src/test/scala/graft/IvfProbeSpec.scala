@@ -22,20 +22,32 @@ class IvfProbeSpec extends SparkSpec {
       .where(org.apache.spark.sql.functions.col("rank") <= 3))
     assert(ivfAll == brute,
       "all-cells IVF must reproduce brute-force ranks, neighbors, and cosines bit-exactly")
+    spark.catalog.clearCache()
   }
 
-  test("recall is monotone in nprobe: widening probes never worsens the found top-k") {
+  test("recall is monotone in nprobe: widening probes rank-wise dominates") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
-    // per query, the worst cosine among the top-3 found — a growing
-    // candidate set can only improve (or tie) it
-    def floorByQuery(nprobe: Int): Map[Long, Double] =
+    def byQuery(nprobe: Int): Map[Long, Seq[Double]] =
       rows(EmbeddingQueries.ivfTopK(emb, nQueries = 10, nSeeds = 8, k = 3, nprobe = nprobe))
-        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._4).min }
-    val f1 = floorByQuery(1); val f4 = floorByQuery(4); val f8 = floorByQuery(8)
-    f1.keys.foreach { q =>
-      assert(f4(q) >= f1(q) - 1e-12, s"query $q: nprobe=4 floor ${f4(q)} < nprobe=1 ${f1(q)}")
-      assert(f8(q) >= f4(q) - 1e-12, s"query $q: nprobe=8 floor ${f8(q)} < nprobe=4 ${f4(q)}")
-    }
+        .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._4) }
+    // rank-wise dominance is the metric that IS monotone in candidate-set
+    // inclusion: at every rank both answered, the wider probe's cosine is
+    // >= the narrower's. (A floor over the found top-k is NOT monotone —
+    // an underfull narrow result gets its floor LOWERED when wider probes
+    // fill the remaining ranks with true-but-smaller cosines.)
+    def dominates(wide: Map[Long, Seq[Double]], narrow: Map[Long, Seq[Double]],
+                  what: String): Unit =
+      narrow.foreach { case (q, ns) =>
+        val ws = wide(q)
+        ns.indices.take(ws.length).foreach { r =>
+          assert(ws(r) >= ns(r) - 1e-12,
+            s"query $q rank ${r + 1}: $what ${ws(r)} < ${ns(r)}")
+        }
+      }
+    val p1 = byQuery(1); val p4 = byQuery(4); val p8 = byQuery(8)
+    dominates(p4, p1, "nprobe=4 vs 1")
+    dominates(p8, p4, "nprobe=8 vs 4")
+    spark.catalog.clearCache()
   }
 
   test("nprobe outside [1, nSeeds] is rejected") {

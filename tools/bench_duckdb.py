@@ -39,12 +39,19 @@ def main(sf_dir: str, out_dir: str, threads: int = 32,
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if subset is not None:
+        unknown = subset - set(oracle)
+        if unknown:  # a typo'd name must not silently shrink the control
+            sys.exit(f"unknown oracle queries: {sorted(unknown)}")
     names = sorted(oracle) if subset is None else [n for n in sorted(oracle) if n in subset]
     times, failed, timed_out = {}, {}, {}
     for name in names:
-        timer = None
+        timer, fired = None, threading.Event()
         if timeout_s:
-            timer = threading.Timer(timeout_s, con.interrupt)
+            def _interrupt():
+                fired.set()
+                con.interrupt()
+            timer = threading.Timer(timeout_s, _interrupt)
             timer.start()
         t0 = time.time()
         try:
@@ -57,6 +64,15 @@ def main(sf_dir: str, out_dir: str, threads: int = 32,
         finally:
             if timer:
                 timer.cancel()
+                timer.join()
+                # timer fired but the query had already completed: the
+                # pending interrupt flag would abort the NEXT query as a
+                # phantom instant timeout — absorb it on a no-op first
+                if fired.is_set() and name in times:
+                    try:
+                        con.sql("SELECT 1").fetchall()
+                    except duckdb.InterruptException:
+                        pass
     total = sum(times.values())
     print(json.dumps({"metric": "duckdb_total", "value": total, "unit": "sec",
                       "threads": threads, "queries": times, "failed": failed,
