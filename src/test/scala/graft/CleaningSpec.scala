@@ -261,6 +261,42 @@ class CleaningSpec extends SparkSpec {
     assert(out.size == 13)
   }
 
+  test("removeRepeatedLines matches a driver-side model on random corpora") {
+    import spark.implicits._
+    // seeded random corpora mixing a shared line pool (some lines cross
+    // the df threshold, some don't) with unique lines — the full
+    // contract (df counting by DISTINCT doc, order-preserving
+    // reassembly, kept/removed accounting) against an independent
+    // in-memory model
+    val rnd = new scala.util.Random(20260813)
+    val minDf = 5L
+    (1 to 2).foreach { _ =>
+      val nDocs = 40 + rnd.nextInt(20)
+      val pool = (1 to 12).map(i => s"pool line number $i")
+      val docs = (1L to nDocs.toLong).map { id =>
+        val lines = (1 to 1 + rnd.nextInt(6)).map { _ =>
+          if (rnd.nextBoolean()) pool(rnd.nextInt(pool.size))
+          else s"uniq $id ${rnd.nextInt(1000)}"
+        }
+        (id, lines.mkString("\n"))
+      }
+      val hot = docs.flatMap { case (id, t) => t.split("\n", -1).distinct.map(l => (l, id)) }
+        .groupBy(_._1).collect { case (l, rs) if rs.map(_._2).distinct.size >= minDf => l }
+        .toSet
+      val want = docs.map { case (id, t) =>
+        val ls = t.split("\n", -1)
+        val kept = ls.filterNot(hot)
+        (id, kept.mkString("\n"), kept.length.toLong, (ls.length - kept.length).toLong)
+      }.toSet
+      val got = graft.queries.CurationQueries
+        .removeRepeatedLines(docs.toDF("doc_id", "text"), minDf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want,
+        s"model mismatch: extra=${got -- want} missing=${want -- got}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("budgetSelect: quality-prefix semantics match a driver-side reference; over-budget head blocks its source") {
     import spark.implicits._
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
