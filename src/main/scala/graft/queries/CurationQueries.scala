@@ -29,6 +29,10 @@ object CurationQueries {
     * overlapping windows; a production caller would use e.g. 2048/1536. */
   private val winLen = 16
   private val winStride = 12
+  /** Blocklist for q66 — hits both match branches: dom1/dom3 via the
+    * subdomain suffix, cdn2.net via the exact host. (Declared before
+    * `defs`: the oracle SQL interpolates it EAGERLY at map build.) */
+  private val blockedDomains = Seq("dom1.example.com", "dom3.example.com", "cdn2.net")
 
   val defs: Map[String, Q] = Map(
 
@@ -359,8 +363,71 @@ object CurationQueries {
          |       CAST(wid * $winStride AS BIGINT) AS start_tok,
          |       CAST(LEAST(wid * $winStride + $winLen, n_tok) AS BIGINT) AS end_tok,
          |       md5(array_to_string(toks[(wid * $winStride + 1):LEAST(wid * $winStride + $winLen, n_tok)], ' ')) AS chunk_hash
-         |FROM w ORDER BY doc_id, win_id""".stripMargin)
+         |FROM w ORDER BY doc_id, win_id""".stripMargin),
+
+    // URL/domain blocklist filtering (the C4/RefinedWeb source filter):
+    // extract every URL host, match against a blocked-domain list with
+    // subdomain semantics (exact host OR any "*.domain"), account per
+    // doc. The testdata texts carry no URLs, so — q61's device — the
+    // query injects two per doc with deterministic domains: doc_id % 5
+    // picks the example.com subdomain (blocked for 1 and 3, via the
+    // SUFFIX branch: the host is sub.domN...), doc_id % 3 picks the
+    // cdn host (blocked for 2, via the EXACT branch) — both match
+    // paths and both outcomes exercised at every scale. blocked_hosts
+    // is the sorted joined list, so the oracle pins WHICH hosts
+    // matched, not just how many.
+    "q66_url_filter" -> Q(
+      (s, d) => {
+        val dirty = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            lit(" see https://sub.dom"), (col("doc_id") % 5).cast("string"),
+            lit(".example.com/p/"), col("doc_id").cast("string"),
+            lit(" and http://cdn"), (col("doc_id") % 3).cast("string"),
+            lit(".net/x ok")).as("text"))
+        urlFilter(dirty, blockedDomains)
+          .select(col("doc_id"), col("n_urls"), col("n_blocked"),
+            array_join(array_sort(col("blocked_hosts")), ",").as("blocked_list"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH dirty AS (
+         |  SELECT doc_id,
+         |         text || ' see https://sub.dom' || CAST(doc_id % 5 AS VARCHAR)
+         |              || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+         |              || ' and http://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.net/x ok' AS t
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, regexp_extract_all(t, 'https?://([^/\\s]+)', 1) AS hosts FROM dirty),
+         |f AS (
+         |  SELECT doc_id, hosts,
+         |         list_filter(hosts, x -> ${blockedDomains.map(b =>
+                     s"x = '$b' OR ends_with(x, '.$b')").mkString(" OR ")}) AS bl
+         |  FROM h)
+         |SELECT doc_id, CAST(len(hosts) AS BIGINT) AS n_urls,
+         |       CAST(len(bl) AS BIGINT) AS n_blocked,
+         |       coalesce(array_to_string(list_sort(bl), ','), '') AS blocked_list
+         |FROM f ORDER BY doc_id""".stripMargin)
   )
+
+  /** URL/domain blocklist annotation: appends `urls` (every extracted
+    * URL host), `n_urls`, `blocked_hosts` (those matching `blocked` —
+    * exact host or any subdomain of a blocked domain), and `n_blocked`
+    * to a documents frame; callers drop `n_blocked > 0` rows or route
+    * them for review. The blocklist folds into the row expression as
+    * literals (real blocklists of ~1e5 domains would broadcast-join on
+    * the registered domain instead — this form is for the curated-list
+    * case), so the whole operator is a narrow map: zero shuffles,
+    * embarrassingly parallel at any corpus size. */
+  def urlFilter(docs: org.apache.spark.sql.DataFrame,
+                blocked: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist — nothing to filter")
+    val isBlocked = (h: org.apache.spark.sql.Column) =>
+      blocked.map(b => h === b || h.endsWith("." + b)).reduce(_ || _)
+    docs
+      .withColumn("urls", regexp_extract_all(col("text"), lit("https?://([^/\\s]+)"), lit(1)))
+      .withColumn("n_urls", size(col("urls")).cast("long"))
+      .withColumn("blocked_hosts", filter(col("urls"), isBlocked))
+      .withColumn("n_blocked", size(col("blocked_hosts")).cast("long"))
+  }
 
   /** Token-budget mixture selection: per source, docs best-quality-first
     * (ties on doc_id) until `budgetPerSource` tokens fill; a doc is kept

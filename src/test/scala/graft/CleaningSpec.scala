@@ -261,6 +261,30 @@ class CleaningSpec extends SparkSpec {
     assert(out.size == 13)
   }
 
+  test("urlFilter: exact and subdomain matches block, lookalike domains do not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x https://bad.com/a y"),                    // exact
+      (2L, "x http://sub.deep.bad.com/a y"),            // subdomain, any depth
+      (3L, "x https://notbad.com/a y"),                 // suffix LOOKALIKE: no dot boundary
+      (4L, "x https://bad.com.evil.org/a y"),           // blocked domain as a PREFIX label
+      (5L, "no urls here at all"),
+      (6L, "two https://bad.com/1 hits http://a.bad.com/2 !")
+    ).toDF("doc_id", "text")
+    val out = graft.queries.CurationQueries.urlFilter(docs, Seq("bad.com"))
+      .select("doc_id", "n_urls", "n_blocked")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((1L, 1L)) && out(2L) == ((1L, 1L)), "exact + subdomain must block")
+    assert(out(3L) == ((1L, 0L)), "notbad.com must NOT match the bad.com suffix")
+    assert(out(4L) == ((1L, 0L)), "bad.com.evil.org is a different registered domain")
+    assert(out(5L) == ((0L, 0L)), "no URLs -> zero counts, row kept")
+    assert(out(6L) == ((2L, 2L)), "every matching host counts")
+    intercept[IllegalArgumentException] {
+      graft.queries.CurationQueries.urlFilter(docs, Nil)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("removeRepeatedLines matches a driver-side model on random corpora") {
     import spark.implicits._
     // seeded random corpora mixing a shared line pool (some lines cross

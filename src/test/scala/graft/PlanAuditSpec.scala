@@ -176,6 +176,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 1, s"only the output sort may exchange, got $exchanges")
   }
 
+  test("q66 url filter: narrow map — no join, no aggregate, only the output sort exchanges") {
+    val p = plan("q66_url_filter")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "the literal-folded blocklist must not join or aggregate")
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1, s"only the output sort may exchange, got $exchanges")
+  }
+
   test("q63 repeated-line removal: df aggregate is partial, no all-pairs stage") {
     val p = plan("q63_repeated_line_removal")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
