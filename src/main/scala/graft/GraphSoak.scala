@@ -41,9 +41,10 @@ object GraphSoak {
     // waitUntilEmpty is private[spark], so poll until the count holds
     // still — job submission has stopped by the time this is called.
     def settledJobs(): Long = {
-      var prev = -1L
+      var prev = jobs.get()
+      Thread.sleep(200)
       var cur = jobs.get()
-      while (cur != prev) { Thread.sleep(200); prev = cur; cur = jobs.get() }
+      while (cur != prev) { prev = cur; Thread.sleep(200); cur = jobs.get() }
       cur
     }
     // node ids 0 .. chains*depth-1; chain c owns [c*depth, (c+1)*depth);
@@ -54,8 +55,10 @@ object GraphSoak {
       .select(col("id").as("a"), (col("id") + 1).as("b"))
 
     def run(name: String, star: Boolean): Unit = {
-      val t0 = System.nanoTime()
+      // quiesce BEFORE t0: settledJobs' drain sleep must not count
+      // against the run it precedes
       val j0 = settledJobs()
+      val t0 = System.nanoTime()
       val comp = graft.ext.Graph.connectedComponents(
         edges, "a", "b", maxIter = 100, starContraction = star)
       val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("sz"))

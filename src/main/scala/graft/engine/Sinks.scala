@@ -188,8 +188,12 @@ object Sinks {
     * entries are dropped past the cap — the race test reads its own
     * handful of holds immediately after producing them. */
   private val FenceHoldCap = 4096
+  /** Synchronized ArrayDeque, not a ConcurrentLinkedQueue: CLQ.size()
+    * is O(n), which would make the cap check traverse ~2×cap nodes on
+    * every merge at steady state; fence contention is two writers at
+    * most, so a lock costs nothing next to the parquet merge it brackets. */
   private[graft] val fenceHolds =
-    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    new java.util.ArrayDeque[(String, Long, Long)]()
 
   /** Acquire the writer fence for `path`, run `body`, release — and
     * record the [acquire, release) interval in [[fenceHolds]]. The
@@ -207,8 +211,10 @@ object Sinks {
     finally {
       val end = System.nanoTime()
       fs.delete(lock, false)
-      fenceHolds.add((path, t0, end))
-      while (fenceHolds.size > FenceHoldCap) fenceHolds.poll()
+      fenceHolds.synchronized {
+        fenceHolds.add((path, t0, end))
+        while (fenceHolds.size > FenceHoldCap) fenceHolds.pollFirst()
+      }
     }
   }
 

@@ -396,7 +396,10 @@ object CurationQueries {
          |              || ' and http://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.net/x ok' AS t
          |  FROM documents),
          |h AS (
-         |  SELECT doc_id, regexp_extract_all(t, 'https?://([^/\\s]+)', 1) AS hosts FROM dirty),
+         |  SELECT doc_id,
+         |         list_transform(regexp_extract_all(t, '(?i)https?://([A-Za-z0-9.-]+)', 1),
+         |                        x -> lower(regexp_replace(x, '\\.+$$', ''))) AS hosts
+         |  FROM dirty),
          |f AS (
          |  SELECT doc_id, hosts,
          |         list_filter(hosts, x -> ${blockedDomains.map(b =>
@@ -420,10 +423,21 @@ object CurationQueries {
   def urlFilter(docs: org.apache.spark.sql.DataFrame,
                 blocked: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(blocked.nonEmpty, "empty blocklist — nothing to filter")
+    // recall edges a byte-exact match would miss (hosts are
+    // case-insensitive per RFC, URLs end at ports/punctuation in
+    // prose): the scheme matches case-insensitively, the host charset
+    // [A-Za-z0-9.-] stops BEFORE ':8080' / ',' / ')' on its own, and
+    // extracted hosts are lowercased; the blocklist is normalized the
+    // same way so a mixed-case entry still matches.
+    val blockedLc = blocked.map(_.toLowerCase)
     val isBlocked = (h: org.apache.spark.sql.Column) =>
-      blocked.map(b => h === b || h.endsWith("." + b)).reduce(_ || _)
+      blockedLc.map(b => h === b || h.endsWith("." + b)).reduce(_ || _)
     docs
-      .withColumn("urls", regexp_extract_all(col("text"), lit("https?://([^/\\s]+)"), lit(1)))
+      .withColumn("urls", transform(
+        regexp_extract_all(col("text"), lit("(?i)https?://([A-Za-z0-9.-]+)"), lit(1)),
+        // lowercase + strip trailing dots: a sentence-final period joins
+        // the charset match, and 'bad.com.' is the same FQDN as 'bad.com'
+        h => lower(regexp_replace(h, lit("\\.+$"), lit("")))))
       .withColumn("n_urls", size(col("urls")).cast("long"))
       .withColumn("blocked_hosts", filter(col("urls"), isBlocked))
       .withColumn("n_blocked", size(col("blocked_hosts")).cast("long"))

@@ -269,7 +269,11 @@ class CleaningSpec extends SparkSpec {
       (3L, "x https://notbad.com/a y"),                 // suffix LOOKALIKE: no dot boundary
       (4L, "x https://bad.com.evil.org/a y"),           // blocked domain as a PREFIX label
       (5L, "no urls here at all"),
-      (6L, "two https://bad.com/1 hits http://a.bad.com/2 !")
+      (6L, "two https://bad.com/1 hits http://a.bad.com/2 !"),
+      (7L, "mixed case HTTPS://Bad.Com/x scheme and host"),  // RFC case-insensitive
+      (8L, "with port https://bad.com:8080/x here"),         // host ends before :port
+      (9L, "in prose see https://bad.com, which is bad"),    // trailing comma not host
+      (10L, "sentence end https://bad.com. Next sentence")   // final period stripped
     ).toDF("doc_id", "text")
     val out = graft.queries.CurationQueries.urlFilter(docs, Seq("bad.com"))
       .select("doc_id", "n_urls", "n_blocked")
@@ -279,6 +283,10 @@ class CleaningSpec extends SparkSpec {
     assert(out(4L) == ((1L, 0L)), "bad.com.evil.org is a different registered domain")
     assert(out(5L) == ((0L, 0L)), "no URLs -> zero counts, row kept")
     assert(out(6L) == ((2L, 2L)), "every matching host counts")
+    assert(out(7L) == ((1L, 1L)), "scheme and host match case-insensitively")
+    assert(out(8L) == ((1L, 1L)), "a port must not defeat the host match")
+    assert(out(9L) == ((1L, 1L)), "trailing prose punctuation is not part of the host")
+    assert(out(10L) == ((1L, 1L)), "a sentence-final dot is stripped from the host")
     intercept[IllegalArgumentException] {
       graft.queries.CurationQueries.urlFilter(docs, Nil)
     }

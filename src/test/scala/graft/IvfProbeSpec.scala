@@ -39,7 +39,11 @@ class IvfProbeSpec extends SparkSpec {
                   what: String): Unit =
       narrow.foreach { case (q, ns) =>
         val ws = wide(q)
-        ns.indices.take(ws.length).foreach { r =>
+        // count monotonicity first: a wider probe must answer at least
+        // as many ranks — losing answered ranks is itself a violation
+        assert(ws.length >= ns.length,
+          s"query $q: $what answered ${ws.length} ranks < ${ns.length}")
+        ns.indices.foreach { r =>
           assert(ws(r) >= ns(r) - 1e-12,
             s"query $q rank ${r + 1}: $what ${ws(r)} < ${ns(r)}")
         }

@@ -65,10 +65,11 @@ def main(sf_dir: str, out_dir: str, threads: int = 32,
             if timer:
                 timer.cancel()
                 timer.join()
-                # timer fired but the query had already completed: the
-                # pending interrupt flag would abort the NEXT query as a
-                # phantom instant timeout — absorb it on a no-op first
-                if fired.is_set() and name in times:
+                # timer fired but the query did not end as a timeout
+                # (completed, or died on a real error first): the pending
+                # interrupt flag would abort the NEXT query as a phantom
+                # instant timeout — absorb it on a no-op first
+                if fired.is_set() and name not in timed_out:
                     try:
                         con.sql("SELECT 1").fetchall()
                     except duckdb.InterruptException:
