@@ -22,7 +22,7 @@ object ScaleSoak {
     "q41_minhash_signatures", "q42_minhash_lsh_pairs", "q43_ngram_jaccard_pairs",
     "q49_dup_clusters", "q53_packing_plan", "q54_decontamination",
     "q55_repetition_stats", "q57_containment_pairs", "q63_repeated_line_removal",
-    "q64_budget_select", "q65_chunk_windows", "q66_url_filter",
+    "q64_budget_select", "q65_chunk_windows", "q66_url_filter", "q67_cluster_reps",
     "q45_ann_bruteforce_topk", "q46_lsh_bucket_pairs", "q47_ivf_topk",
     "q48_embedding_neardup", "q43_capped_df64", "q42_capped_b64")
 

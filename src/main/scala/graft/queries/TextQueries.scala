@@ -651,6 +651,58 @@ object TextQueries {
          |SELECT node AS doc_id, MIN(lbl) AS cluster_id
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // Representative selection: the BEST-quality member of each dup
+    // cluster (ties toward the smaller doc_id), with member accounting —
+    // what a curation pipeline keeps from each cluster (q49 keeps the
+    // min-id; real pipelines keep the best doc). The Spark side selects
+    // reps via max_by over (quality, -doc_id) — a PARTIAL-aggregable
+    // map-side combine, so one pathological giant cluster streams
+    // through partial aggregates instead of sorting in a single window
+    // reducer (PlanAuditSpec pins the partial phase). The oracle states
+    // the same choice as a row_number window — fine at oracle scale,
+    // wrong shape at corpus scale, which is exactly why the Spark side
+    // differs. Every clustered doc has >= 3 tokens (signatures require
+    // it), so the quality join is lossless by construction.
+    "q67_cluster_reps" -> Q(
+      (s, d) => {
+        val ord = struct(col("quality"), (-col("doc_id")).as("negid"))
+        dupClusters(s, d)
+          .join(withQuality(Tables.documents(s, d)).select(col("doc_id"), col("quality")),
+            Seq("doc_id"))
+          .groupBy(col("cluster_id")).agg(
+            count(lit(1)).as("n_members"),
+            max_by(col("doc_id"), ord).as("rep_doc_id"),
+            max(ord).getField("quality").as("rep_quality"))
+          .orderBy(col("cluster_id"))
+      },
+      s"""WITH RECURSIVE $sqlSigCtes,
+         |cand AS (
+         |${Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (i, j) =>
+           s"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |         ${(0 until nHashes).map(k => s"CAST(a.h$k = b.h$k AS INTEGER)").mkString(" + ")} AS matches
+              |  FROM sig a JOIN sig b ON a.h$i = b.h$i AND a.h$j = b.h$j AND a.doc_id < b.doc_id""".stripMargin
+         }.mkString("\n  UNION\n")}
+         |),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand WHERE matches / 8e0 >= 0.5
+         |  UNION
+         |  SELECT doc_b AS a, doc_a AS b FROM cand WHERE matches / 8e0 >= 0.5),
+         |reach AS (
+         |  SELECT a AS node, a AS lbl FROM edges
+         |  UNION
+         |  SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+         |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+         |pd AS (${sqlQualityDocs}),
+         |m AS (SELECT cl.cluster_id, cl.doc_id, pd.quality
+         |      FROM cl JOIN pd USING (doc_id)),
+         |r AS (SELECT m.*, row_number() OVER (
+         |        PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) AS rk
+         |      FROM m)
+         |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |       MAX(CASE WHEN rk = 1 THEN doc_id END) AS rep_doc_id,
+         |       MAX(CASE WHEN rk = 1 THEN quality END) AS rep_quality
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // The df-capped q43: same pairs, but prefix postings with document
     // frequency > 64 are dropped before expansion — the bounded-work
     // variant for boilerplate-heavy corpora (BENCH_NOTES: x1.4 at 30x

@@ -261,6 +261,39 @@ class CleaningSpec extends SparkSpec {
     assert(out.size == 13)
   }
 
+  test("q67 cluster reps: quality picks the rep; exact-replica ties break to the smaller doc_id") {
+    import spark.implicits._
+    // constructed corpus: docs 1 and 2 are EXACT replicas (identical
+    // quality — the tie the sf0.01 oracle never exercises), doc 3 is a
+    // one-token perturbation with MORE tokens (higher quality -> must
+    // be the rep despite the larger id); docs 10/11 are an unrelated
+    // cluster pair
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, t, "en", "s", t.length.toLong),
+      (2L, t, "en", "s", t.length.toLong),
+      (3L, t + " iota", "en", "s", (t.length + 5).toLong),
+      (10L, "one two three four five six", "en", "s", 27L),
+      (11L, "one two three four five seven", "en", "s", 29L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q67").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q67_cluster_reps")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // cluster 1 = {1, 2, 3}: doc 3 has the highest quality (more tokens)
+    assert(out(1L) == ((3L, 3L)), s"doc 3 must out-rank the replicas: $out")
+    // cluster 10 = {10, 11}: doc 11 higher quality (longer tokens)
+    assert(out.contains(10L) && out(10L)._1 == 2L, s"second cluster intact: $out")
+    // tie-break contract: drop doc 3 -> only the exact replicas remain,
+    // identical quality, rep must be the SMALLER doc_id
+    docs.where(col("doc_id") =!= 3L).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val tie = SparkEntry.queries("q67_cluster_reps")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tie(1L) == 1L, s"equal-quality tie must keep the smaller doc_id: $tie")
+    spark.catalog.clearCache()
+  }
+
   test("urlFilter: exact and subdomain matches block, lookalike domains do not") {
     import spark.implicits._
     val docs = Seq(

@@ -150,6 +150,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins == 1, s"the banded pair join must be the ONLY join, got $joins")
   }
 
+  test("q67 cluster reps: rep choice is a partial max_by, not a per-cluster window sort") {
+    val p = plan("q67_cluster_reps")
+    // a row_number window over members would make one giant cluster a
+    // single-reducer straggler; max_by combines map-side
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
+      (p.contains("max_by") && p.contains("partial_")),
+      s"rep selection must aggregate partially (map-side combine)")
+    val repWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("cluster_id")).toList
+    assert(repWindows.isEmpty,
+      s"no window partitioned by cluster_id:\n${repWindows.mkString("\n")}")
+  }
+
   test("q64 budget select: sharded prefix-sum — no per-source single-reducer sort") {
     val p = plan("q64_budget_select")
     // the doc-level cumsum must partition by (shard, source): a window
