@@ -467,6 +467,30 @@ object TextQueries {
   /** DuckDB mirror of [[signatures]] (the documents-table form). */
   private val sqlSigCtes: String = sqlSigCtesFrom("documents")
 
+  /** Shared oracle fragment for the doc-level clustering: band-join
+    * candidates → est-sim ≥ 0.5 edge closure → recursive reachability →
+    * `cl` (doc_id, cluster_id). Stated ONCE so q49 and q67 cannot
+    * drift apart silently (same rule as [[sqlSigCtesFrom]] /
+    * [[sqlQualityDocs]]); callers prepend `WITH RECURSIVE
+    * $sqlSigCtes,`. */
+  private val sqlClusterCtes: String =
+    s"""cand AS (
+       |${Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (i, j) =>
+         s"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |         ${(0 until nHashes).map(k => s"CAST(a.h$k = b.h$k AS INTEGER)").mkString(" + ")} AS matches
+            |  FROM sig a JOIN sig b ON a.h$i = b.h$i AND a.h$j = b.h$j AND a.doc_id < b.doc_id""".stripMargin
+       }.mkString("\n  UNION\n")}
+       |),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM cand WHERE matches / 8e0 >= 0.5
+       |  UNION
+       |  SELECT doc_b AS a, doc_a AS b FROM cand WHERE matches / 8e0 >= 0.5),
+       |reach AS (
+       |  SELECT a AS node, a AS lbl FROM edges
+       |  UNION
+       |  SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+       |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1)""".stripMargin
+
   val defs: Map[String, Q] = Map(
 
     // Token counting per language: counts, mean token length, vocab size.
@@ -633,23 +657,8 @@ object TextQueries {
     "q49_dup_clusters" -> Q(
       (s, d) => dupClusters(s, d),
       s"""WITH RECURSIVE $sqlSigCtes,
-         |cand AS (
-         |${Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (i, j) =>
-           s"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |         ${(0 until nHashes).map(k => s"CAST(a.h$k = b.h$k AS INTEGER)").mkString(" + ")} AS matches
-              |  FROM sig a JOIN sig b ON a.h$i = b.h$i AND a.h$j = b.h$j AND a.doc_id < b.doc_id""".stripMargin
-         }.mkString("\n  UNION\n")}
-         |),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM cand WHERE matches / 8e0 >= 0.5
-         |  UNION
-         |  SELECT doc_b AS a, doc_a AS b FROM cand WHERE matches / 8e0 >= 0.5),
-         |reach AS (
-         |  SELECT a AS node, a AS lbl FROM edges
-         |  UNION
-         |  SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node)
-         |SELECT node AS doc_id, MIN(lbl) AS cluster_id
-         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin),
+         |$sqlClusterCtes
+         |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin),
 
     // Representative selection: the BEST-quality member of each dup
     // cluster (ties toward the smaller doc_id), with member accounting —
@@ -665,33 +674,24 @@ object TextQueries {
     // it), so the quality join is lossless by construction.
     "q67_cluster_reps" -> Q(
       (s, d) => {
-        val ord = struct(col("quality"), (-col("doc_id")).as("negid"))
+        // ONE max over (quality, -doc_id) yields both outputs: the rep
+        // IS -negid (the ordering key embeds the identity), so no
+        // second max_by buffer travels the shuffle and each row is
+        // struct-compared once. Duplicate-free ord (unique doc_id)
+        // makes the choice deterministic.
+        val best = max(struct(col("quality"), (-col("doc_id")).as("negid")))
         dupClusters(s, d)
           .join(withQuality(Tables.documents(s, d)).select(col("doc_id"), col("quality")),
             Seq("doc_id"))
           .groupBy(col("cluster_id")).agg(
-            count(lit(1)).as("n_members"),
-            max_by(col("doc_id"), ord).as("rep_doc_id"),
-            max(ord).getField("quality").as("rep_quality"))
+            count(lit(1)).as("n_members"), best.as("best"))
+          .select(col("cluster_id"), col("n_members"),
+            (-col("best.negid")).cast("long").as("rep_doc_id"),
+            col("best.quality").as("rep_quality"))
           .orderBy(col("cluster_id"))
       },
       s"""WITH RECURSIVE $sqlSigCtes,
-         |cand AS (
-         |${Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (i, j) =>
-           s"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |         ${(0 until nHashes).map(k => s"CAST(a.h$k = b.h$k AS INTEGER)").mkString(" + ")} AS matches
-              |  FROM sig a JOIN sig b ON a.h$i = b.h$i AND a.h$j = b.h$j AND a.doc_id < b.doc_id""".stripMargin
-         }.mkString("\n  UNION\n")}
-         |),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM cand WHERE matches / 8e0 >= 0.5
-         |  UNION
-         |  SELECT doc_b AS a, doc_a AS b FROM cand WHERE matches / 8e0 >= 0.5),
-         |reach AS (
-         |  SELECT a AS node, a AS lbl FROM edges
-         |  UNION
-         |  SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
-         |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+         |$sqlClusterCtes,
          |pd AS (${sqlQualityDocs}),
          |m AS (SELECT cl.cluster_id, cl.doc_id, pd.quality
          |      FROM cl JOIN pd USING (doc_id)),

@@ -279,18 +279,30 @@ class CleaningSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_q67").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = SparkEntry.queries("q67_cluster_reps")(spark, dir)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // independently computed per-doc qualities, to pin rep_quality too
+    val q = graft.queries.TextQueries.withQuality(
+      graft.engine.Tables.documents(spark, dir))
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // cluster 1 = {1, 2, 3}: doc 3 has the highest quality (more tokens)
-    assert(out(1L) == ((3L, 3L)), s"doc 3 must out-rank the replicas: $out")
+    assert(out(1L) == ((3L, 3L, q(3L))), s"doc 3 must out-rank the replicas: $out")
     // cluster 10 = {10, 11}: doc 11 higher quality (longer tokens)
-    assert(out.contains(10L) && out(10L)._1 == 2L, s"second cluster intact: $out")
+    assert(out(10L) == ((2L, 11L, q(11L))), s"second cluster's rep must be doc 11: $out")
     // tie-break contract: drop doc 3 -> only the exact replicas remain,
-    // identical quality, rep must be the SMALLER doc_id
+    // identical quality, rep must be the SMALLER doc_id. A SECOND temp
+    // dir, and caches cleared first: dupClusters persists its cluster
+    // tables, and an overwrite at the SAME path would let the cache
+    // manager substitute the stale clustering for a same-plan rerun
+    spark.catalog.clearCache()
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_q67b").toString
     docs.where(col("doc_id") =!= 3L).write.mode("overwrite")
-      .parquet(s"$dir/documents.parquet")
-    val tie = SparkEntry.queries("q67_cluster_reps")(spark, dir)
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    assert(tie(1L) == 1L, s"equal-quality tie must keep the smaller doc_id: $tie")
+      .parquet(s"$dir2/documents.parquet")
+    val tie = SparkEntry.queries("q67_cluster_reps")(spark, dir2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(tie(1L) == ((2L, 1L, q(1L))),
+      s"equal-quality tie must keep the smaller doc_id: $tie")
     spark.catalog.clearCache()
   }
 

@@ -150,13 +150,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins == 1, s"the banded pair join must be the ONLY join, got $joins")
   }
 
-  test("q67 cluster reps: rep choice is a partial max_by, not a per-cluster window sort") {
+  test("q67 cluster reps: rep choice is a partial struct-max, not a per-cluster window sort") {
     val p = plan("q67_cluster_reps")
     // a row_number window over members would make one giant cluster a
-    // single-reducer straggler; max_by combines map-side
-    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
-      (p.contains("max_by") && p.contains("partial_")),
-      s"rep selection must aggregate partially (map-side combine)")
+    // single-reducer straggler; the struct-max combines map-side. The
+    // assertion requires the partial_ prefix ON the rep aggregate
+    // itself — a contains("partial_") anywhere would be vacuously true
+    // from unrelated upstream aggregates
+    assert("partial_max\\(max\\(best".r.findFirstIn(p).isDefined ||
+      "partial_max\\(.*negid".r.findFirstIn(p).isDefined,
+      s"rep struct-max must have a partial (map-side) phase; plan:\n${
+        p.linesIterator.filter(_.contains("max")).take(6).mkString("\n")}")
     val repWindows = p.linesIterator.filter(l =>
       l.contains("windowspecdefinition") && l.contains("cluster_id")).toList
     assert(repWindows.isEmpty,
