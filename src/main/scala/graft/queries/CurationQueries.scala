@@ -33,6 +33,9 @@ object CurationQueries {
     * subdomain suffix, cdn2.net via the exact host. (Declared before
     * `defs`: the oracle SQL interpolates it EAGERLY at map build.) */
   private val blockedDomains = Seq("dom1.example.com", "dom3.example.com", "cdn2.net")
+  /** A bigram is corpus-rare (q68) when its occurrence count is at or
+    * below this. */
+  private val rareMaxCount = 2
 
   val defs: Map[String, Q] = Map(
 
@@ -364,6 +367,63 @@ object CurationQueries {
          |       CAST(LEAST(wid * $winStride + $winLen, n_tok) AS BIGINT) AS end_tok,
          |       md5(array_to_string(toks[(wid * $winStride + 1):LEAST(wid * $winStride + $winLen, n_tok)], ' ')) AS chunk_hash
          |FROM w ORDER BY doc_id, win_id""".stripMargin),
+
+    // Corpus-trained bigram-rarity scoring (the CCNet/RedPajama-style
+    // LM-plausibility signal, with counts standing in for a trained
+    // LM): count every bigram's corpus frequency, then score each doc
+    // by how much of it is corpus-rare — a doc whose bigrams barely
+    // recur anywhere else is likely noise/garbled text a pretraining
+    // corpus drops. All-integer accounting (occurrence counts, rare
+    // tallies) with single exact IEEE divisions at the end, so parity
+    // needs no decimal folding.
+    //
+    // Scale shape: bigrams travel as 60-bit md5 hashes (fixed-width
+    // keys, never the strings); the count is a map-side-combined
+    // aggregate; the scoring join shuffles on the same hash key both
+    // sides and hot bigrams (stopword pairs) are AQE's skew-join case.
+    // Two shuffles + one join, no all-pairs anywhere. Hash collisions
+    // merge counts identically in both engines (same hash), so the
+    // oracle is exact regardless.
+    "q68_bigram_rarity" -> Q(
+      (s, d) => {
+        val bi = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .where(size(col("tk")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(2, size(tk)), i -> concat(element_at(tk, i - 1), ' ', element_at(tk, i)))")).as("g"))
+          .select(col("doc_id"),
+            conv(substring(md5(concat(lit("b:"), col("g"))), 1, 15), 16, 10)
+              .cast("long").as("h"))
+        val counts = bi.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        bi.join(counts, Seq("h"))
+          .groupBy(col("doc_id")).agg(
+            count(lit(1)).as("n_bigrams"),
+            sum(when(col("c") <= rareMaxCount, 1L).otherwise(0L)).as("rare_bigrams"),
+            sum(col("c")).as("sum_freq"))
+          .select(col("doc_id"), col("n_bigrams"), col("rare_bigrams"),
+            (col("rare_bigrams") / col("n_bigrams")).as("rarity"),
+            (col("sum_freq") / col("n_bigrams")).as("avg_freq"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(2, len(tk) + 1),
+         |                               i -> tk[i - 1] || ' ' || tk[i])) AS g
+         |  FROM t WHERE len(tk) >= 2),
+         |hh AS (SELECT doc_id, ('0x' || substr(md5('b:' || g), 1, 15))::BIGINT AS h FROM b),
+         |c AS (SELECT h, COUNT(*) AS c FROM hh GROUP BY 1),
+         |j AS (SELECT hh.doc_id, c.c FROM hh JOIN c USING (h)),
+         |a AS (
+         |  SELECT doc_id, COUNT(*) AS n_bigrams,
+         |         SUM(CASE WHEN c <= $rareMaxCount THEN 1 ELSE 0 END) AS rare_bigrams,
+         |         SUM(c) AS sum_freq
+         |  FROM j GROUP BY 1)
+         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         |       CAST(rare_bigrams AS BIGINT) AS rare_bigrams,
+         |       rare_bigrams / n_bigrams AS rarity,
+         |       sum_freq / n_bigrams AS avg_freq
+         |FROM a ORDER BY doc_id""".stripMargin),
 
     // URL/domain blocklist filtering (the C4/RefinedWeb source filter):
     // extract every URL host, match against a blocked-domain list with

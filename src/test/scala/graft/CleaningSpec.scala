@@ -261,6 +261,26 @@ class CleaningSpec extends SparkSpec {
     assert(out.size == 13)
   }
 
+  test("q68 bigram rarity: unique gibberish scores 1.0, corpus-common text scores 0.0") {
+    import spark.implicits._
+    // 6 docs share one phrase verbatim (its bigrams occur 6 > 2 times);
+    // one doc is unique gibberish (every bigram occurs once <= 2)
+    val common = "the quick brown fox jumps"
+    val docs = ((1L to 6L).map(i => (i, common, "en", "s", 25L)) :+
+      ((7L, "zxq wvu tsr qpo nml", "en", "s", 19L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q68").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q68_bigram_rarity")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // common doc: 4 bigrams, each with corpus count 6 -> rarity 0, avg 6
+    assert(out(1L) == ((4L, 0L, 0.0, 6.0)), s"common text must score 0 rarity: $out")
+    // gibberish doc: 4 bigrams, each count 1 -> rarity 1, avg 1
+    assert(out(7L) == ((4L, 4L, 1.0, 1.0)), s"unique gibberish must score 1 rarity: $out")
+    spark.catalog.clearCache()
+  }
+
   test("q67 cluster reps: quality picks the rep; exact-replica ties break to the smaller doc_id") {
     import spark.implicits._
     // constructed corpus: docs 1 and 2 are EXACT replicas (identical

@@ -193,6 +193,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 1, s"only the output sort may exchange, got $exchanges")
   }
 
+  test("q68 bigram rarity: count combines map-side; scoring is ONE equi-join on the hash") {
+    val p = plan("q68_bigram_rarity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "never an all-pairs stage")
+    assert("partial_count".r.findFirstIn(p).isDefined,
+      "the bigram count must have a partial (map-side) phase")
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).length
+    assert(joins == 1, s"exactly the one scoring join, got $joins")
+  }
+
   test("q66 url filter: narrow map — no join, no aggregate, only the output sort exchanges") {
     val p = plan("q66_url_filter")
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
