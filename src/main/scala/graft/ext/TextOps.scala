@@ -44,6 +44,16 @@ object TextOps {
   def sqlSaltedHash(salt: Int, expr: String): String =
     s"(('0x' || substr(md5('$salt:' || ($expr)), 1, 8))::BIGINT)"
 
+  /** 60-bit salted md5 hash of a string as a long — fixed-width join /
+    * shuffle keys for text grams (15 hex chars < 2^60, fits a signed
+    * long identically in both engines). */
+  def hash60(salt: String, c: Column): Column =
+    conv(substring(md5(concat(lit(s"$salt:"), c)), 1, 15), 16, 10).cast("long")
+
+  /** SQL mirror of [[hash60]]. */
+  def sqlHash60(salt: String, expr: String): String =
+    s"(('0x' || substr(md5('$salt:' || ($expr)), 1, 15))::BIGINT)"
+
   /** Distinct word n-gram shingles over an ALREADY-MATERIALIZED token
     * array column (`toks` must be a plain attribute, not an expression —
     * see the class doc). Empty array when the doc has < n tokens. */

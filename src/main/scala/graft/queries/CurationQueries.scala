@@ -378,28 +378,32 @@ object CurationQueries {
     // needs no decimal folding.
     //
     // Scale shape: bigrams travel as 60-bit md5 hashes (fixed-width
-    // keys, never the strings); the count is a map-side-combined
-    // aggregate; the scoring join shuffles on the same hash key both
-    // sides and hot bigrams (stopword pairs) are AQE's skew-join case.
-    // Two shuffles + one join, no all-pairs anywhere. Hash collisions
-    // merge counts identically in both engines (same hash), so the
-    // oracle is exact regardless.
+    // keys, never the strings). The tokenize/explode pipeline runs
+    // ONCE: it pre-aggregates to per-(doc, bigram) multiplicities
+    // (map-side combined), which is persisted and read by BOTH
+    // consumers — corpus counts derive as sum(m), and the scoring join
+    // probes with the distinct-bigram table, not the ~n_tokens
+    // occurrence rows (all downstream sums weight by m, which is
+    // output-identical to joining occurrences). Hot bigrams (stopword
+    // pairs) are AQE's skew-join case. No all-pairs anywhere. Hash
+    // collisions merge counts identically in both engines (same
+    // hash), so the oracle is exact regardless.
     "q68_bigram_rarity" -> Q(
       (s, d) => {
-        val bi = Tables.documents(s, d)
+        val perDoc = Tables.documents(s, d)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
           .where(size(col("tk")) >= 2)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(2, size(tk)), i -> concat(element_at(tk, i - 1), ' ', element_at(tk, i)))")).as("g"))
-          .select(col("doc_id"),
-            conv(substring(md5(concat(lit("b:"), col("g"))), 1, 15), 16, 10)
-              .cast("long").as("h"))
-        val counts = bi.groupBy(col("h")).agg(count(lit(1)).as("c"))
-        bi.join(counts, Seq("h"))
+          .select(col("doc_id"), TextOps.hash60("b", col("g")).as("h"))
+          .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("m"))
+          .persist() // two consumers; Bench/Verify clearCache()s
+        val counts = perDoc.groupBy(col("h")).agg(sum(col("m")).as("c"))
+        perDoc.join(counts, Seq("h"))
           .groupBy(col("doc_id")).agg(
-            count(lit(1)).as("n_bigrams"),
-            sum(when(col("c") <= rareMaxCount, 1L).otherwise(0L)).as("rare_bigrams"),
-            sum(col("c")).as("sum_freq"))
+            sum(col("m")).as("n_bigrams"),
+            sum(when(col("c") <= rareMaxCount, col("m")).otherwise(0L)).as("rare_bigrams"),
+            sum(col("m") * col("c")).as("sum_freq"))
           .select(col("doc_id"), col("n_bigrams"), col("rare_bigrams"),
             (col("rare_bigrams") / col("n_bigrams")).as("rarity"),
             (col("sum_freq") / col("n_bigrams")).as("avg_freq"))
@@ -411,7 +415,7 @@ object CurationQueries {
          |         unnest(list_transform(range(2, len(tk) + 1),
          |                               i -> tk[i - 1] || ' ' || tk[i])) AS g
          |  FROM t WHERE len(tk) >= 2),
-         |hh AS (SELECT doc_id, ('0x' || substr(md5('b:' || g), 1, 15))::BIGINT AS h FROM b),
+         |hh AS (SELECT doc_id, ${TextOps.sqlHash60("b", "g")} AS h FROM b),
          |c AS (SELECT h, COUNT(*) AS c FROM hh GROUP BY 1),
          |j AS (SELECT hh.doc_id, c.c FROM hh JOIN c USING (h)),
          |a AS (
