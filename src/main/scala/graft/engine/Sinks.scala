@@ -210,8 +210,12 @@ object Sinks {
     try body
     finally {
       val end = System.nanoTime()
-      fs.delete(lock, false)
-      fenceHolds.synchronized {
+      // the hold is recorded even when the delete throws: a winner that
+      // failed only at release still HELD the fence for [t0, end), and
+      // dropping its interval would hide it from the race test's
+      // holds-per-win accounting (round-9 advisor)
+      try fs.delete(lock, false)
+      finally fenceHolds.synchronized {
         fenceHolds.add((path, t0, end))
         while (fenceHolds.size > FenceHoldCap) fenceHolds.pollFirst()
       }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.engine.{Parity, Tables}
+import graft.engine.{CacheScope, Parity, Tables}
 import graft.ext.TextOps
 
 /** Corpus-curation operators beyond dedup: deterministic dataset
@@ -76,46 +76,16 @@ object CurationQueries {
     // 5 single-reducer sorts — this shape never builds a partition larger
     // than corpus/#shards (PlanAuditSpec pins it).
     "q53_packing_plan" -> Q(
-      (s, d) => {
-        val nShards = s.conf.get("spark.sql.shuffle.partitions").toInt
-        // range partitioner bounds are sample-based, but any boundary
-        // choice yields the same end_tok: shards hold contiguous
-        // (lang, doc_id) ranges in partition-id order by construction.
-        // Tokenize AFTER the exchange: the range sampler evaluates its
-        // child twice (sample pass + shuffle write), so a pre-exchange
-        // token count would run the tokenizer over the corpus twice.
-        // Filtering empty docs after sharding keeps contiguity — a
-        // filter cannot reorder rows across shard boundaries.
-        val sharded = Tables.documents(s, d)
-          .select(col("lang"), col("doc_id"), col("text"))
-          .repartitionByRange(nShards, col("lang"), col("doc_id"))
-          .withColumn("shard", spark_partition_id())
-          .select(col("lang"), col("doc_id"), col("shard"),
-            size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
-          .where(col("n_tok") > 0)
-        val wLoc = Window.partitionBy(col("shard"), col("lang")).orderBy(col("doc_id"))
-        val local = sharded.withColumn("local_end", sum(col("n_tok")).over(wLoc))
-          .persist() // two consumers (spans + offsets); Bench/Verify clearCache()s
-        // per-(shard, lang) totals: #shards × #langs rows — window over
-        // this tiny aggregate is driver-scale work, then broadcast back
-        val wOff = Window.partitionBy(col("lang")).orderBy(col("shard"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = local.groupBy(col("shard"), col("lang"))
-          .agg(max(col("local_end")).as("shard_tok"))
-          .withColumn("offset", coalesce(sum(col("shard_tok")).over(wOff), lit(0L)))
-          .select(col("shard"), col("lang"), col("offset"))
-        val spans = local.join(broadcast(offsets), Seq("shard", "lang"))
-          .withColumn("end_tok", col("local_end") + col("offset"))
-        spans.groupBy(col("lang")).agg(
+      (s, d) => packingSpans(Tables.documents(s, d))
+        .groupBy(col("lang")).agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("total_tokens"),
           sum(when(expr(s"(end_tok - 1) div $chunk") >
             expr(s"(end_tok - n_tok) div $chunk"), 1).otherwise(0)).as("n_split_docs"))
-          .withColumn("n_chunks", expr(s"(total_tokens + ${chunk - 1}) div $chunk"))
-          .select(col("lang"), col("n_docs"), col("total_tokens"),
-            col("n_chunks"), col("n_split_docs"))
-          .orderBy(col("lang"))
-      },
+        .withColumn("n_chunks", expr(s"(total_tokens + ${chunk - 1}) div $chunk"))
+        .select(col("lang"), col("n_docs"), col("total_tokens"),
+          col("n_chunks"), col("n_split_docs"))
+        .orderBy(col("lang")),
       s"""WITH dt AS (
          |  SELECT lang, doc_id, CAST(len(${TextOps.sqlTokens("text")}) AS BIGINT) AS n_tok
          |  FROM documents),
@@ -389,26 +359,7 @@ object CurationQueries {
     // collisions merge counts identically in both engines (same
     // hash), so the oracle is exact regardless.
     "q68_bigram_rarity" -> Q(
-      (s, d) => {
-        val perDoc = Tables.documents(s, d)
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-          .where(size(col("tk")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(2, size(tk)), i -> concat(element_at(tk, i - 1), ' ', element_at(tk, i)))")).as("g"))
-          .select(col("doc_id"), TextOps.hash60("b", col("g")).as("h"))
-          .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("m"))
-          .persist() // two consumers; Bench/Verify clearCache()s
-        val counts = perDoc.groupBy(col("h")).agg(sum(col("m")).as("c"))
-        perDoc.join(counts, Seq("h"))
-          .groupBy(col("doc_id")).agg(
-            sum(col("m")).as("n_bigrams"),
-            sum(when(col("c") <= rareMaxCount, col("m")).otherwise(0L)).as("rare_bigrams"),
-            sum(col("m") * col("c")).as("sum_freq"))
-          .select(col("doc_id"), col("n_bigrams"), col("rare_bigrams"),
-            (col("rare_bigrams") / col("n_bigrams")).as("rarity"),
-            (col("sum_freq") / col("n_bigrams")).as("avg_freq"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => bigramRarity(Tables.documents(s, d)).orderBy(col("doc_id")),
       s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
          |b AS (
          |  SELECT doc_id,
@@ -518,26 +469,31 @@ object CurationQueries {
     * sharded prefix-sum as q53 (range-shard on the full sort key, local
     * window, broadcast offsets) — a plain per-source window would be one
     * reducer per source (~20 stragglers at corpus scale). PlanAuditSpec
-    * pins the shard-partitioned window + range partitioning. */
+    * pins the shard-partitioned window + range partitioning.
+    *
+    * Caching: the scored projection (range-sampler double-eval guard)
+    * and the local cumsum (two consumers) persist — pass a
+    * [[graft.engine.CacheScope]] to own the release, as with
+    * [[TextQueries.curatedDocs]]. */
   def budgetSelect(docs: org.apache.spark.sql.DataFrame,
-                   budgetPerSource: Long): org.apache.spark.sql.DataFrame = {
+                   budgetPerSource: Long,
+                   scope: CacheScope = CacheScope.untracked): org.apache.spark.sql.DataFrame = {
     val nShards = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // persisted BEFORE the range exchange: unlike q53 (whose sort key
     // needs no tokens, so it tokenizes after the shuffle), the sort key
     // HERE is the quality score — and the range partitioner's sampling
     // job would otherwise run the whole tokenizer+scoring pipeline a
     // second time for the shuffle write. Four narrow columns per doc.
-    val scored0 = TextQueries.withQuality(docs)
+    val scored0 = scope.persist(TextQueries.withQuality(docs)
       .select(col("source"), col("doc_id"), col("n_tok").cast("long").as("n_tok"),
-        col("quality"))
-      .persist()
+        col("quality")))
     val scored = scored0
       .repartitionByRange(nShards, col("source"), col("quality").desc, col("doc_id"))
       .withColumn("shard", spark_partition_id())
     val wLoc = Window.partitionBy(col("shard"), col("source"))
       .orderBy(col("quality").desc, col("doc_id"))
-    val local = scored.withColumn("local_end", sum(col("n_tok")).over(wLoc))
-      .persist() // two consumers (spans + offsets); Bench/Verify clearCache()s
+    // two consumers (spans + offsets)
+    val local = scope.persist(scored.withColumn("local_end", sum(col("n_tok")).over(wLoc)))
     val wOff = Window.partitionBy(col("source")).orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("shard"), col("source"))
@@ -548,6 +504,97 @@ object CurationQueries {
       .withColumn("end_tok", col("local_end") + col("offset"))
       .where(col("end_tok") <= budgetPerSource)
       .select(col("source"), col("doc_id"), col("n_tok"), col("quality"), col("end_tok"))
+  }
+
+  /** q53's body as a library function: each doc's [end_tok - n_tok,
+    * end_tok) token span under per-language concatenation in (lang,
+    * doc_id) order — the packing assignment a pretraining loader
+    * consumes. Returns (lang, doc_id, shard, n_tok, end_tok); empty
+    * docs emit no row.
+    *
+    * Scale shape: DISTRIBUTED prefix-sum — range-partition by the
+    * concatenation order into shards, cumsum inside each shard (one
+    * bounded sort per shard), add back each shard's exclusive-prefix
+    * offset via a broadcast of the tiny (shard, lang, offset) table.
+    * Result-identical to a global per-lang window for ANY
+    * order-respecting sharding, but with ~5 languages and a 100 TB
+    * corpus a lang-partitioned window is 5 single-reducer sorts —
+    * this shape never builds a partition larger than corpus/#shards
+    * (PlanAuditSpec pins it). Range partitioner bounds are
+    * sample-based, but any boundary choice yields the same end_tok:
+    * shards hold contiguous (lang, doc_id) ranges in partition-id
+    * order by construction. Tokenize AFTER the exchange: the range
+    * sampler evaluates its child twice (sample pass + shuffle write),
+    * so a pre-exchange token count would run the tokenizer over the
+    * corpus twice. Filtering empty docs after sharding keeps
+    * contiguity — a filter cannot reorder rows across shard
+    * boundaries.
+    *
+    * Caching: the local cumsum persists (spans + offsets both read
+    * it) — pass a [[graft.engine.CacheScope]] to own the release, as
+    * with [[TextQueries.curatedDocs]]. */
+  def packingSpans(docs: org.apache.spark.sql.DataFrame,
+                   scope: CacheScope = CacheScope.untracked): org.apache.spark.sql.DataFrame = {
+    val nShards = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sharded = docs
+      .select(col("lang"), col("doc_id"), col("text"))
+      .repartitionByRange(nShards, col("lang"), col("doc_id"))
+      .withColumn("shard", spark_partition_id())
+      .select(col("lang"), col("doc_id"), col("shard"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .where(col("n_tok") > 0)
+    val wLoc = Window.partitionBy(col("shard"), col("lang")).orderBy(col("doc_id"))
+    // two consumers (spans + offsets)
+    val local = scope.persist(sharded.withColumn("local_end", sum(col("n_tok")).over(wLoc)))
+    // per-(shard, lang) totals: #shards × #langs rows — window over
+    // this tiny aggregate is driver-scale work, then broadcast back
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("shard"), col("lang"))
+      .agg(max(col("local_end")).as("shard_tok"))
+      .withColumn("offset", coalesce(sum(col("shard_tok")).over(wOff), lit(0L)))
+      .select(col("shard"), col("lang"), col("offset"))
+    local.join(broadcast(offsets), Seq("shard", "lang"))
+      .withColumn("end_tok", col("local_end") + col("offset"))
+      .select(col("lang"), col("doc_id"), col("shard"), col("n_tok"), col("end_tok"))
+  }
+
+  /** q68's body as a library function: per-doc corpus-trained bigram
+    * rarity — (doc_id, n_bigrams, rare_bigrams, rarity, avg_freq),
+    * where a bigram is corpus-rare when its total occurrence count is
+    * <= `rareMax`. Docs with < 2 tokens have no bigrams and emit no
+    * row (no rarity evidence); compositions treat them as unscored
+    * and keep them.
+    *
+    * Scale shape (q68's comment in `defs` has the full story): ONE
+    * tokenize/explode pass pre-aggregated to per-(doc, bigram)
+    * multiplicities over 60-bit hashed keys (map-side combined),
+    * corpus counts derived as sum(m), one distinct-bigram-sized
+    * equi-join probe. No all-pairs anywhere.
+    *
+    * Caching: the multiplicity table — the largest intermediate in
+    * the query set at corpus scale — persists (counts + scoring both
+    * read it); pass a [[graft.engine.CacheScope]] to own the release,
+    * as with [[TextQueries.curatedDocs]]. */
+  def bigramRarity(docs: org.apache.spark.sql.DataFrame,
+                   rareMax: Long = rareMaxCount,
+                   scope: CacheScope = CacheScope.untracked): org.apache.spark.sql.DataFrame = {
+    val perDoc = scope.persist(docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(tk)), i -> concat(element_at(tk, i - 1), ' ', element_at(tk, i)))")).as("g"))
+      .select(col("doc_id"), TextOps.hash60("b", col("g")).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("m")))
+    val counts = perDoc.groupBy(col("h")).agg(sum(col("m")).as("c"))
+    perDoc.join(counts, Seq("h"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("m")).as("n_bigrams"),
+        sum(when(col("c") <= rareMax, col("m")).otherwise(0L)).as("rare_bigrams"),
+        sum(col("m") * col("c")).as("sum_freq"))
+      .select(col("doc_id"), col("n_bigrams"), col("rare_bigrams"),
+        (col("rare_bigrams") / col("n_bigrams")).as("rarity"),
+        (col("sum_freq") / col("n_bigrams")).as("avg_freq"))
   }
 
   /** C4/RefinedWeb-style repeated-line removal: drop every line whose

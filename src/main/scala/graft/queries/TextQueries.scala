@@ -158,6 +158,18 @@ object TextQueries {
     * sort that stays in execution memory on small executor heaps. */
   private val CappedWindowRowsPerPartition = 1L << 18
 
+  /** Estimated signature-table bytes per session shuffle partition below
+    * which the capped path's occupancy window provably sorts in memory
+    * under the SESSION-DEFAULT exchange — so the explicit input-sized
+    * repartition (and the count job that sizes it) is skipped. 4 MB of
+    * estimated signature rows explodes to ≲ 24 MB of banded keys per
+    * task (4 bands × ~1.5× row widening), inside the r9 soak's measured
+    * safe band even if the plan-time estimate is off 4×. The r9 spill
+    * fix priced ~0.3–0.7 s at sf0.1 for a knob only the 1000×-scale
+    * corpus needs (r9 verdict residual #1); this gate keeps the fix
+    * where it pays and removes it where it cannot. */
+  private val CappedSmallSigBytesPerPartition = 4L << 20
+
   /** A signature table exploded to one row per (band, k1, k2) bucket
     * key, with the full signature and the doc id (renamed) carried
     * along — the shared building block of the symmetric pair join and
@@ -196,7 +208,14 @@ object TextQueries {
     * Reported est_sim stays exact (computed from full signatures).
     * Only the probe side is filtered: pairs form on join-key equality,
     * so keys absent from one side form nothing, and the build side
-    * avoids a second aggregation pass. */
+    * avoids a second aggregation pass.
+    *
+    * Capped-path caching contract: when the plan-time size estimate of
+    * `sig` exceeds the in-memory-sort threshold, PLAN CONSTRUCTION runs
+    * a `sig.count()` Spark job to size the occupancy shuffle — persist
+    * `sig` before calling (every internal caller does), or the whole
+    * signature pipeline executes twice (once for the count, again in
+    * the returned plan). Below the threshold no job runs. */
   def lshPairsOf(sig: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
     val left0 = bandedKeys(sig, "doc_a", "a")
     val left = maxBucket match {
@@ -207,8 +226,13 @@ object TextQueries {
         // aggregate + semi-join states the same thing but shuffles the
         // wide exploded table twice; at 300x-scale that was most of the
         // capped path's cost.)
-        //
-        // That one shuffle is sized to the EXPLODED row count, not
+        val occupancy = (keys: DataFrame) => keys
+          .withColumn("bucket_n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("band"), col("k1"), col("k2"))))
+          .where(col("bucket_n") <= cap)
+          .drop("bucket_n")
+        // That one shuffle must be sized to the EXPLODED row count, not
         // inherited from spark.sql.shuffle.partitions: at the 1000x soak
         // (5M sigs -> 20M exploded rows) partitions=cores put ~100 MB of
         // keys per task and the window sort spilled — the 19-52 s
@@ -221,15 +245,27 @@ object TextQueries {
         // cache scan; ~256k rows (~40 MB) per task keeps the sort
         // in memory at any scale while never dropping below the
         // session's parallelism at bench scale.
-        val parts = math.max(
-          sig.sparkSession.sparkContext.defaultParallelism,
-          (sig.count() * bands.size / CappedWindowRowsPerPartition + 1).toInt)
-        left0.repartition(parts, col("band"), col("k1"), col("k2"))
-          .withColumn("bucket_n", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("band"), col("k1"), col("k2"))))
-          .where(col("bucket_n") <= cap)
-          .drop("bucket_n")
+        //
+        // GATED on the optimizer's plan-time size estimate (no job):
+        // below the threshold the session-default exchange the window
+        // plans itself is provably safe, so the count job + explicit
+        // repartition — the r9 fix's ~0.3–0.7 s price at sf0.1 — are
+        // skipped entirely. The estimate is crude (file bytes scaled
+        // through projection widths), but the gate only separates
+        // megabytes from hundreds of megabytes; a wrong big-path pick
+        // costs one cache-scan count, a wrong small-path pick costs
+        // the spill the threshold's 4× margin guards against.
+        val sess = sig.sparkSession
+        val sessParts = numShufflePartitions(sess)
+        val estBytes = sig.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (estBytes <= BigInt(sessParts) * CappedSmallSigBytesPerPartition)
+          occupancy(left0)
+        else {
+          val parts = math.max(
+            sess.sparkContext.defaultParallelism,
+            (sig.count() * bands.size / CappedWindowRowsPerPartition + 1).toInt)
+          occupancy(left0.repartition(parts, col("band"), col("k1"), col("k2")))
+        }
       case None => left0
     }
     left.join(bandedKeys(sig, "doc_b", "b"), Seq("band", "k1", "k2"))

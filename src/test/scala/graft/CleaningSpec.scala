@@ -100,6 +100,27 @@ class CleaningSpec extends SparkSpec {
       s"cached RDDs leaked past scope.close(): ${after.diff(before)}")
   }
 
+  test("CacheScope releases the curation-selection operators' persists too") {
+    // the round-9 library entry points (budgetSelect / packingSpans /
+    // bigramRarity) persist shared intermediates; a library caller
+    // composing them must be able to own the release (r9 verdict #1)
+    val sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val scope = new graft.engine.CacheScope
+    try {
+      val docs = graft.engine.Tables.documents(spark, sf)
+      assert(graft.queries.CurationQueries.budgetSelect(docs, 600L, scope).count() > 0)
+      assert(graft.queries.CurationQueries.packingSpans(docs, scope).count() > 0)
+      assert(graft.queries.CurationQueries.bigramRarity(docs, scope = scope).count() > 0)
+      assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+        "the three operators should have materialized tracked caches")
+    } finally scope.close()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after.diff(before).isEmpty,
+      s"cached RDDs leaked past scope.close(): ${after.diff(before)}")
+  }
+
   test("q43 maxDf cap: exact is an explicit opt-out; the DEFAULT is the scale-safe cap") {
     val sf = "/root/testdata/sf0.001"
     val exact = graft.queries.TextQueries.ngramJaccardPairs(spark, sf, maxDf = None)
