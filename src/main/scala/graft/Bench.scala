@@ -25,6 +25,7 @@ object Bench {
     // cost ranking (hard-coded, not measured in-run, so the order is
     // identical every session); unlisted queries follow alphabetically.
     val heavyFirst = Seq(
+      "q69_curation_stages", // composes the whole staged pipeline — heaviest by construction
       "q60_capped_jaccard_pairs", "q43_ngram_jaccard_pairs",
       "q37_curation_pipeline", "q57_containment_pairs",
       "q49_dup_clusters", "q62_lsh_capped_pairs", // ~1.3 s clean (r8) — shielded like its peers

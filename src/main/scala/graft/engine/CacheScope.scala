@@ -31,6 +31,7 @@ final class CacheScope private[engine] (track: Boolean) extends AutoCloseable {
   def this() = this(true)
 
   private val tracked = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  private val stagedDirs = scala.collection.mutable.ListBuffer.empty[String]
 
   /** Persist `df` and, in a tracking scope, remember it for release. */
   def persist(df: DataFrame): DataFrame = {
@@ -38,11 +39,30 @@ final class CacheScope private[engine] (track: Boolean) extends AutoCloseable {
     df.persist()
   }
 
-  /** Unpersist every tracked DataFrame (non-blocking) and forget them.
-    * Idempotent; the scope can be reused afterwards. */
+  /** Remember a staged-layer directory (a stage boundary materialized
+    * to parquet — see TextQueries.stageFrames) for deletion on close.
+    * Untracked scopes leave the files in place: the callers that use
+    * them (Bench/Verify) write to fixed paths that later runs
+    * overwrite, so disk use stays bounded. */
+  def trackStagedDir(path: String): Unit =
+    if (track) synchronized { stagedDirs += path }
+
+  /** Unpersist every tracked DataFrame (non-blocking), delete every
+    * tracked staged directory, and forget both. Idempotent; the scope
+    * can be reused afterwards. */
   override def close(): Unit = synchronized {
     tracked.foreach(_.unpersist(blocking = false))
     tracked.clear()
+    stagedDirs.foreach { p =>
+      try {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(p))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    stagedDirs.clear()
   }
 }
 

@@ -36,6 +36,20 @@ object CurationQueries {
   /** A bigram is corpus-rare (q68) when its occurrence count is at or
     * below this. */
   private val rareMaxCount = 2
+  /** q69 staged-pipeline knobs. minDf: q63's 30. Quality floor 0.6:
+    * the raw corpus's quality distribution has ~27% of docs below it
+    * (measured at sf0.01), so the floor drops a robust nonzero band at
+    * any sf — the default 0.5 floor sits under the distribution's min
+    * once the injected URL line nudges scores up. Rarity ceiling 0.5:
+    * the injected gibberish docs score ~1.0 (every bigram unique in
+    * the corpus) while natural docs stay under ~0.15 even with the
+    * rare URL-token bigrams, so the ceiling separates the two
+    * populations with wide margin at every scale. Budget 400: keeps a
+    * strict, non-trivial per-source subset at sf0.01 (q64's device). */
+  private val stageMinDf = 30L
+  private val stageQualityFloor = 0.6
+  private val stageMaxRarity = 0.5
+  private val stageBudget = 400L
 
   val defs: Map[String, Q] = Map(
 
@@ -423,7 +437,150 @@ object CurationQueries {
          |SELECT doc_id, CAST(len(hosts) AS BIGINT) AS n_urls,
          |       CAST(len(bl) AS BIGINT) AS n_blocked,
          |       coalesce(array_to_string(list_sort(bl), ','), '') AS blocked_list
-         |FROM f ORDER BY doc_id""".stripMargin)
+         |FROM f ORDER BY doc_id""".stripMargin),
+
+    // The STAGED curation pipeline end-to-end (r9 verdict #2): the
+    // production path a real corpus runs — repeated-line removal →
+    // URL blocklist → exact dedup → near-dup removal → quality floor
+    // → rarity ceiling → per-source token budget — composed through
+    // TextQueries.curatedDocsOf, with per-stage survivor counts as
+    // the declarative accounting (TextQueries.curationStageCounts
+    // counts the SAME frames curatedDocsOf returns, so this oracle
+    // gates the composition itself, not a parallel restatement).
+    // The synthetic corpus is too clean for most stages to fire, so —
+    // q61/q62/q63/q66's devices combined — the query builds a dirty
+    // one where EVERY stage has a population to drop:
+    //  - replicas of every 10th doc (exact dedup's prey; footer
+    //    parity differences wash out in the line stage first, which
+    //    is exactly the boilerplate-blind dedup a real pipeline gets);
+    //  - a universal boilerplate header (line df = n) and an even-doc
+    //    footer (df = n/2) — removed; every 97th doc is ALL
+    //    boilerplate and drops whole at the line stage;
+    //  - every 41st doc's content is deterministic gibberish (12
+    //    corpus-unique tokens) — survives to the rarity ceiling and
+    //    dies there, rarity ~1.0 against natural docs' < 0.15;
+    //  - a URL line whose subdomain digit and path derive from
+    //    md5(content) — content-derived, so replicas keep identical
+    //    lines (df = replica count, survives the line stage) while
+    //    ~2/5 of distinct contents hit the blocklist's subdomain
+    //    branch (digits 1 and 3).
+    // The quality floor (0.6, mid-distribution) and budget (400)
+    // drop their own bands. Every stage's count is pinned exactly.
+    "q69_curation_stages" -> Q(
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        val aug = base.unionAll(base.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            col("lang"), col("source"), col("text")))
+        val gibberish = concat_ws(" ", ('a' to 'l').map(ch =>
+          concat(lit("zqx"), col("doc_id").cast("string"), lit(s"$ch$ch"))): _*)
+        val dirty = aug
+          .withColumn("content",
+            when(col("doc_id") % 97 === 0, lit(null).cast("string"))
+              .when(col("doc_id") % 41 === 0, gibberish)
+              .otherwise(col("text")))
+          .select(col("doc_id"), col("lang"), col("source"),
+            concat_ws("\n",
+              lit("join the mailing list today"),
+              col("content"),
+              when(col("content").isNotNull,
+                concat(lit("ref https://sub.dom"),
+                  (conv(substring(md5(col("content")), 1, 2), 16, 10).cast("int") % 5)
+                    .cast("string"),
+                  lit(".example.com/p/"), substring(md5(col("content")), 1, 4))),
+              when(col("doc_id") % 2 === 0, lit("all rights reserved worldwide"))).as("text"))
+        TextQueries.curationStageCounts(dirty, TextQueries.CurationStages(
+          repeatedLineMinDf = Some(stageMinDf),
+          blockedDomains = blockedDomains,
+          qualityFloor = stageQualityFloor,
+          maxRarity = Some(stageMaxRarity),
+          budgetPerSource = Some(stageBudget)))
+      },
+      s"""WITH aug AS (
+         |  SELECT doc_id, lang, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, source, text FROM documents WHERE doc_id % 10 = 0),
+         |d0 AS (
+         |  SELECT doc_id, lang, source,
+         |         CASE WHEN doc_id % 97 = 0 THEN NULL
+         |              WHEN doc_id % 41 = 0 THEN ${('a' to 'l').map(ch =>
+                          s"'zqx' || CAST(doc_id AS VARCHAR) || '$ch$ch'").mkString(" || ' ' || ")}
+         |              ELSE text END AS content
+         |  FROM aug),
+         |dirty AS (
+         |  SELECT doc_id, lang, source,
+         |         concat_ws(chr(10),
+         |           'join the mailing list today',
+         |           content,
+         |           CASE WHEN content IS NOT NULL
+         |                THEN 'ref https://sub.dom'
+         |                     || CAST(('0x' || substr(md5(content), 1, 2))::INTEGER % 5 AS VARCHAR)
+         |                     || '.example.com/p/' || substr(md5(content), 1, 4) END,
+         |           CASE WHEN doc_id % 2 = 0 THEN 'all rights reserved worldwide' END) AS text
+         |  FROM d0),
+         |ls0 AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM dirty),
+         |ln0 AS (SELECT doc_id, unnest(range(1, len(l)+1)) AS pos, unnest(l) AS line FROM ls0),
+         |hot0 AS (SELECT md5(line) AS h FROM ln0 GROUP BY 1
+         |         HAVING COUNT(DISTINCT doc_id) >= $stageMinDf),
+         |fl0 AS (SELECT ln0.*, (h.h IS NOT NULL) AS is_hot
+         |        FROM ln0 LEFT JOIN hot0 h ON md5(ln0.line) = h.h),
+         |cl0 AS (SELECT doc_id,
+         |               string_agg(CASE WHEN NOT is_hot THEN line END, chr(10) ORDER BY pos) AS clean,
+         |               COUNT(CASE WHEN NOT is_hot THEN 1 END) AS kept
+         |        FROM fl0 GROUP BY doc_id),
+         |st1 AS (SELECT d.doc_id, d.lang, d.source, c.clean AS text
+         |        FROM dirty d JOIN cl0 c ON d.doc_id = c.doc_id WHERE c.kept > 0),
+         |uh AS (SELECT doc_id,
+         |              list_transform(regexp_extract_all(text, '(?i)https?://([A-Za-z0-9.-]+)', 1),
+         |                             x -> lower(regexp_replace(x, '\\.+$$', ''))) AS hosts
+         |       FROM st1),
+         |st2 AS (SELECT st1.* FROM st1 JOIN uh ON st1.doc_id = uh.doc_id
+         |        WHERE len(list_filter(uh.hosts, x -> ${blockedDomains.map(b =>
+                     s"x = '$b' OR ends_with(x, '.$b')").mkString(" OR ")})) = 0),
+         |canon AS (SELECT MIN(doc_id) AS doc_id FROM st2 GROUP BY md5(text)),
+         |st3 AS (SELECT * FROM st2 WHERE doc_id IN (SELECT doc_id FROM canon)),
+         |${TextQueries.sqlSigCtesFrom("st3")},
+         |losers AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM (
+         |${Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (i, j) =>
+             s"""    SELECT b.doc_id AS doc_b,
+                |           ${(0 until 8).map(k => s"CAST(a.h$k = b.h$k AS INTEGER)").mkString(" + ")} AS matches
+                |    FROM sig a JOIN sig b ON a.h$i = b.h$i AND a.h$j = b.h$j AND a.doc_id < b.doc_id""".stripMargin
+           }.mkString("\n    UNION ALL\n")}
+         |  ) z WHERE matches / 8e0 >= 0.5),
+         |st4 AS (SELECT * FROM st3 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         |qd AS (${TextQueries.sqlQualityDocsFrom("st4")}),
+         |st5 AS (SELECT * FROM qd WHERE quality >= $stageQualityFloor),
+         |rt AS (SELECT d4.doc_id AS doc_id, d4.text AS text
+         |       FROM st4 d4 JOIN st5 ON d4.doc_id = st5.doc_id),
+         |rb AS (SELECT doc_id,
+         |              unnest(list_transform(range(2, len(tk) + 1),
+         |                                    i -> tk[i - 1] || ' ' || tk[i])) AS g
+         |       FROM (SELECT doc_id, $sqlToks AS tk FROM rt) WHERE len(tk) >= 2),
+         |rh AS (SELECT doc_id, ${TextOps.sqlHash60("b", "g")} AS h FROM rb),
+         |rc AS (SELECT h, COUNT(*) AS c FROM rh GROUP BY 1),
+         |rj AS (SELECT rh.doc_id, rc.c FROM rh JOIN rc USING (h)),
+         |rar AS (SELECT doc_id,
+         |               SUM(CASE WHEN c <= $rareMaxCount THEN 1 ELSE 0 END) / COUNT(*) AS rarity
+         |        FROM rj GROUP BY 1),
+         |st6 AS (SELECT st5.* FROM st5 LEFT JOIN rar ON st5.doc_id = rar.doc_id
+         |        WHERE rar.doc_id IS NULL OR rar.rarity <= $stageMaxRarity),
+         |bsel AS (SELECT doc_id,
+         |                SUM(n_tok) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+         |         FROM st6),
+         |st7 AS (SELECT doc_id FROM bsel WHERE end_tok <= $stageBudget)
+         |SELECT stage_no, stage, n_docs FROM (
+         |  SELECT 0 AS stage_no, 'input' AS stage, COUNT(*) AS n_docs FROM dirty
+         |  UNION ALL SELECT 1, 'repeated_lines', COUNT(*) FROM st1
+         |  UNION ALL SELECT 2, 'url_filter', COUNT(*) FROM st2
+         |  UNION ALL SELECT 3, 'exact_dedup', COUNT(*) FROM st3
+         |  UNION ALL SELECT 4, 'near_dup', COUNT(*) FROM st4
+         |  UNION ALL SELECT 5, 'quality', COUNT(*) FROM st5
+         |  UNION ALL SELECT 6, 'rarity', COUNT(*) FROM st6
+         |  UNION ALL SELECT 7, 'budget', COUNT(*) FROM st7
+         |) ORDER BY stage_no""".stripMargin)
   )
 
   /** URL/domain blocklist annotation: appends `urls` (every extracted

@@ -312,12 +312,13 @@ object TextQueries {
         + (lit(1e0) - col("punct_ratio")) * lit(0.1e0))
 
   /** Oracle-side mirror of [[withQuality]]: a SQL fragment yielding
-    * per-doc (doc_id, lang, source, n_tok, quality) from `documents`,
-    * stated with the exact sub-expressions q31's oracle proved
-    * hash-equal to the Spark formula (tok_chars as BIGINT, plain `/`
-    * double division). New oracles needing the quality score compose
-    * this instead of restating the formula. */
-  private[queries] def sqlQualityDocs: String =
+    * per-doc (doc_id, lang, source, n_tok, quality) from `table` (any
+    * relation with doc_id, lang, source, text), stated with the exact
+    * sub-expressions q31's oracle proved hash-equal to the Spark
+    * formula (tok_chars as BIGINT, plain `/` double division). New
+    * oracles needing the quality score compose this instead of
+    * restating the formula. */
+  private[queries] def sqlQualityDocsFrom(table: String): String =
     s"""SELECT doc_id, lang, source, n_tok,
        |       LEAST(n_tok / 100e0, 1e0) * 0.4e0
        |         + LEAST((tok_chars / n_tok) / 8e0, 1e0) * 0.3e0
@@ -329,8 +330,186 @@ object TextQueries {
        |         len(list_filter(toks, x -> x IN (${TextOps.lexicons.head._2.map(w => s"'$w'").mkString(", ")}))) AS stop_hits,
        |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_cnt,
        |         length(text) AS n_chars2
-       |  FROM (SELECT doc_id, lang, source, text, $sqlToks AS toks FROM documents)
+       |  FROM (SELECT doc_id, lang, source, text, $sqlToks AS toks FROM $table)
        |  WHERE len(toks) > 0)""".stripMargin
+
+  /** [[sqlQualityDocsFrom]] over the driver's documents table. */
+  private[queries] def sqlQualityDocs: String = sqlQualityDocsFrom("documents")
+
+  /** Optional stages around the core curation pipeline — the knobs of
+    * [[curatedDocsOf]] / [[curationStageCounts]]. The default value
+    * reproduces the classic [[curatedDocs]] pipeline exactly (exact
+    * dedup → near-dup removal → quality floor); each Option/Seq turns
+    * one more production stage on, in the fixed order a real corpus
+    * runs them:
+    *
+    *  1. `repeatedLineMinDf` — cross-corpus repeated-line removal
+    *     ([[CurationQueries.removeRepeatedLines]]): boilerplate lines
+    *     (df >= the threshold) are dropped from every doc's text, and
+    *     docs with no surviving line are dropped entirely. Runs FIRST
+    *     so every later stage (hashes, signatures, quality, rarity)
+    *     sees boilerplate-free text.
+    *  2. `blockedDomains` — URL/domain blocklist
+    *     ([[CurationQueries.urlFilter]]): docs carrying any blocked
+    *     host are dropped.
+    *  3. exact dedup (always on): lowest doc_id per content hash.
+    *  4. near-dup removal (always on): MinHash-LSH est_sim >= 0.5
+    *     among exact-dedup survivors, higher doc_id of each pair
+    *     dropped.
+    *  5. `qualityFloor` (always on, default 0.5): [[withQuality]]'s
+    *     score; zero-token docs drop here too.
+    *  6. `maxRarity` — corpus-trained bigram-rarity ceiling
+    *     ([[CurationQueries.bigramRarity]], trained on the survivors
+    *     entering the stage): docs rarer than the ceiling are likely
+    *     noise/garbled text and are dropped; docs with < 2 tokens have
+    *     no rarity evidence and are kept.
+    *  7. `budgetPerSource` — token-budget mixture selection
+    *     ([[CurationQueries.budgetSelect]]): per source, best-quality-
+    *     first until the budget fills. */
+  final case class CurationStages(
+    repeatedLineMinDf: Option[Long] = None,
+    blockedDomains: Seq[String] = Nil,
+    qualityFloor: Double = 0.5,
+    maxRarity: Option[Double] = None,
+    budgetPerSource: Option[Long] = None,
+    stagingDir: Option[String] = None)
+
+  /** The staged pipeline's survivor frames: ("input", docs) plus one
+    * (stageName, survivors) entry per ACTIVE stage, in execution
+    * order. Every frame keeps the input's columns (text rewritten by
+    * the repeated-line stage) — except from the quality stage onward,
+    * which appends `quality`. Shared by [[curatedDocsOf]] (takes the
+    * last frame) and [[curationStageCounts]] (counts each) so the
+    * accounting can never drift from the corpus it accounts for.
+    *
+    * Scale notes: the cleaned corpus (when the line stage is on) and
+    * the signature table persist via `scope` — every downstream stage
+    * scans them. The line stage's reassembly joins back on doc_id (one
+    * equi-join of the corpus — the text column only exists reassembled,
+    * there is nothing narrower to join). All other stage filters are
+    * semi/anti joins on doc_id against small flagged sets, which AQE
+    * broadcasts from runtime stats.
+    *
+    * Staged-layer materialization (`stages.stagingDir`): every stage
+    * references its input 2–4 times (dedup's canonical set, the LSH
+    * self-join, rarity's two multiplicity consumers, the budget
+    * cumsum), so the LOGICAL plan grows ~3× per stage — with all
+    * seven stages on, the lazily composed tree reached 33k file scans
+    * / 300k plan lines and ~17 s of pure driver overhead PER ACTION
+    * at sf0.1, data size irrelevant. `.persist()` cannot help: cache
+    * substitution happens per subtree occurrence and leaves the tree
+    * intact. With a stagingDir, each boundary is written to
+    * `$$dir/<stage>` parquet and re-read, truncating lineage to a
+    * file scan — exactly the staged-layer design the reference
+    * pipeline runs between steps (SURVEY §3), and what a 100 TB run
+    * does anyway (no executor holds a corpus-sized lineage
+    * recompute). [[curationStageCounts]] always stages (fixed default
+    * under java.io.tmpdir); [[curatedDocsOf]] stages when configured,
+    * and with the default CurationStages (two-deep tree — the classic
+    * q37 pipeline) runs unstaged as one lazy plan. A tracking
+    * [[graft.engine.CacheScope]] deletes the staged dirs on close. */
+  private def stageFrames(docs: DataFrame, stages: CurationStages,
+                          scope: graft.engine.CacheScope): Seq[(String, DataFrame)] = {
+    val out = Seq.newBuilder[(String, DataFrame)]
+    out += ("input" -> docs)
+    var cur = docs
+    // alwaysPersist: stage outputs with several downstream consumers
+    // even in the unstaged single-pass plan (the cleaned corpus)
+    // persist; staged boundaries need neither (they re-read files).
+    def boundary(df: DataFrame, name: String, alwaysPersist: Boolean = false): DataFrame =
+      stages.stagingDir match {
+        case Some(dir) =>
+          val path = s"$dir/$name"
+          df.write.mode("overwrite").parquet(path)
+          scope.trackStagedDir(path)
+          docs.sparkSession.read.parquet(path)
+        case None => if (alwaysPersist) scope.persist(df) else df
+      }
+    stages.repeatedLineMinDf.foreach { minDf =>
+      val cleaned = CurationQueries.removeRepeatedLines(
+        cur.select(col("doc_id"), col("text")), minDf)
+        .where(col("kept_lines") > 0)
+        .select(col("doc_id"), col("clean"))
+      cur = boundary(cur.drop("text").join(cleaned, Seq("doc_id"))
+        .withColumnRenamed("clean", "text")
+        .select(docs.columns.map(col).toSeq: _*), "repeated_lines", alwaysPersist = true)
+      out += ("repeated_lines" -> cur)
+    }
+    if (stages.blockedDomains.nonEmpty) {
+      cur = boundary(CurationQueries.urlFilter(cur, stages.blockedDomains)
+        .where(col("n_blocked") === 0)
+        .select(docs.columns.map(col).toSeq: _*), "url_filter")
+      out += ("url_filter" -> cur)
+    }
+    // exact dedup: canonical doc per text hash
+    val canonical = cur.select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    cur = boundary(cur.join(canonical, Seq("doc_id"), "left_semi"), "exact_dedup")
+    out += ("exact_dedup" -> cur)
+    // near-dup losers AMONG EXACT-DEDUP SURVIVORS — the standard
+    // pipeline order (and the cheap one at duplicate-heavy scale:
+    // the band joins see one signature per distinct text, not one
+    // per copy). Also prevents content loss: flagging from the full
+    // set can drop BOTH members of a canonical pair when a
+    // lower-id replica of one flags the other.
+    val losers = lshPairsOf(scope.persist(signaturesOf(cur)))
+      .select(col("doc_b").as("doc_id")).distinct()
+    cur = boundary(cur.join(losers, Seq("doc_id"), "left_anti"), "near_dup")
+    out += ("near_dup" -> cur)
+    cur = boundary(withQuality(cur)
+      .where(col("quality") >= stages.qualityFloor)
+      .select(docs.columns.map(col).toSeq :+ col("quality"): _*), "quality")
+    out += ("quality" -> cur)
+    stages.maxRarity.foreach { ceiling =>
+      val rar = CurationQueries.bigramRarity(cur, scope = scope)
+        .select(col("doc_id"), col("rarity"))
+      cur = boundary(cur.join(rar, Seq("doc_id"), "left")
+        .where(col("rarity").isNull || col("rarity") <= ceiling)
+        .drop("rarity"), "rarity")
+      out += ("rarity" -> cur)
+    }
+    stages.budgetPerSource.foreach { budget =>
+      val sel = CurationQueries.budgetSelect(cur, budget, scope)
+        .select(col("doc_id"))
+      cur = boundary(cur.join(sel, Seq("doc_id"), "left_semi"), "budget")
+      out += ("budget" -> cur)
+    }
+    out.result()
+  }
+
+  /** [[curatedDocs]] over an arbitrary documents frame, with the full
+    * staged pipeline (see [[CurationStages]]): returns the surviving
+    * documents — all input columns (text rewritten when the
+    * repeated-line stage is on) plus `quality`. The default `stages`
+    * is exactly the classic pipeline q37 accounts for. */
+  def curatedDocsOf(docs: DataFrame, stages: CurationStages = CurationStages(),
+                    scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked): DataFrame =
+    stageFrames(docs, stages, scope).last._2
+
+  /** Per-stage accounting over the SAME frames [[curatedDocsOf]]
+    * returns: one row per active stage — (stage_no, stage, n_docs
+    * surviving), stage 0 = the input corpus. q69 is the oracle-gated
+    * view of this over an injected dirty corpus.
+    *
+    * Always runs staged (see [[stageFrames]]'s staged-layer note —
+    * counting every stage of one lazily composed tree multiplies the
+    * plan beyond what any driver should parse); when the caller set
+    * no stagingDir, boundaries land under java.io.tmpdir at a fixed
+    * path later runs overwrite. A tracking `scope` deletes them. */
+  def curationStageCounts(docs: DataFrame, stages: CurationStages = CurationStages(),
+                          scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked): DataFrame = {
+    val staged = stages.stagingDir match {
+      case Some(_) => stages
+      case None => stages.copy(stagingDir =
+        Some(s"${System.getProperty("java.io.tmpdir")}/graft_curation_stages"))
+    }
+    stageFrames(docs, staged, scope)
+      .zipWithIndex.map { case ((name, df), i) =>
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(i).cast("int").as("stage_no"), lit(name).as("stage"), col("n_docs"))
+      }.reduce(_ unionAll _).orderBy(col("stage_no"))
+  }
 
   /** The curation pipeline as a LIBRARY function: the surviving
     * documents (all original columns + `quality`) after exact dedup
@@ -338,35 +517,17 @@ object TextQueries {
     * exact-dedup survivors (MinHash-LSH est_sim >= 0.5, higher doc_id
     * of each pair dropped), and the quality floor (>= 0.5). q37 is the
     * per-language accounting over this; downstream stages (split,
-    * packing, decontamination) run on it directly.
+    * packing, decontamination) run on it directly. The optional
+    * production stages (repeated-line removal, URL blocklist, rarity
+    * ceiling, budget selection) compose through [[curatedDocsOf]].
     *
     * Caching: the signature table is persisted (all band-join branches
     * scan it). Pass a [[graft.engine.CacheScope]] and `close()` it
     * after your consuming action to release the blocks; the default
     * leaves them for `spark.catalog.clearCache()` (Bench/Verify). */
   def curatedDocs(s: SparkSession, d: String,
-                  scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked): DataFrame = {
-    val docs = Tables.documents(s, d)
-    // exact dedup: canonical doc per text hash
-    val canonical = docs.select(col("doc_id"), md5(col("text")).as("h"))
-      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    // near-dup losers AMONG EXACT-DEDUP SURVIVORS — the standard
-    // pipeline order (and the cheap one at duplicate-heavy scale:
-    // the band joins see one signature per distinct text, not one
-    // per copy). Also prevents content loss: flagging from the full
-    // set can drop BOTH members of a canonical pair when a
-    // lower-id replica of one flags the other.
-    val losers = lshPairsOf(scope.persist(
-      signatures(s, d).join(canonical, Seq("doc_id"), "left_semi")))
-      .select(col("doc_b").as("doc_id")).distinct()
-    val scored = withQuality(docs)
-    scored
-      .join(canonical, Seq("doc_id"), "left_semi")
-      .join(losers, Seq("doc_id"), "left_anti")
-      .where(col("quality") >= 0.5)
-      .select(docs.columns.map(col) :+ col("quality"): _*)
-  }
+                  scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked): DataFrame =
+    curatedDocsOf(Tables.documents(s, d), CurationStages(), scope)
 
   /** The scale-safe default df cap (see [[ngramJaccardPairs]]): small
     * enough to bound per-posting expansion at C(64,2) = 2016 pairs,
@@ -485,8 +646,9 @@ object TextQueries {
   }
 
   /** DuckDB mirror of [[signaturesOf]] as a `sig` CTE chain over an
-    * arbitrary (doc_id, text) relation. */
-  private def sqlSigCtesFrom(table: String): String = {
+    * arbitrary (doc_id, text) relation. Claims CTE names t, s2, s3,
+    * sig — composing oracles (q69) must avoid them. */
+  private[queries] def sqlSigCtesFrom(table: String): String = {
     def h(k: Int) = {
       val src = if (k < 4) "m0" else "m1"
       s"list_min(list_transform($src, m -> ('0x' || substr(m, ${1 + 8 * (k % 4)}, 8))::BIGINT)) AS h$k"

@@ -100,6 +100,63 @@ class CleaningSpec extends SparkSpec {
       s"cached RDDs leaked past scope.close(): ${after.diff(before)}")
   }
 
+  test("staged curation pipeline: accounting counts the frames curatedDocsOf returns") {
+    val sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val scope = new graft.engine.CacheScope
+    try {
+      // dirty corpus with line boilerplate + a blocked URL on a third
+      // of the docs (q63/q66's device, small-sf thresholds)
+      val dirty = graft.engine.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("lang"), col("source"),
+          concat_ws("\n",
+            lit("shared boilerplate header"),
+            col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit("see https://x.bad.example/p/"), col("doc_id").cast("string")))).as("text"))
+      val stagingDir = java.nio.file.Files.createTempDirectory("graft_stage_test").toString
+      val stages = graft.queries.TextQueries.CurationStages(
+        repeatedLineMinDf = Some(5), blockedDomains = Seq("bad.example"),
+        maxRarity = Some(0.99), budgetPerSource = Some(400),
+        stagingDir = Some(stagingDir))
+      val counts = graft.queries.TextQueries.curationStageCounts(dirty, stages, scope)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      assert(counts.map(_._2).toSeq == Seq("input", "repeated_lines", "url_filter",
+        "exact_dedup", "near_dup", "quality", "rarity", "budget"))
+      // survivor counts are monotone non-increasing, starting at the input size
+      assert(counts.head._3 == dirty.count())
+      assert(counts.sliding(2).forall { case Array(a, b) => b._3 <= a._3 })
+      // the URL stage really fired (a third of the docs carry a blocked host)
+      assert(counts(2)._3 < counts(1)._3)
+      // the final frame IS the corpus the accounting's last row counts
+      val kept = graft.queries.TextQueries.curatedDocsOf(dirty, stages, scope)
+      assert(kept.count() == counts.last._3)
+      assert(kept.columns.toSeq == dirty.columns.toSeq :+ "quality")
+      // boilerplate is gone from every surviving text
+      assert(kept.where(col("text").contains("shared boilerplate header")).count() == 0)
+      // ... and no surviving doc carries a blocked host
+      assert(kept.where(col("text").contains("bad.example")).count() == 0)
+      // default stages == the classic pipeline (same rows as curatedDocs)
+      val classic = graft.queries.TextQueries.curatedDocs(spark, sf, scope)
+      val staged = graft.queries.TextQueries.curatedDocsOf(
+        graft.engine.Tables.documents(spark, sf), scope = scope)
+      assert(staged.exceptAll(classic).count() == 0 &&
+        classic.exceptAll(staged).count() == 0,
+        "default-config curatedDocsOf must equal the classic curatedDocs")
+      // the staged boundaries were really materialized (staged-layer shape)
+      assert(new java.io.File(stagingDir, "budget").exists(),
+        "stage boundaries should be written under the staging dir")
+      // ... and a tracking scope deletes them on close
+      scope.close()
+      assert(!new java.io.File(stagingDir, "budget").exists(),
+        "tracking scope must delete staged dirs on close")
+    } finally scope.close()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after.diff(before).isEmpty,
+      s"cached RDDs leaked past scope.close(): ${after.diff(before)}")
+  }
+
   test("CacheScope releases the curation-selection operators' persists too") {
     // the round-9 library entry points (budgetSelect / packingSpans /
     // bigramRarity) persist shared intermediates; a library caller
