@@ -87,6 +87,88 @@ class SqlSurfaceSpec extends SparkSpec {
     assertSame(sigSql, SparkEntry.queries("q41_minhash_signatures")(spark, sf))
   }
 
+  test("removeRepeatedLines runs as a plain SQL string over a registered view") {
+    ready
+    // dirty view: a universal boilerplate line over every doc (df = n)
+    spark.sql("""SELECT doc_id, concat_ws('\n', 'shared boilerplate line', text) AS text
+                |FROM documents""".stripMargin).createOrReplaceTempView("dirty_docs")
+    val viaSql = spark.sql(
+      """WITH l AS (
+        |  SELECT doc_id, posexplode(split(text, '\\n')) AS (pos, line) FROM dirty_docs),
+        |hot AS (
+        |  SELECT md5(line) AS hh FROM l GROUP BY md5(line)
+        |  HAVING COUNT(DISTINCT doc_id) >= 3),
+        |f AS (SELECT l.*, hot.hh IS NOT NULL AS is_hot
+        |      FROM l LEFT JOIN hot ON md5(l.line) = hot.hh)
+        |SELECT doc_id,
+        |       array_join(transform(array_sort(
+        |         collect_list(CASE WHEN NOT is_hot THEN struct(pos, line) END)),
+        |         x -> x.line), '\n') AS clean,
+        |       count(CASE WHEN NOT is_hot THEN 1 END) AS kept_lines,
+        |       count(CASE WHEN is_hot THEN 1 END) AS removed_lines
+        |FROM f GROUP BY doc_id""".stripMargin)
+    val viaDf = graft.queries.CurationQueries.removeRepeatedLines(
+      spark.table("dirty_docs"), minDf = 3)
+    assertSame(viaSql, viaDf)
+    // the boilerplate really dropped (non-vacuousness)
+    assert(viaSql.where(col("removed_lines") === 0).count() == 0)
+  }
+
+  test("urlFilter runs as a plain SQL string over a registered view") {
+    ready
+    spark.sql(
+      """SELECT doc_id,
+        |       concat(text, ' see https://a.bad.example/x and https://ok.example.org/y') AS text
+        |FROM documents""".stripMargin).createOrReplaceTempView("url_docs")
+    val viaSql = spark.sql(
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         transform(regexp_extract_all(text, '(?i)https?://([A-Za-z0-9.-]+)', 1),
+        |                   h -> lower(regexp_replace(h, '\\.+$', ''))) AS urls
+        |  FROM url_docs)
+        |SELECT doc_id, urls, CAST(size(urls) AS BIGINT) AS n_urls,
+        |       filter(urls, h -> h = 'bad.example' OR endswith(h, '.bad.example')) AS blocked_hosts,
+        |       CAST(size(filter(urls, h -> h = 'bad.example' OR endswith(h, '.bad.example'))) AS BIGINT) AS n_blocked
+        |FROM u""".stripMargin)
+    val viaDf = graft.queries.CurationQueries.urlFilter(
+      spark.table("url_docs"), Seq("bad.example"))
+      .select(col("doc_id"), col("urls"), col("n_urls"), col("blocked_hosts"), col("n_blocked"))
+    assertSame(viaSql, viaDf)
+    // both branches of the URL extraction really fired
+    assert(viaSql.where(col("n_urls") =!= 2 || col("n_blocked") =!= 1).count() == 0)
+  }
+
+  test("budgetSelect's result is expressible as a per-source SQL window (and matches)") {
+    ready
+    // the SQL states the SEMANTICS (per-source quality-ranked cumsum,
+    // keep while end_tok <= budget) as a plain window — the library
+    // function computes the same result via the sharded prefix-sum
+    // that avoids per-source single-reducer sorts at corpus scale
+    val stop = graft.ext.TextOps.lexicons.head._2.map(w => s"'$w'").mkString(", ")
+    val viaSql = spark.sql(
+      s"""WITH tk AS (
+         |  SELECT source, doc_id, text, filter(split(text, '\\\\s+'), t -> t != '') AS toks
+         |  FROM documents),
+         |pd AS (
+         |  SELECT source, doc_id, CAST(size(toks) AS BIGINT) AS n_tok,
+         |         least(size(toks) / 100e0, 1e0) * 0.4e0
+         |           + least((aggregate(transform(toks, t -> length(t)), 0, (acc, x) -> acc + x) / size(toks)) / 8e0, 1e0) * 0.3e0
+         |           + (1e0 - (size(filter(toks, t -> t IN ($stop))) / size(toks))) * 0.2e0
+         |           + (1e0 - ((length(text) - length(regexp_replace(text, '[.,!?;:]', ''))) / length(text))) * 0.1e0 AS quality
+         |  FROM tk WHERE size(toks) > 0),
+         |c AS (
+         |  SELECT source, doc_id, n_tok, quality,
+         |         SUM(n_tok) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+         |  FROM pd)
+         |SELECT source, doc_id, n_tok, quality, end_tok FROM c WHERE end_tok <= 600""".stripMargin)
+    val viaDf = graft.queries.CurationQueries.budgetSelect(
+      Tables.documents(spark, sf), 600L)
+    assertSame(viaSql, viaDf)
+    // the budget really binds (strict subset per source)
+    assert(viaSql.count() < Tables.documents(spark, sf).count())
+  }
+
   test("winnow_fingerprints and decimal_dot SQL functions match the Column facade") {
     ready
     val viaSql = spark.sql(
