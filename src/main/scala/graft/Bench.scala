@@ -102,8 +102,8 @@ object Bench {
     // compiles. Data is sf0.001, results uncached (clearCache below),
     // so nothing result-shaped leaks into timed readings.
     try {
-      Seq("q60_capped_jaccard_pairs", "q43_ngram_jaccard_pairs",
-        "q49_dup_clusters").foreach { n =>
+      Seq("q69_curation_stages", "q60_capped_jaccard_pairs",
+        "q43_ngram_jaccard_pairs", "q49_dup_clusters").foreach { n =>
         SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       }
     } catch {

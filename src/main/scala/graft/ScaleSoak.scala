@@ -23,7 +23,7 @@ object ScaleSoak {
     "q49_dup_clusters", "q53_packing_plan", "q54_decontamination",
     "q55_repetition_stats", "q57_containment_pairs", "q63_repeated_line_removal",
     "q64_budget_select", "q65_chunk_windows", "q66_url_filter", "q67_cluster_reps",
-    "q68_bigram_rarity",
+    "q68_bigram_rarity", "q69_curation_stages",
     "q45_ann_bruteforce_topk", "q46_lsh_bucket_pairs", "q47_ivf_topk",
     "q48_embedding_neardup", "q43_capped_df64", "q42_capped_b64")
 
