@@ -501,8 +501,12 @@ object TextQueries {
                           scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked): DataFrame = {
     val staged = stages.stagingDir match {
       case Some(_) => stages
+      // applicationId-suffixed: two sessions accounting concurrently
+      // must not clobber each other's boundary files mid-read; within
+      // a session, repeated runs overwrite the same dir (bounded disk)
       case None => stages.copy(stagingDir =
-        Some(s"${System.getProperty("java.io.tmpdir")}/graft_curation_stages"))
+        Some(s"${System.getProperty("java.io.tmpdir")}/graft_curation_stages_" +
+          docs.sparkSession.sparkContext.applicationId))
     }
     stageFrames(docs, staged, scope)
       .zipWithIndex.map { case ((name, df), i) =>

@@ -144,6 +144,14 @@ class CleaningSpec extends SparkSpec {
       assert(staged.exceptAll(classic).count() == 0 &&
         classic.exceptAll(staged).count() == 0,
         "default-config curatedDocsOf must equal the classic curatedDocs")
+      // boundary materialization is value-invariant: the same config
+      // run UNstaged (one lazy plan, no parquet round-trips) returns
+      // exactly the rows the staged run produced
+      val unstaged = graft.queries.TextQueries.curatedDocsOf(
+        dirty, stages.copy(stagingDir = None), scope)
+      assert(unstaged.exceptAll(kept).count() == 0 &&
+        kept.exceptAll(unstaged).count() == 0,
+        "staged and unstaged pipelines must return identical rows")
       // the staged boundaries were really materialized (staged-layer shape)
       assert(new java.io.File(stagingDir, "budget").exists(),
         "stage boundaries should be written under the staging dir")
