@@ -580,7 +580,51 @@ object CurationQueries {
          |  UNION ALL SELECT 5, 'quality', COUNT(*) FROM st5
          |  UNION ALL SELECT 6, 'rarity', COUNT(*) FROM st6
          |  UNION ALL SELECT 7, 'budget', COUNT(*) FROM st7
-         |) ORDER BY stage_no""".stripMargin)
+         |) ORDER BY stage_no""".stripMargin),
+
+    // Span-level decontamination ([[decontaminateSpans]]): q54 FLAGS
+    // docs overlapping the benchmark; this REMOVES the overlapping
+    // token spans and keeps the doc — the surgical form real
+    // pipelines apply to otherwise-valuable contaminated docs. The
+    // oracle states the same positional-gram match + span-cover +
+    // token reconstruction declaratively; clean text is compared by
+    // hash, so the reconstruction (not just the counts) must agree
+    // byte-for-byte on every doc.
+    "q70_span_decontamination" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        decontaminateSpans(docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"))
+          .select(col("doc_id"), col("n_tok"), col("n_removed"),
+            md5(col("clean")).as("clean_hash"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH t AS (SELECT doc_id, source, $sqlToks AS tk FROM documents),
+         |c AS (SELECT doc_id, tk, len(tk) AS n_tok FROM t WHERE source <> 'src0'),
+         |bg AS (SELECT DISTINCT ('0x' || substr(md5('g:' || g), 1, 15))::BIGINT AS h
+         |       FROM (SELECT unnest(${TextOps.sqlShingleList("tk")}) AS g
+         |             FROM t WHERE source = 'src0' AND len(tk) >= 3)),
+         |pg AS (SELECT doc_id, tk, unnest(range(1, n_tok - 1)) AS i
+         |       FROM c WHERE n_tok >= 3),
+         |cg AS (SELECT doc_id, i,
+         |              ('0x' || substr(md5('g:' || tk[CAST(i AS INTEGER)] || ' ' ||
+         |                                   tk[CAST(i + 1 AS INTEGER)] || ' ' ||
+         |                                   tk[CAST(i + 2 AS INTEGER)]), 1, 15))::BIGINT AS h
+         |       FROM pg),
+         |m AS (SELECT cg.doc_id, cg.i FROM cg JOIN bg USING (h)),
+         |st AS (SELECT doc_id, list(i) AS starts FROM m GROUP BY 1),
+         |r AS (SELECT c.doc_id, c.n_tok, c.tk, st.starts
+         |      FROM c LEFT JOIN st ON c.doc_id = st.doc_id),
+         |f AS (SELECT doc_id, n_tok, tk,
+         |             list_filter(range(1, n_tok + 1),
+         |               j -> starts IS NULL OR
+         |                    len(list_filter(starts, s -> j >= s AND j <= s + 2)) = 0) AS kept
+         |      FROM r)
+         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |       CAST(n_tok - len(kept) AS BIGINT) AS n_removed,
+         |       md5(coalesce(array_to_string(
+         |         list_transform(kept, j -> tk[CAST(j AS INTEGER)]), ' '), '')) AS clean_hash
+         |FROM f ORDER BY doc_id""".stripMargin)
   )
 
   /** URL/domain blocklist annotation: appends `urls` (every extracted
@@ -752,6 +796,59 @@ object CurationQueries {
       .select(col("doc_id"), col("n_bigrams"), col("rare_bigrams"),
         (col("rare_bigrams") / col("n_bigrams")).as("rarity"),
         (col("sum_freq") / col("n_bigrams")).as("avg_freq"))
+  }
+
+  /** Span-level benchmark decontamination — the removal step after
+    * q54's doc-level flagging: instead of dropping every doc that
+    * overlaps the held-out benchmark, excise ONLY the overlapping
+    * token spans and keep the rest (what production pipelines do when
+    * a contaminated doc is otherwise valuable). A corpus token is
+    * covered when any word n-gram starting at or before it matches a
+    * benchmark n-gram exactly (same 3-gram shingle space as q54, salt
+    * and hash identical, so the two operators agree on what
+    * "contaminated" means). Returns per-doc
+    * (doc_id, n_tok, n_removed, clean) where `clean` is the
+    * surviving tokens space-joined — token-level reconstruction, the
+    * standard post-tokenizer form.
+    *
+    * Scale shape: the benchmark's distinct gram-hash set broadcasts
+    * (benchmarks are tiny; the corpus is not — q54's argument), so
+    * the corpus-side probe is a narrow map + broadcast join; the only
+    * aggregation is over MATCHED gram positions (a small fraction of
+    * the corpus), and the match list rejoins the token table by
+    * doc_id with the small side broadcast from runtime stats. The
+    * corpus itself is never shuffled. */
+  def decontaminateSpans(corpus: org.apache.spark.sql.DataFrame,
+                         benchmark: org.apache.spark.sql.DataFrame,
+                         n: Int = 3): org.apache.spark.sql.DataFrame = {
+    // not withShingles: that helper pins n = 3, and the benchmark and
+    // corpus sides must agree on the SAME n for any setting
+    val bGrams = benchmark
+      .select(TextOps.tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= n)
+      .select(explode(TextOps.shinglesOf(col("tk"), n)).as("g"))
+      .select(TextOps.hash60("g", col("g")).as("h"))
+      .distinct()
+    val toks = corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .withColumn("n_tok", size(col("tk")))
+    // positional grams — the distinct-shingle kernel cannot serve here
+    // (span removal needs every start index, not the distinct set)
+    val grams = toks.where(col("n_tok") >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, n_tok - ${n - 1}), i -> struct(i AS i, concat_ws(' ', slice(tk, i, $n)) AS g))")).as("pg"))
+      .select(col("doc_id"), col("pg.i").as("i"), TextOps.hash60("g", col("pg.g")).as("h"))
+    val starts = grams.join(broadcast(bGrams), Seq("h"))
+      .groupBy(col("doc_id")).agg(collect_list(col("i")).as("starts"))
+    toks.join(starts, Seq("doc_id"), "left")
+      // guard the n_tok = 0 edge: sequence(1, 0) DESCENDS in Spark
+      .withColumn("kept", expr(
+        s"""CASE WHEN n_tok = 0 THEN CAST(array() AS ARRAY<INT>)
+           |     ELSE filter(sequence(1, n_tok),
+           |            j -> starts IS NULL OR NOT exists(starts, s -> j >= s AND j <= s + ${n - 1}))
+           |END""".stripMargin))
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        (col("n_tok") - size(col("kept"))).cast("long").as("n_removed"),
+        expr("array_join(transform(kept, j -> element_at(tk, j)), ' ')").as("clean"))
   }
 
   /** C4/RefinedWeb-style repeated-line removal: drop every line whose

@@ -100,6 +100,28 @@ class CleaningSpec extends SparkSpec {
       s"cached RDDs leaked past scope.close(): ${after.diff(before)}")
   }
 
+  test("decontaminateSpans excises exactly the covered token windows") {
+    import spark.implicits._
+    val benchmark = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains benchmark 3-grams "alpha beta gamma" (start 3) and
+      // "beta gamma delta" (start 4): covered tokens 3..6
+      (1L, "one two alpha beta gamma delta seven eight"),
+      // near-miss: no 3-gram matches (order broken)
+      (2L, "alpha gamma beta delta one two"),
+      // fully covered doc
+      (3L, "alpha beta gamma"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = graft.queries.CurationQueries.decontaminateSpans(corpus, benchmark)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((8L, 4L, "one two seven eight")),
+      s"overlapping windows must merge into one excised span, got ${out(1L)}")
+    assert(out(2L) == ((6L, 0L, "alpha gamma beta delta one two")),
+      "a near-miss (broken order) must survive untouched")
+    assert(out(3L) == ((3L, 3L, "")), "a fully covered doc keeps zero tokens")
+    assert(out(4L) == ((0L, 0L, "")), "an empty doc passes through")
+  }
+
   test("staged curation pipeline: accounting counts the frames curatedDocsOf returns") {
     val sf = "/root/testdata/sf0.001"
     spark.catalog.clearCache()

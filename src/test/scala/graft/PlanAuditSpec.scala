@@ -96,6 +96,20 @@ class PlanAuditSpec extends SparkSpec {
       "expansion must read the persisted posting/base tables")
   }
 
+  test("q70 span decontamination: benchmark grams broadcast; no all-pairs stage") {
+    val p = plan("q70_span_decontamination")
+    assert(p.contains("BroadcastHashJoin"), "the benchmark gram set must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "never an all-pairs stage")
+    // corpus text must not be carried through the gram probe: the
+    // exploded positional-gram table travels as (doc_id, i, hash)
+    val scans = p.linesIterator.filter(l => l.contains("FileScan parquet") && l.contains("documents")).toList
+    assert(scans.nonEmpty && scans.forall { s =>
+      val schema = s.substring(s.indexOf("ReadSchema:"))
+      !schema.contains("n_chars") && !schema.contains("lang")
+    }, s"document scans must prune to the needed columns:\n${scans.mkString("\n")}")
+  }
+
   test("q54 decontamination: benchmark index broadcasts; corpus probe never shuffles it") {
     val p = plan("q54_decontamination")
     assert(p.contains("BroadcastHashJoin"), "the benchmark inverted index must broadcast")
