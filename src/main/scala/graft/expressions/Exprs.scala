@@ -24,6 +24,11 @@ object Exprs {
   /** struct(total, rep) bigram repetition stats (null if < 2 tokens). */
   def repetitionStats(text: Column): Column = c(RepetitionStats(e(text)))
 
+  /** Kept token positions after k-token span-cover excision (array<int>,
+    * 1-based; `starts` must be coalesced non-null by the caller). */
+  def spanCoverKept(nTok: Column, starts: Column, k: Int): Column =
+    c(SpanCoverKept(e(nTok), e(starts), k))
+
   /** Exact DECIMAL(27,12)-folded dot product of two array<double>. */
   def decimalDot(a: Column, b: Column): Column = c(DecimalDotProduct(e(a), e(b)))
 

@@ -3,10 +3,10 @@ package graft.expressions
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Compiled kernels for the text-dedup hot loop.
@@ -121,6 +121,41 @@ object TextHash {
     new GenericInternalRow(Array[Any](toks.length - 1L, rep))
   }
 
+  /** Kept (1-based) token positions after excising every k-token span
+    * that starts at a matched gram position: position j is removed when
+    * any matched start s satisfies s <= j <= s + k - 1 (the span-cover
+    * rule of decontaminateSpans / dedupRepeatedSpans). One forward pass
+    * over positions with a sorted-starts pointer — O(n_tok + m log m)
+    * per doc. The higher-order-function formulation
+    * (filter(sequence(1, n), j -> !exists(starts, ...))) is
+    * O(n_tok * m): a heavily contaminated production doc (thousands of
+    * tokens, most grams matched) turns that quadratic, which is why the
+    * cover runs as a compiled kernel. */
+  def spanKept(nTok: Int, starts: ArrayData, k: Int): GenericArrayData = {
+    val m = starts.numElements()
+    val ss = new Array[Int](m)
+    var x = 0
+    while (x < m) { ss(x) = starts.getInt(x); x += 1 }
+    java.util.Arrays.sort(ss)
+    val out = new Array[Int](nTok)
+    var nOut = 0
+    var si = 0
+    var coverUntil = 0
+    var j = 1
+    while (j <= nTok) {
+      // every start at or before j extends the cover to s + k - 1; a
+      // start after j cannot cover j, so the pointer never backtracks
+      while (si < m && ss(si) <= j) {
+        val e = ss(si) + k - 1
+        if (e > coverUntil) coverUntil = e
+        si += 1
+      }
+      if (j > coverUntil) { out(nOut) = j; nOut += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
+  }
+
   /** Winnowing fingerprints: hash every k-char gram (first 32 md5 bits,
     * == conv(substring(md5(gram),1,8),16,10)), take the min of each
     * w-wide sliding window of those hashes with a monotonic deque (O(n),
@@ -209,6 +244,24 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryEx
          |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
+}
+
+/** array<int> of kept 1-based token positions after k-token span-cover
+  * excision (see [[TextHash.spanKept]]). `starts` must be non-null —
+  * callers coalesce a missing match list to an empty array. */
+case class SpanCoverKept(nTok: Expression, starts: Expression, k: Int)
+    extends BinaryExpression {
+  override def left: Expression = nTok
+  override def right: Expression = starts
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(n: Any, st: Any): Any =
+    TextHash.spanKept(n.asInstanceOf[Int], st.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (n, st) =>
+      s"${ev.value} = graft.expressions.TextHash.spanKept($n, $st, $k);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpanCoverKept =
+    copy(nTok = newLeft, starts = newRight)
 }
 
 /** array<long> of distinct 3-gram shingle hashes (null if < 3 tokens). */

@@ -36,6 +36,16 @@ object CurationQueries {
   /** A bigram is corpus-rare (q68) when its occurrence count is at or
     * below this. */
   private val rareMaxCount = 2
+  /** q71 span-dedup knobs: gram length k = 5 (spans shorter than 5
+    * tokens are phrase-level noise, not boilerplate) and cross-doc
+    * df >= 2 (any span shared verbatim by two documents is suspect).
+    * The synthetic corpus draws from a small vocabulary, so 5-gram
+    * collisions occur naturally at every sf (measured sf0.01: 71/500
+    * docs lose tokens, 24 fully covered; sf0.1: 2064/5000 and 252) —
+    * no injection needed, and the populations (untouched / partially
+    * excised / fully wiped) all exist at every scale. */
+  private val spanK = 5
+  private val spanMinDf = 2L
   /** q69 staged-pipeline knobs. minDf: q63's 30. Quality floor 0.6:
     * the raw corpus's quality distribution has ~27% of docs below it
     * (measured at sf0.01), so the floor drops a robust nonzero band at
@@ -624,6 +634,44 @@ object CurationQueries {
          |       CAST(n_tok - len(kept) AS BIGINT) AS n_removed,
          |       md5(coalesce(array_to_string(
          |         list_transform(kept, j -> tk[CAST(j AS INTEGER)]), ' '), '')) AS clean_hash
+         |FROM f ORDER BY doc_id""".stripMargin),
+
+    // Cross-document repeated-substring span dedup ([[dedupRepeatedSpans]]):
+    // the corpus-vs-ITSELF form of q70 — excise every token span whose
+    // 5-gram content recurs in >= 2 distinct documents (the
+    // exact-substring dedup of public pretraining practice; q63 removes
+    // repeated LINES, this removes repeated spans at sub-line grain).
+    // The oracle states the same gram-df + span-cover + reconstruction
+    // declaratively and compares clean text BY HASH, so the compiled
+    // cover kernel's excision must agree byte-for-byte on every doc.
+    "q71_span_dedup" -> Q(
+      (s, d) => dedupRepeatedSpans(Tables.documents(s, d), spanK, spanMinDf)
+        .select(col("doc_id"), col("n_tok"), col("n_removed"),
+          md5(col("clean")).as("clean_hash"))
+        .orderBy(col("doc_id")),
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |c AS (SELECT doc_id, tk, len(tk) AS n_tok FROM t),
+         |pg AS (SELECT doc_id, tk, unnest(range(1, n_tok - ${spanK - 2})) AS i
+         |       FROM c WHERE n_tok >= $spanK),
+         |cg AS (SELECT doc_id, i,
+         |              ${TextOps.sqlHash60("d",
+                          s"array_to_string(tk[CAST(i AS INTEGER):CAST(i + ${spanK - 1} AS INTEGER)], ' ')")} AS h
+         |       FROM pg),
+         |hot AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM cg)
+         |        GROUP BY h HAVING COUNT(*) >= $spanMinDf),
+         |m AS (SELECT cg.doc_id, cg.i FROM cg JOIN hot USING (h)),
+         |st AS (SELECT doc_id, list(i) AS starts FROM m GROUP BY 1),
+         |r AS (SELECT c.doc_id, c.n_tok, c.tk, st.starts
+         |      FROM c LEFT JOIN st ON c.doc_id = st.doc_id),
+         |f AS (SELECT doc_id, n_tok, tk,
+         |             list_filter(range(1, n_tok + 1),
+         |               j -> starts IS NULL OR
+         |                    len(list_filter(starts, s -> j >= s AND j <= s + ${spanK - 1})) = 0) AS kept
+         |      FROM r)
+         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |       CAST(n_tok - len(kept) AS BIGINT) AS n_removed,
+         |       md5(coalesce(array_to_string(
+         |         list_transform(kept, j -> tk[CAST(j AS INTEGER)]), ' '), '')) AS clean_hash
          |FROM f ORDER BY doc_id""".stripMargin)
   )
 
@@ -831,24 +879,75 @@ object CurationQueries {
       .distinct()
     val toks = corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
       .withColumn("n_tok", size(col("tk")))
-    // positional grams — the distinct-shingle kernel cannot serve here
-    // (span removal needs every start index, not the distinct set)
-    val grams = toks.where(col("n_tok") >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, n_tok - ${n - 1}), i -> struct(i AS i, concat_ws(' ', slice(tk, i, $n)) AS g))")).as("pg"))
-      .select(col("doc_id"), col("pg.i").as("i"), TextOps.hash60("g", col("pg.g")).as("h"))
-    val starts = grams.join(broadcast(bGrams), Seq("h"))
+    val starts = positionalGramHashes(toks, n, "g").join(broadcast(bGrams), Seq("h"))
       .groupBy(col("doc_id")).agg(collect_list(col("i")).as("starts"))
-    toks.join(starts, Seq("doc_id"), "left")
-      // guard the n_tok = 0 edge: sequence(1, 0) DESCENDS in Spark
-      .withColumn("kept", expr(
-        s"""CASE WHEN n_tok = 0 THEN CAST(array() AS ARRAY<INT>)
-           |     ELSE filter(sequence(1, n_tok),
-           |            j -> starts IS NULL OR NOT exists(starts, s -> j >= s AND j <= s + ${n - 1}))
-           |END""".stripMargin))
+    reconstructClean(toks.join(starts, Seq("doc_id"), "left"), n)
+  }
+
+  /** Positional word n-gram hashes over a (doc_id, tk, n_tok) frame:
+    * one (doc_id, i, h) row per gram start index i (1-based). The
+    * distinct-shingle kernel cannot serve the span operators — span
+    * removal needs EVERY start index, not the distinct gram set. */
+  private def positionalGramHashes(toks: org.apache.spark.sql.DataFrame, k: Int,
+                                   salt: String): org.apache.spark.sql.DataFrame =
+    toks.where(col("n_tok") >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, n_tok - ${k - 1}), i -> struct(i AS i, concat_ws(' ', slice(tk, i, $k)) AS g))")).as("pg"))
+      .select(col("doc_id"), col("pg.i").as("i"), TextOps.hash60(salt, col("pg.g")).as("h"))
+
+  /** Span-cover reconstruction over a (doc_id, tk, n_tok, starts) frame:
+    * excise every k-token span at a matched start, emit (doc_id, n_tok,
+    * n_removed, clean). The cover runs in the compiled
+    * [[graft.expressions.TextHash.spanKept]] kernel — O(n_tok + m log m)
+    * per doc where the lambda formulation (per-position exists() over
+    * the match list) is O(n_tok * m), quadratic on a heavily
+    * contaminated production doc. */
+  private def reconstructClean(joined: org.apache.spark.sql.DataFrame,
+                               k: Int): org.apache.spark.sql.DataFrame =
+    joined
+      .withColumn("kept", graft.expressions.Exprs.spanCoverKept(col("n_tok"),
+        coalesce(col("starts"), expr("CAST(array() AS ARRAY<INT>)")), k))
       .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
         (col("n_tok") - size(col("kept"))).cast("long").as("n_removed"),
         expr("array_join(transform(kept, j -> element_at(tk, j)), ' ')").as("clean"))
+
+  /** Cross-document repeated-substring span dedup — the exact-substring
+    * dedup of public pretraining practice (and the span-level
+    * generalization of [[removeRepeatedLines]]): excise every token
+    * span whose k-gram content occurs in >= `minDf` DISTINCT documents,
+    * keeping the rest of each doc. Any repeated substring of length
+    * >= k contains only hot k-grams, so covering the hot k-gram starts
+    * removes exactly the cross-document-repeated spans of length >= k;
+    * within-document repeats (df = 1) survive — the operator targets
+    * cross-doc boilerplate, not self-repetition (q55 scores that).
+    * Returns per-doc (doc_id, n_tok, n_removed, clean).
+    *
+    * Scale shape: gram df aggregates map-side on fixed-width 60-bit
+    * hashes ([[removeRepeatedLines]]'s pattern — the gram text never
+    * crosses the wire for counting); the positional-gram table persists
+    * (df aggregate + match probe both read it); the hot set holds at
+    * most total_grams / minDf rows and joins as a plain equi-join (NOT
+    * a forced broadcast — unlike the benchmark side of
+    * [[decontaminateSpans]], a corpus-derived hot set can be large, so
+    * AQE picks the strategy from runtime stats); span assembly stays
+    * row-local per doc. No all-pairs stage exists at any step. */
+  def dedupRepeatedSpans(corpus: org.apache.spark.sql.DataFrame,
+                         k: Int = 5, minDf: Long = 2,
+                         scope: CacheScope = CacheScope.untracked): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "span gram length must be positive")
+    require(minDf >= 2, "a span repeated in fewer than 2 docs is not cross-document")
+    val toks = corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .withColumn("n_tok", size(col("tk")))
+    val grams = scope.persist(positionalGramHashes(toks, k, "d"))
+    // cross-doc df: per-doc occurrences collapse map-side (distinct) so
+    // a gram looping inside ONE doc cannot fake cross-doc evidence
+    val hot = grams.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("h"))
+    val starts = grams.join(hot, Seq("h"))
+      .groupBy(col("doc_id")).agg(collect_list(col("i")).as("starts"))
+    reconstructClean(toks.join(starts, Seq("doc_id"), "left"), k)
   }
 
   /** C4/RefinedWeb-style repeated-line removal: drop every line whose

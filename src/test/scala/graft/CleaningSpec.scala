@@ -122,6 +122,73 @@ class CleaningSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, "")), "an empty doc passes through")
   }
 
+  test("dedupRepeatedSpans excises exactly the cross-document-repeated spans") {
+    import spark.implicits._
+    // shared7 is a 7-token run appearing verbatim in docs 1 and 2: its
+    // three 5-gram starts are hot (df = 2), covering exactly those 7
+    // tokens in both docs. Doc 4 repeats a 6-token run TWICE WITHIN
+    // ITSELF only (df = 1) — must survive: the operator is
+    // cross-document. Doc 5 shares only a 4-token run (< k) with doc 1.
+    val shared7 = "s1 s2 s3 s4 s5 s6 s7"
+    val corpus = Seq(
+      (1L, s"a1 a2 $shared7 a3 a4"),
+      (2L, s"b1 $shared7 b2"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8"),
+      (4L, "d1 r1 r2 r3 r4 r5 r6 d2 r1 r2 r3 r4 r5 r6 d3"),
+      (5L, "e1 s1 s2 s3 s4 e2 e3 e4 e5"),
+      (6L, "")).toDF("doc_id", "text")
+    val out = graft.queries.CurationQueries.dedupRepeatedSpans(corpus, k = 5, minDf = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((11L, 7L, "a1 a2 a3 a4")),
+      s"the shared 7-token span must excise whole from doc 1: ${out(1L)}")
+    assert(out(2L) == ((9L, 7L, "b1 b2")),
+      s"...and from doc 2, merging its three overlapping hot grams: ${out(2L)}")
+    assert(out(3L) == ((8L, 0L, "c1 c2 c3 c4 c5 c6 c7 c8")),
+      "unique content survives untouched")
+    assert(out(4L)._2 == 0L,
+      s"a span repeated only WITHIN one doc (df = 1) must survive: ${out(4L)}")
+    assert(out(5L)._2 == 0L,
+      s"a shared run shorter than k must not be excised: ${out(5L)}")
+    assert(out(6L) == ((0L, 0L, "")), "an empty doc passes through")
+    spark.catalog.clearCache()
+  }
+
+  test("dedupRepeatedSpans matches a driver-side model on random corpora") {
+    import spark.implicits._
+    // seeded random corpora over a tiny vocabulary, so cross-doc 5-gram
+    // repeats arise densely and overlap — the full contract (df by
+    // DISTINCT doc, overlapping-span merge in the compiled cover
+    // kernel, order-preserving reconstruction) against an independent
+    // in-memory model
+    val rnd = new scala.util.Random(20260814)
+    val k = 5
+    for (minDf <- Seq(2L, 3L)) {
+      val vocab = Vector("w0", "w1", "w2", "w3", "w4", "w5")
+      val docs = (1L to 40L).map { id =>
+        val n = rnd.nextInt(30)
+        (id, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty) }
+      val df = toks.flatMap { case (id, tk) =>
+        tk.sliding(k).filter(_.length == k).map(g => (g.mkString(" "), id))
+      }.distinct.groupBy(_._1).map { case (g, xs) => g -> xs.size.toLong }
+      val hot = df.collect { case (g, c) if c >= minDf => g }.toSet
+      val want = toks.map { case (id, tk) =>
+        val starts = tk.sliding(k).zipWithIndex
+          .collect { case (g, i) if g.length == k && hot(g.mkString(" ")) => i }.toSet
+        val kept = tk.indices.filterNot(j => starts.exists(s => j >= s && j <= s + k - 1))
+        (id, tk.length.toLong, (tk.length - kept.size).toLong,
+          kept.map(tk).mkString(" "))
+      }.toSet
+      val got = graft.queries.CurationQueries
+        .dedupRepeatedSpans(docs.toDF("doc_id", "text"), k, minDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(got == want,
+        s"minDf=$minDf model mismatch: extra=${got -- want} missing=${want -- got}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("staged curation pipeline: accounting counts the frames curatedDocsOf returns") {
     val sf = "/root/testdata/sf0.001"
     spark.catalog.clearCache()

@@ -110,6 +110,31 @@ class PlanAuditSpec extends SparkSpec {
     }, s"document scans must prune to the needed columns:\n${scans.mkString("\n")}")
   }
 
+  test("q71 span dedup: df combines map-side on hashes; cover in the compiled kernel; no all-pairs") {
+    val p = plan("q71_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "never an all-pairs stage")
+    // the span-cover reconstruction must run in the compiled kernel,
+    // not a per-position exists() lambda (quadratic on contaminated docs)
+    assert(p.toLowerCase.contains("spancoverkept"),
+      "cover must go through the compiled SpanCoverKept expression")
+    // gram df must combine map-side: a final-only aggregate would ship
+    // every (gram, doc) occurrence to one reducer per gram hash
+    assert(p.contains("partial_count"),
+      "gram-df aggregation must have a partial (map-side) phase")
+    // the positional-gram table is persisted — the df aggregate and the
+    // hot-gram probe must both read the cache, not re-run the explode
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "df aggregate and probe must read the persisted gram table")
+    // gram df travels as 60-bit hashes, never the gram text: no scan may
+    // read more than (doc_id, text)
+    val scans = p.linesIterator.filter(l => l.contains("FileScan parquet") && l.contains("documents")).toList
+    assert(scans.nonEmpty && scans.forall { s =>
+      val schema = s.substring(s.indexOf("ReadSchema:"))
+      !schema.contains("n_chars") && !schema.contains("lang")
+    }, s"document scans must prune to the needed columns:\n${scans.mkString("\n")}")
+  }
+
   test("q54 decontamination: benchmark index broadcasts; corpus probe never shuffles it") {
     val p = plan("q54_decontamination")
     assert(p.contains("BroadcastHashJoin"), "the benchmark inverted index must broadcast")
