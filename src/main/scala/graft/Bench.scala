@@ -29,6 +29,7 @@ object Bench {
       "q60_capped_jaccard_pairs", "q43_ngram_jaccard_pairs",
       "q37_curation_pipeline", "q57_containment_pairs",
       "q49_dup_clusters", "q62_lsh_capped_pairs", // ~1.3 s clean (r8) — shielded like its peers
+      "q71_span_dedup", // corpus-wide positional-gram df — q63-class cost
       "q21_top_revenue_orders",
       "q22_region_revenue", "q16_flatten_arrays", "q12_upsert_latest",
       "q39_topk_aggregator", "q14_summary_metrics", "q26_priority_top3",
@@ -115,8 +116,40 @@ object Bench {
       try spark.catalog.clearCache()
       catch { case scala.util.control.NonFatal(_) => () }
     }
+    // Self-dispositioning under contention (r10 verdict #3): twice (r7,
+    // r10) a judge had to disposition an inflated driver pass from
+    // same-window external controls, because durations alone cannot
+    // distinguish "this query regressed" from "the box was busy while
+    // this query ran". Two cheap load signals, sampled per query:
+    //  - /proc/loadavg (1-min runnable average): box-wide pressure,
+    //    including OTHER processes. While the bench itself runs 32
+    //    executor threads the load sits near ~32 on a quiet box; values
+    //    far above that mean external contention.
+    //  - sum of run-delay (field 2 of /proc/self/task/*/schedstat)
+    //    across OUR threads: nanoseconds spent runnable-but-waiting for
+    //    a CPU. A contended window shows a high rq_ms/duration ratio on
+    //    exactly the inflated queries; a real regression shows normal
+    //    wait with a longer duration. Thread exits can shrink the sum,
+    //    so negative deltas clamp to 0. Both best-effort (-1 off-Linux).
+    def loadAvg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    def runDelayNs(): Long =
+      try {
+        val tasks = new java.io.File("/proc/self/task").listFiles()
+        if (tasks == null) -1L
+        else tasks.foldLeft(0L) { (acc, t) =>
+          acc + (try new String(java.nio.file.Files.readAllBytes(
+            new java.io.File(t, "schedstat").toPath)).split("\\s+")(1).toLong
+          catch { case scala.util.control.NonFatal(_) => 0L })
+        }
+      } catch { case scala.util.control.NonFatal(_) => -1L }
     val samples = names.map { case (n, _) =>
       n -> scala.collection.mutable.ArrayBuffer.empty[Double] }.toMap
+    // per-query load signals, first pass only (like offsets)
+    val loads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val rqMs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // per-query start offset from pass start (r6 verdict: durations alone
     // cannot locate a query IN TIME, so externally-contended windows were
     // indistinguishable from real regressions in the driver's artifact;
@@ -140,12 +173,20 @@ object Bench {
     val passStart = System.nanoTime()
     for (_ <- 1 to iters) names.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      offsets.getOrElseUpdate(name, (t0 - passStart) / 1e9)
+      val rd0 = runDelayNs()
+      if (!offsets.contains(name)) {
+        offsets(name) = (t0 - passStart) / 1e9
+        loads(name) = loadAvg()
+      }
       try {
         fn(spark, sfDir).count()
         samples(name) += (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         errors(name) = e.toString.replaceAll("[\"\\\\\n\r]", " ").take(200)
+      }
+      if (!rqMs.contains(name)) {
+        val rd1 = runDelayNs()
+        rqMs(name) = if (rd0 < 0 || rd1 < 0) -1.0 else (rd1 - rd0).max(0L) / 1e6
       }
       // queries that .persist() intermediates cannot unpersist in their
       // (lazy) bodies; drop cached blocks here so they don't accumulate
@@ -159,36 +200,42 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    val wallS = (System.nanoTime() - passStart) / 1e9
     val results = names.map { case (n, _) => n -> median(samples(n).toSeq) }
-    // The driver records only the last 2000 chars of stdout, and the r6
-    // full-name 3-decimal line was already 1818 chars — adding 60 start
-    // offsets does not fit alongside full names. Keys shrink to their
-    // unique qNN prefix (full names are in CORRECTNESS_r*.json and in
-    // BENCH_DETAIL.json, written below with everything at full fidelity);
-    // durations keep ms precision, offsets get 2 decimals.
+    // The driver records only the last 2000 chars of stdout. The r10
+    // line (70 duration entries + 70 start offsets) ran the metric line
+    // + sbt epilogue to ~1870 of those 2000 chars — one more round of
+    // query growth would push the line's HEAD out of the recorded tail
+    // and lose the total. Keys shrink to their unique qNN prefix, and
+    // the per-query start offsets / load samples live ONLY in
+    // BENCH_DETAIL.json (full fidelity, written below); the stdout line
+    // keeps durations plus pass-level aggregates.
     def fmt(v: Double): String = "%.3f".format(v)
     // short() is defined above the pre-pass uniqueness guard
     val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val t0s = names.map { case (n, _) =>
-      "\"" + short(n) + "\":" + "%.2f".format(offsets.getOrElse(n, -1.0)) }
-      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val rqTotal = rqMs.values.filter(_ >= 0).sum
     // full-fidelity sidecar for the judge: full names, run order, start
-    // offsets, every sample (not just the median). Best-effort — the
-    // bench result is the stdout line; a read-only cwd must not fail it.
+    // offsets, every sample (not just the median), and the per-query
+    // load disposition columns (r10 verdict #3) — loadavg at query
+    // start and our threads' run-delay during the query, so a
+    // contended window is readable off the artifact itself: inflated
+    // dur_s + high rq_ms => the box, inflated dur_s + normal rq_ms =>
+    // the code. Best-effort — the bench result is the stdout line; a
+    // read-only cwd must not fail it.
     try {
       val detail = names.zipWithIndex.map { case ((n, _), i) =>
         val ss = samples(n).map(fmt).mkString("[", ",", "]")
-        s"""  {"order":$i,"name":"$n","t0_s":${"%.2f".format(offsets.getOrElse(n, -1.0))},"dur_s":${fmt(median(samples(n).toSeq))},"samples":$ss}"""
+        s"""  {"order":$i,"name":"$n","t0_s":${"%.2f".format(offsets.getOrElse(n, -1.0))},"dur_s":${fmt(median(samples(n).toSeq))},"load":${"%.1f".format(loads.getOrElse(n, -1.0))},"rq_ms":${"%.1f".format(rqMs.getOrElse(n, -1.0))},"samples":$ss}"""
       }.mkString("[\n", ",\n", "\n]")
-      val body = s"""{"total_s":${fmt(total)},"iters":$iters,"sf":"$sfDir","note":"t0_s = offset of the query's first timed start from pass start; stdout line keys are the qNN prefixes of these names","queries":$detail}"""
+      val body = s"""{"total_s":${fmt(total)},"wall_s":${fmt(wallS)},"iters":$iters,"sf":"$sfDir","note":"t0_s = offset of the query's first timed start from pass start; load = 1-min /proc/loadavg at query start (~32 = this bench alone on 32 threads); rq_ms = run-delay growth of this JVM's threads during the query (first pass); stdout line keys are the qNN prefixes of these names","queries":$detail}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         body.getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(_) => () }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"t0":$t0s,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_s":${fmt(wallS)},"rq_ms":${fmt(rqTotal)},"iters":$iters,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty)
       throw new RuntimeException(s"bench: ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
