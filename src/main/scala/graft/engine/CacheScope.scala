@@ -32,11 +32,30 @@ final class CacheScope private[engine] (track: Boolean) extends AutoCloseable {
 
   private val tracked = scala.collection.mutable.ListBuffer.empty[DataFrame]
   private val stagedDirs = scala.collection.mutable.ListBuffer.empty[String]
+  private val checkpointed = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
 
   /** Persist `df` and, in a tracking scope, remember it for release. */
   def persist(df: DataFrame): DataFrame = {
     if (track) synchronized { tracked += df }
     df.persist()
+  }
+
+  /** Locally checkpoint `df` (eager) — lineage truncates to the
+    * materialized RDD, the in-memory analogue of a staged-layer parquet
+    * boundary (see TextQueries.stageFrames) — and, in a tracking scope,
+    * remember the checkpoint's persisted RDD for release. Spark returns
+    * no handle to that RDD, so it is recovered by diffing the context's
+    * persistent-RDD registry around the call. NOTE:
+    * `spark.catalog.clearCache()` does NOT release RDD-level checkpoint
+    * persists — callers that checkpoint through an untracked scope leak
+    * storage until the context dies; pass a tracking scope. */
+  def localCheckpoint(df: DataFrame): DataFrame = synchronized {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = df.localCheckpoint()
+    if (track) checkpointed ++=
+      sc.getPersistentRDDs.view.filterKeys(!before.contains(_)).values
+    cp
   }
 
   /** Remember a staged-layer directory (a stage boundary materialized
@@ -53,6 +72,8 @@ final class CacheScope private[engine] (track: Boolean) extends AutoCloseable {
   override def close(): Unit = synchronized {
     tracked.foreach(_.unpersist(blocking = false))
     tracked.clear()
+    checkpointed.foreach(_.unpersist(blocking = false))
+    checkpointed.clear()
     stagedDirs.foreach { p =>
       try {
         def rm(f: java.io.File): Unit = {

@@ -372,7 +372,16 @@ object TextQueries {
     qualityFloor: Double = 0.5,
     maxRarity: Option[Double] = None,
     budgetPerSource: Option[Long] = None,
-    stagingDir: Option[String] = None)
+    stagingDir: Option[String] = None,
+    /** With no `stagingDir`: localCheckpoint each stage boundary
+      * instead of composing one lazy plan — same lineage truncation as
+      * the parquet staged layer, without the filesystem round-trips.
+      * For corpora that fit in executor storage only (a local
+      * checkpoint is lost with its executor — the parquet layer is the
+      * durable form a 100 TB run needs); release the checkpointed
+      * blocks via a tracking [[graft.engine.CacheScope]] —
+      * `clearCache()` does not cover RDD-level persists. */
+    inMemoryBoundaries: Boolean = false)
 
   /** The staged pipeline's survivor frames: ("input", docs) plus one
     * (stageName, survivors) entry per ACTIVE stage, in execution
@@ -403,8 +412,11 @@ object TextQueries {
     * file scan — exactly the staged-layer design the reference
     * pipeline runs between steps (SURVEY §3), and what a 100 TB run
     * does anyway (no executor holds a corpus-sized lineage
-    * recompute). [[curationStageCounts]] always stages (fixed default
-    * under java.io.tmpdir); [[curatedDocsOf]] stages when configured,
+    * recompute). `inMemoryBoundaries` is the small-corpus alternative:
+    * localCheckpoint per boundary — the same lineage truncation held
+    * in executor storage instead of files. [[curationStageCounts]]
+    * never counts the lazy tree (it gates between the two boundary
+    * modes on plan size); [[curatedDocsOf]] stages when configured,
     * and with the default CurationStages (two-deep tree — the classic
     * q37 pipeline) runs unstaged as one lazy plan. A tracking
     * [[graft.engine.CacheScope]] deletes the staged dirs on close. */
@@ -423,6 +435,7 @@ object TextQueries {
           df.write.mode("overwrite").parquet(path)
           scope.trackStagedDir(path)
           docs.sparkSession.read.parquet(path)
+        case None if stages.inMemoryBoundaries => scope.localCheckpoint(df)
         case None => if (alwaysPersist) scope.persist(df) else df
       }
     stages.repeatedLineMinDf.foreach { minDf =>
@@ -487,32 +500,82 @@ object TextQueries {
                     scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked): DataFrame =
     stageFrames(docs, stages, scope).last._2
 
+  /** Boundary-mode gate for [[curationStageCounts]]'s default: below
+    * this plan-estimated input size, stage boundaries localCheckpoint
+    * in memory instead of staging to parquet under java.io.tmpdir.
+    * Deliberately conservative: for a parquet scan the optimizer's
+    * sizeInBytes is COMPRESSED file bytes, and a duplicate-heavy
+    * corpus dictionary-compresses up to ~60:1 (the round-10 3000×
+    * finding), so 64 MB compressed may be multiple GB in memory —
+    * still comfortably inside a 128 GiB local session, and a real
+    * cluster run sets an explicit stagingDir anyway. */
+  private val InMemoryStageBytes = 64L << 20
+
+  /** Sum of parquet footer row counts under `dir` — the row count the
+    * writer already committed, read driver-side without running a
+    * count job per stage. */
+  private def footerRowCount(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(conf).listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   /** Per-stage accounting over the SAME frames [[curatedDocsOf]]
     * returns: one row per active stage — (stage_no, stage, n_docs
     * surviving), stage 0 = the input corpus. q69 is the oracle-gated
     * view of this over an injected dirty corpus.
     *
-    * Always runs staged (see [[stageFrames]]'s staged-layer note —
-    * counting every stage of one lazily composed tree multiplies the
-    * plan beyond what any driver should parse); when the caller set
-    * no stagingDir, boundaries land under java.io.tmpdir at a fixed
-    * path later runs overwrite. A tracking `scope` deletes them. */
+    * Never counts a lazily composed tree (see [[stageFrames]]'s
+    * staged-layer note — the full seven-stage plan multiplies beyond
+    * what any driver should parse). With an explicit `stagingDir`,
+    * boundaries stage to parquet and each staged stage's count comes
+    * from the files' FOOTER row counts — the number the writer already
+    * committed — not a count job per stage. Without one, a plan-size
+    * gate ([[InMemoryStageBytes]], q62's plan-time-estimate idiom)
+    * picks the boundary mode: small corpora localCheckpoint in memory
+    * (no filesystem round-trips — the unit-test / notebook case),
+    * large ones stage to an applicationId-suffixed tmpdir (two
+    * sessions accounting concurrently must not clobber each other's
+    * boundary files mid-read).
+    *
+    * Eager: the result is computed at call time and returned as a
+    * local-rows DataFrame, so every boundary (checkpointed blocks or
+    * staged files) is released before returning — `scope` is kept for
+    * signature compatibility but owns nothing here. */
   def curationStageCounts(docs: DataFrame, stages: CurationStages = CurationStages(),
                           scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked): DataFrame = {
+    val spark = docs.sparkSession
     val staged = stages.stagingDir match {
       case Some(_) => stages
-      // applicationId-suffixed: two sessions accounting concurrently
-      // must not clobber each other's boundary files mid-read; within
-      // a session, repeated runs overwrite the same dir (bounded disk)
+      case None if docs.queryExecution.optimizedPlan.stats.sizeInBytes <= InMemoryStageBytes =>
+        stages.copy(inMemoryBoundaries = true)
       case None => stages.copy(stagingDir =
         Some(s"${System.getProperty("java.io.tmpdir")}/graft_curation_stages_" +
-          docs.sparkSession.sparkContext.applicationId))
+          spark.sparkContext.applicationId))
     }
-    stageFrames(docs, staged, scope)
-      .zipWithIndex.map { case ((name, df), i) =>
-        df.agg(count(lit(1)).as("n_docs"))
-          .select(lit(i).cast("int").as("stage_no"), lit(name).as("stage"), col("n_docs"))
-      }.reduce(_ unionAll _).orderBy(col("stage_no"))
+    val inner = new graft.engine.CacheScope
+    val rows =
+      try stageFrames(docs, staged, inner).zipWithIndex.map { case ((name, df), i) =>
+        val n = staged.stagingDir match {
+          // stage 0 is the input frame — never staged, counted directly
+          case Some(dir) if i > 0 => footerRowCount(spark, s"$dir/$name")
+          case _ => df.count()
+        }
+        org.apache.spark.sql.Row(i, name, n)
+      } finally inner.close()
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("stage_no", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("stage", org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType, nullable = false))))
+      .orderBy(col("stage_no"))
   }
 
   /** The curation pipeline as a LIBRARY function: the surviving

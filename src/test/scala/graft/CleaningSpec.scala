@@ -254,6 +254,38 @@ class CleaningSpec extends SparkSpec {
       s"cached RDDs leaked past scope.close(): ${after.diff(before)}")
   }
 
+  test("curationStageCounts default gate: in-memory boundaries, same counts, no leaked blocks") {
+    val sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val dirty = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"),
+        concat_ws("\n", lit("shared boilerplate header"), col("text")).as("text"))
+    val stages = graft.queries.TextQueries.CurationStages(
+      repeatedLineMinDf = Some(5), maxRarity = Some(0.99), budgetPerSource = Some(400))
+    // DEFAULT call (no stagingDir, untracked scope): the plan-size gate
+    // must pick localCheckpoint boundaries for this unit-test-sized
+    // corpus — no tmpdir round-trips — and the eager computation must
+    // release every boundary block before returning even though the
+    // caller passed no tracking scope
+    val viaDefault = graft.queries.TextQueries.curationStageCounts(dirty, stages)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "default curationStageCounts must release its checkpointed boundaries")
+    // ... and the counts are identical to an explicit parquet-staged run
+    // (whose staged stages count from the written files' footers)
+    val stagingDir = java.nio.file.Files.createTempDirectory("graft_gate_test").toString
+    val scope = new graft.engine.CacheScope
+    val viaStaged =
+      try graft.queries.TextQueries.curationStageCounts(dirty,
+        stages.copy(stagingDir = Some(stagingDir)), scope)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      finally scope.close()
+    assert(viaDefault == viaStaged,
+      s"boundary mode must not change the accounting: $viaDefault vs $viaStaged")
+    spark.catalog.clearCache()
+  }
+
   test("CacheScope releases the curation-selection operators' persists too") {
     // the round-9 library entry points (budgetSelect / packingSpans /
     // bigramRarity) persist shared intermediates; a library caller
