@@ -172,8 +172,13 @@ object Bench {
     def maybeGc(): Unit = { sinceGc += 1; if (sinceGc >= 10) { sinceGc = 0; System.gc() } }
     val passStart = System.nanoTime()
     for (_ <- 1 to iters) names.foreach { case (name, fn) =>
+      // load signals sample on the FIRST pass only; both sweeps happen
+      // BEFORE t0 / after the timed body, so the /proc reads (one file
+      // per JVM thread, ~hundreds under 32 executor threads) are never
+      // inside a timed window, and later iterations skip them entirely
+      val needSignals = !rqMs.contains(name)
+      val rd0 = if (needSignals) runDelayNs() else -1L
       val t0 = System.nanoTime()
-      val rd0 = runDelayNs()
       if (!offsets.contains(name)) {
         offsets(name) = (t0 - passStart) / 1e9
         loads(name) = loadAvg()
@@ -184,7 +189,7 @@ object Bench {
       } catch { case e: Throwable =>
         errors(name) = e.toString.replaceAll("[\"\\\\\n\r]", " ").take(200)
       }
-      if (!rqMs.contains(name)) {
+      if (needSignals) {
         val rd1 = runDelayNs()
         rqMs(name) = if (rd0 < 0 || rd1 < 0) -1.0 else (rd1 - rd0).max(0L) / 1e6
       }

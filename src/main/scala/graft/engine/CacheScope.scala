@@ -43,18 +43,29 @@ final class CacheScope private[engine] (track: Boolean) extends AutoCloseable {
   /** Locally checkpoint `df` (eager) — lineage truncates to the
     * materialized RDD, the in-memory analogue of a staged-layer parquet
     * boundary (see TextQueries.stageFrames) — and, in a tracking scope,
-    * remember the checkpoint's persisted RDD for release. Spark returns
-    * no handle to that RDD, so it is recovered by diffing the context's
-    * persistent-RDD registry around the call. NOTE:
-    * `spark.catalog.clearCache()` does NOT release RDD-level checkpoint
-    * persists — callers that checkpoint through an untracked scope leak
-    * storage until the context dies; pass a tracking scope. */
-  def localCheckpoint(df: DataFrame): DataFrame = synchronized {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
+    * remember the checkpoint's persisted RDD for release. The RDD is
+    * recovered DETERMINISTICALLY from the returned frame's plan (the
+    * checkpointed Dataset is a `LogicalRDD` wrapping exactly the
+    * persisted RDD), not by diffing the context's persistent-RDD
+    * registry — a diff would sweep in any RDD another thread persisted
+    * concurrently on the shared SparkContext and release a cache this
+    * scope doesn't own. Two caveats for callers:
+    *
+    *  - `spark.catalog.clearCache()` does NOT release RDD-level
+    *    checkpoint persists — checkpointing through an untracked scope
+    *    leaks storage until the context dies; pass a tracking scope.
+    *  - unlike [[persist]], the returned frame's lineage is TRUNCATED:
+    *    after `close()` unpersists the blocks, an action on it fails
+    *    hard ("cannot be recomputed") instead of silently recomputing.
+    *    Use-after-close is a bug either way; here it is a loud one. */
+  def localCheckpoint(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint()
-    if (track) checkpointed ++=
-      sc.getPersistentRDDs.view.filterKeys(!before.contains(_)).values
+    if (track) {
+      val rdd = cp.queryExecution.logical.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+      synchronized { checkpointed ++= rdd }
+    }
     cp
   }
 

@@ -545,21 +545,37 @@ object TextQueries {
     * boundary files mid-read).
     *
     * Eager: the result is computed at call time and returned as a
-    * local-rows DataFrame, so every boundary (checkpointed blocks or
-    * staged files) is released before returning — `scope` is kept for
-    * signature compatibility but owns nothing here. */
+    * local-rows DataFrame, so every boundary it writes is released
+    * before returning. The accounting NEVER touches a caller-supplied
+    * `stages.stagingDir`'s own stage paths: `mode("overwrite")` on
+    * `$dir/<stage>` would replace the part files a frame held from an
+    * earlier [[curatedDocsOf]] run still references (FileNotFound on
+    * its next action). Instead it stages under a self-provisioned
+    * unique SUBDIRECTORY of the supplied dir — same filesystem, so the
+    * caller's capacity choice is honored — and deletes only that. */
   def curationStageCounts(docs: DataFrame, stages: CurationStages = CurationStages(),
                           scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked): DataFrame = {
     val spark = docs.sparkSession
+    // sizeInBytes == defaultSizeInBytes is the optimizer's "unknown
+    // size" sentinel (Long.MaxValue unless the session lowered it) —
+    // an unknown-size plan must never checkpoint unbounded data in
+    // memory, so it routes to tmpdir staging with the large corpora
+    val sentinel = spark.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.DEFAULT_SIZE_IN_BYTES)
+    val planBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     val staged = stages.stagingDir match {
-      case Some(_) => stages
-      case None if docs.queryExecution.optimizedPlan.stats.sizeInBytes <= InMemoryStageBytes =>
+      case Some(dir) => stages.copy(stagingDir =
+        Some(s"$dir/_accounting_${spark.sparkContext.applicationId}"))
+      case None if planBytes <= InMemoryStageBytes && planBytes != BigInt(sentinel) =>
         stages.copy(inMemoryBoundaries = true)
       case None => stages.copy(stagingDir =
         Some(s"${System.getProperty("java.io.tmpdir")}/graft_curation_stages_" +
           spark.sparkContext.applicationId))
     }
     val inner = new graft.engine.CacheScope
+    // track the provisioned ROOT too (recursive delete), so the unique
+    // subdir itself doesn't outlive the call as an empty shell
+    staged.stagingDir.foreach(inner.trackStagedDir)
     val rows =
       try stageFrames(docs, staged, inner).zipWithIndex.map { case ((name, df), i) =>
         val n = staged.stagingDir match {

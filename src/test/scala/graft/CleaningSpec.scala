@@ -254,6 +254,35 @@ class CleaningSpec extends SparkSpec {
       s"cached RDDs leaked past scope.close(): ${after.diff(before)}")
   }
 
+  test("curationStageCounts leaves caller-supplied staging dirs in place") {
+    // a caller that ran curatedDocsOf with its own stagingDir and still
+    // holds the returned frame (a parquet re-read of $dir/<stage>) must
+    // be able to act on it AFTER a later accounting call over the same
+    // config — the accounting only auto-cleans boundaries it
+    // provisioned itself (tmpdir / in-memory modes)
+    val sf = "/root/testdata/sf0.001"
+    val dirty = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"),
+        concat_ws("\n", lit("shared boilerplate header"), col("text")).as("text"))
+    val stagingDir = java.nio.file.Files.createTempDirectory("graft_owned_stage").toString
+    val stages = graft.queries.TextQueries.CurationStages(
+      repeatedLineMinDf = Some(5), stagingDir = Some(stagingDir))
+    val scope = new graft.engine.CacheScope
+    try {
+      val kept = graft.queries.TextQueries.curatedDocsOf(dirty, stages, scope)
+      val nKept = kept.count()
+      val counts = graft.queries.TextQueries.curationStageCounts(dirty, stages, scope)
+        .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+      assert(new java.io.File(stagingDir, "quality").exists(),
+        "accounting must not delete boundaries under a caller-supplied stagingDir")
+      // the held frame still resolves — and agrees with the accounting
+      assert(kept.count() == nKept)
+      assert(counts("quality") == nKept)
+    } finally scope.close()
+    assert(!new java.io.File(stagingDir, "quality").exists(),
+      "the caller's scope close still owns the cleanup")
+  }
+
   test("curationStageCounts default gate: in-memory boundaries, same counts, no leaked blocks") {
     val sf = "/root/testdata/sf0.001"
     spark.catalog.clearCache()
