@@ -203,6 +203,170 @@ object Streaming {
         } finally exactKept.unpersist(false)
       }
 
+  /** Incremental curation — the staged batch pipeline
+    * ([[graft.queries.TextQueries.curatedDocsOf]]) re-expressed as a
+    * micro-batch loop: new documents arrive, the stages re-run at the
+    * BATCH's survivor volume (never over the accumulated corpus), and
+    * two partition-scoped stores merge idempotently. This is the
+    * streaming form of the reference's rerun-and-upsert loop
+    * (ETL_Multi_Lvl_API/extract.py:108-121, keyed upsert at
+    * load.py:117-163), applied to the curation pipeline.
+    *
+    * Two stores, because curation state is WIDER than curation output:
+    *
+    *  - `sigPath` — the SEEN store: (doc_id, th, h0..h7) for every
+    *    exact-dedup survivor ever observed, INCLUDING docs that later
+    *    lost near-dup or failed the quality floor. Batch semantics
+    *    need this: near-dup losers are computed among ALL exact-dedup
+    *    survivors BEFORE the quality filter, so a low-quality doc
+    *    still suppresses its own later-arriving near-duplicates (and a
+    *    doc beaten by a near-dup still suppresses ITS later replicas —
+    *    the transitive-loser chain a curated-output-only probe gets
+    *    wrong, see the StreamingSpec N-batches==one-batch case).
+    *  - `curatedPath` — the OUTPUT store: the input columns + `quality`
+    *    for documents that survive every stage; row-equal to
+    *    `curatedDocsOf` over the union of all batches.
+    *
+    * Per micro-batch (stages in the batch pipeline's order):
+    *
+    *   1. URL blocklist (stateless narrow map) — if configured;
+    *   2. exact dedup within the batch (lowest doc_id per text hash);
+    *   3. exact dedup against the seen store: a batch doc whose text
+    *      hash is stored under a LOWER doc_id is dropped (a same-id
+    *      hit is this batch replaying after a crash — kept, so replays
+    *      are idempotent rather than self-suppressing);
+    *   4. the batch's exact survivors upsert into the seen store —
+    *      state lands BEFORE output, so a crash between the two
+    *      writes replays into a seen store that already has this
+    *      batch (harmless by 3's same-id rule), never into an output
+    *      store ahead of its state;
+    *   5. within-batch near-dup removal (banded self-join, higher
+    *      doc_id of each est_sim >= 0.5 pair loses — as in q42);
+    *   6. banded PROBE of the seen store: a survivor colliding in >= 1
+    *      band with a LOWER-id stored signature at est_sim >= 0.5 is
+    *      suppressed (the lower-id condition keeps a crash-replayed
+    *      batch from being suppressed by its own earlier attempt's
+    *      higher-id entries);
+    *   7. quality scoring + floor; survivors (input columns +
+    *      `quality`) upsert into the curated store keyed on doc_id.
+    *
+    * Equivalence contract (what the StreamingSpec case proves): if
+    * doc_ids are non-decreasing across arrival order — true whenever
+    * ids are assigned at ingest, as the reference's loop does — then
+    * after any number of micro-batches the curated store is row-equal
+    * to one batch `curatedDocsOf(union, stages)`. Out-of-order ids
+    * degrade gracefully to first-arrival-wins canonicalization (the
+    * standard streaming relaxation: an already-admitted doc is never
+    * retroactively evicted by a lower-id late arrival).
+    *
+    * Corpus-trained stages (`repeatedLineMinDf`, `maxRarity`,
+    * `budgetPerSource`) are REJECTED here by construction: their
+    * statistics are functions of the whole corpus, so a new batch
+    * retroactively re-scores documents admitted long ago — that is a
+    * periodic batch recuration over the landed corpus (the reference's
+    * own rerun semantics), not a per-trigger increment. Run
+    * `curatedDocsOf` with those stages on a schedule instead.
+    *
+    * Scale shape: every per-batch step is O(batch) — the seen-store
+    * probe joins only the band-colliding slice (the store side of the
+    * equi-join is partition-pruned to matching band keys by the
+    * shuffle, never scanned into memory whole), the exact-dup check is
+    * an equi-join on the text hash, and both store merges rewrite only
+    * the key-hash partitions the batch touches
+    * ([[Sinks.upsertParquetPartitioned]]). No unbounded executor-memory
+    * state: the state IS the stores. */
+  def incrementalCurationSink(stream: DataFrame, curatedPath: String, sigPath: String,
+                              stages: graft.queries.TextQueries.CurationStages =
+                                graft.queries.TextQueries.CurationStages(),
+                              numBuckets: Int = 64): DataStreamWriter[Row] = {
+    require(stages.repeatedLineMinDf.isEmpty && stages.maxRarity.isEmpty
+        && stages.budgetPerSource.isEmpty,
+      "repeated-line / rarity / budget stages are corpus-trained and re-rank " +
+        "retroactively; run them as periodic batch recuration (curatedDocsOf " +
+        "over the landed corpus), not per micro-batch")
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        curateMicroBatch(batch, curatedPath, sigPath, stages, numBuckets)
+      }
+  }
+
+  private def curateMicroBatch(batch: DataFrame, curatedPath: String, sigPath: String,
+                               stages: graft.queries.TextQueries.CurationStages,
+                               numBuckets: Int): Unit = {
+    val s = batch.sparkSession
+    val inputCols = batch.columns.toSeq
+    val reserved = (0 until 8).map(k => s"h$k").toSet ++ Set("sig", "th")
+    val clash = inputCols.filter(reserved)
+    require(clash.isEmpty,
+      s"incrementalCurationSink reserves columns ${clash.mkString(",")} for signature state")
+    val sigCols = (0 until 8).map(k => col(s"h$k"))
+    // 1. URL blocklist — stateless, so it runs before any keyed state
+    val filtered =
+      if (stages.blockedDomains.isEmpty) batch
+      else graft.queries.CurationQueries.urlFilter(batch, stages.blockedDomains)
+        .where(col("n_blocked") === 0)
+        .select(inputCols.map(col): _*)
+    val sigged = filtered
+      .withColumn("sig", graft.expressions.Exprs.minhashSig(col("text")))
+      .select(col("*") +: (0 until 8).map(k =>
+        element_at(col("sig"), k + 1).as(s"h$k")): _*)
+      .drop("sig")
+      .withColumn("th", md5(col("text")))
+    // 2. exact dedup inside the batch, deterministic winner (min doc_id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("th")).orderBy(col("doc_id"))
+    val batchExact = sigged.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+    val sigDst = new org.apache.hadoop.fs.Path(sigPath)
+    val fs = sigDst.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val seenExists = fs.exists(sigDst)
+    // 3. exact dedup against the seen store: lower-id th hit = a true
+    // earlier copy; same-id = this batch replaying (kept)
+    val exactKept = (if (seenExists) {
+      val seenTh = Sinks.readUpsertStore(s, sigPath)
+        .select(col("th").as("_sth"), col("doc_id").as("_sid"))
+      batchExact.join(seenTh,
+        batchExact("th") === col("_sth") && col("_sid") < batchExact("doc_id"),
+        "left_anti")
+    } else batchExact).persist()
+    try {
+      // 4. state before output: the batch's exact survivors enter the
+      // seen store first (crash between the writes replays harmlessly)
+      Sinks.upsertParquetPartitioned(s,
+        exactKept.select(col("doc_id") +: col("th") +: sigCols: _*),
+        sigPath, Seq("doc_id"), orderCol = None, numBuckets = numBuckets)
+      // 5. within-batch near-dups among the exact survivors
+      val batchSig = exactKept.where(col("h0").isNotNull)
+        .select(col("doc_id") +: sigCols: _*)
+      val batchLosers = graft.queries.TextQueries.lshPairsOf(batchSig)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val afterBatch = exactKept.join(batchLosers, Seq("doc_id"), "left_anti")
+      // 6. probe the seen store (pre-batch entries have lower ids than
+      // every batch doc under the monotone-arrival contract; the
+      // explicit doc_b < doc_a guard makes crash replays — whose own
+      // earlier-attempt entries are NOT lower — no-ops, same family as
+      // lshProbe's self-pair exclusion)
+      val survivors = if (seenExists) {
+        val storeSig = Sinks.readUpsertStore(s, sigPath)
+          .where(col("h0").isNotNull).select(col("doc_id") +: sigCols: _*)
+        val nearHits = graft.queries.TextQueries.lshProbe(
+            afterBatch.where(col("h0").isNotNull).select(col("doc_id") +: sigCols: _*),
+            storeSig)
+          .where(col("doc_b") < col("doc_a"))
+          .select(col("doc_a").as("doc_id")).distinct()
+        afterBatch.join(nearHits, Seq("doc_id"), "left_anti")
+      } else afterBatch
+      // 7. quality floor, then the curated output merge
+      val curated = graft.queries.TextQueries.withQuality(survivors)
+        .where(col("quality") >= stages.qualityFloor)
+        .select(inputCols.map(col) :+ col("quality"): _*)
+      Sinks.upsertParquetPartitioned(s, curated, curatedPath,
+        Seq("doc_id"), orderCol = None, numBuckets = numBuckets)
+    } finally exactKept.unpersist(false)
+  }
+
   /** foreachBatch upsert sink: every micro-batch merges into the target
     * parquet with last-write-wins per key — the streaming form of the
     * reference's idempotent re-load.

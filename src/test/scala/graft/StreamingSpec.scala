@@ -284,6 +284,116 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("incremental curation: N micro-batches equal one batch curatedDocsOf over the union") {
+    // the full staged pipeline in micro-batch form — URL blocklist,
+    // exact dedup, near-dup removal, quality floor — with state in the
+    // seen-signature store and output in the curated store. The corpus
+    // is built to exercise every cross-batch path:
+    //   within-batch exact dup (3 of 2), cross-batch exact dup (7 of 2),
+    //   cross-batch exact dup of a SHORT null-sig doc (10 of 5),
+    //   within-batch near-dup (9 of 8), cross-batch near-dup via the
+    //   seen store (12 of 9), blocked URLs (4, 14 — subdomain match),
+    //   quality failures (1, 13), and the TRANSITIVE case: 6 is a
+    //   near-dup of 1, which itself fails quality — 6 must still be
+    //   suppressed, which only works because the seen store keeps
+    //   signatures of docs the curated store rejected.
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    // all-stopword, punctuation-free: quality ~0.30, signature present
+    val lowQ = "the of and to is in the to of and in is to the and of in " +
+      "to and the is of in and to of the in the of"
+    val lowQPerturbed = lowQ.replaceFirst("in is to", "in was to")
+    val docA = "ancient mariners navigated treacherous waters using celestial " +
+      "observations and careful measurements of coastal landmarks during long voyages"
+    val docB = "granite peaks rise sharply above turquoise alpine lakes where " +
+      "marmots whistle across sunlit boulder fields under morning skies"
+    val docB1 = docB.replace("marmots", "falcons")
+    val docB2 = docB1.replace("turquoise", "emerald")
+    val docC = "quantum processors entangle photons through superconducting " +
+      "circuits enabling remarkable computational breakthroughs beyond classical limits"
+    val short = "wonderful landscapes"
+    // sanity: the intended near-dup edges really are est_sim >= 0.5 and
+    // really have DIFFERENT signatures (so only the banded probe can
+    // catch them — signature equality cannot)
+    import spark.implicits._
+    def sigOf(t: String): Seq[Long] = Seq(t).toDF("text")
+      .select(graft.expressions.Exprs.minhashSig(col("text")).as("s"))
+      .collect().head.getSeq[Long](0)
+    Seq(lowQ -> lowQPerturbed, docB -> docB1, docB1 -> docB2).foreach { case (a, b) =>
+      val (sa, sb) = (sigOf(a), sigOf(b))
+      assert(sa != sb, "perturbation must change the signature")
+      val n = sa.zip(sb).count { case (x, y) => x == y }
+      assert(n >= 4, s"perturbed pair must stay est_sim >= 0.5 (got $n/8)")
+    }
+    def row(id: Long, min: Int, text: String): String =
+      s"""{"doc_id":$id,"ts":"2025-12-11T00:$min%02d:00Z","text":"$text"}"""
+        .replace("$min%02d", f"$min%02d")
+    val in = tmpDir("inc_curation_in")
+    val ckpt = tmpDir("inc_curation_ckpt").toString
+    val curated = tmpDir("inc_curation_store").resolve("curated").toString
+    val sigs = tmpDir("inc_curation_store").resolve("seen_sigs").toString
+    val stages = graft.queries.TextQueries.CurationStages(
+      blockedDomains = Seq("bad.example.com"), qualityFloor = 0.5)
+    def runOnce(): Unit = {
+      val stream = Streaming.jsonFileStream(spark, docSchema, in.toString + "/*.json", multiLine = false)
+      val q = Streaming.incrementalCurationSink(stream, curated, sigs, stages, numBuckets = 8)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination(120000)
+    }
+    writeBatch(in, "b1.json", Seq(
+      row(1, 0, lowQ),
+      row(2, 1, docA),
+      row(3, 2, docA), // within-batch exact dup
+      row(4, 3, "read this report at https://bad.example.com/x for details"),
+      row(5, 4, short)))
+    runOnce()
+    writeBatch(in, "b2.json", Seq(
+      row(6, 10, lowQPerturbed), // near-dup of 1, which failed quality
+      row(7, 11, docA),          // cross-batch exact dup
+      row(8, 12, docB),
+      row(9, 13, docB1),         // within-batch near-dup of 8
+      row(10, 14, short)))       // cross-batch exact dup, null signature
+    runOnce()
+    writeBatch(in, "b3.json", Seq(
+      row(11, 20, docC),
+      row(12, 21, docB2),        // cross-batch near-dup via the seen store
+      row(13, 22, "a, b, c, d! e? f."), // quality failure
+      row(14, 23, "more content at https://sub.bad.example.com/page here")))
+    runOnce()
+    val got = Sinks.readUpsertStore(spark, curated)
+      .select("doc_id", "ts", "text", "quality").orderBy("doc_id").collect()
+    val union = spark.read.schema(docSchema).json(in.toString + "/*.json")
+    val want = graft.queries.TextQueries.curatedDocsOf(union, stages)
+      .select("doc_id", "ts", "text", "quality").orderBy("doc_id").collect()
+    assert(got.toSeq == want.toSeq,
+      s"streamed store must equal one batch run over the union:\n got ${got.mkString(";")}\nwant ${want.mkString(";")}")
+    val ids = got.map(_.getLong(0)).toSeq
+    assert(ids == Seq(2L, 5L, 8L, 11L), s"expected survivors 2,5,8,11; got $ids")
+    // the transitive case held: 6 suppressed by a doc that is itself absent
+    assert(!ids.contains(6L) && !ids.contains(1L))
+    // replay safety: re-running with no new files changes nothing
+    runOnce()
+    val again = Sinks.readUpsertStore(spark, curated).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == ids, s"idle re-run must be a no-op: $again")
+  }
+
+  test("incremental curation rejects corpus-trained stages") {
+    // rarity / budget / repeated-line statistics are functions of the
+    // whole corpus: a new batch would re-score docs admitted long ago.
+    // That is a periodic batch recuration, not a per-trigger increment —
+    // the sink says so instead of silently computing batch-local stats.
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = Streaming.jsonFileStream(spark, docSchema, tmpDir("rej").toString + "/*.json", multiLine = false)
+    intercept[IllegalArgumentException] {
+      Streaming.incrementalCurationSink(stream, "/tmp/x", "/tmp/y",
+        graft.queries.TextQueries.CurationStages(maxRarity = Some(9.0)))
+    }
+  }
+
   test("checkpoint recovery: a restarted stream processes only NEW files") {
     // the incremental contract a production ingest loop depends on: with
     // a persistent checkpoint, re-running the same stream after more
