@@ -37,7 +37,34 @@ object Tables {
 
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     tune(spark)
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeTimestamps(spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
+
+  /** The driver has regenerated the testdata with a different physical
+    * timestamp layout twice now (TIMESTAMP(NANOS) in rounds ≤11, then plain
+    * `timestamp[us]` without the UTC flag — which Spark 4 surfaces as
+    * TIMESTAMP_NTZ). The engine's logical contract is instant-semantics
+    * `TimestampType` under the pinned UTC session (Verify/Bench/tests all
+    * set `spark.sql.session.timeZone=UTC`), so fold every timestamp-family
+    * column to `TimestampType` here, once, for every table:
+    *
+    *  - `TimestampNTZType → TimestampType` is a wall-clock reinterpretation
+    *    in the session zone; under UTC it is bit-preserving on the
+    *    underlying epoch micros — exactly what the DuckDB oracle computes
+    *    with `epoch_us()` over the same naive parquet values.
+    *
+    * This keeps `unix_micros`/window/watermark sites (which require
+    * TIMESTAMP, not TIMESTAMP_NTZ) working no matter which physical layout
+    * the next regeneration picks. Column pruning still reaches the scan:
+    * the projection is a no-op for untouched columns and Catalyst prunes
+    * through `Project(cast(...))`. */
+  private def normalizeTimestamps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
   }
 
   /** events.ts is physically TIMESTAMP(NANOS) parquet, which Spark 4 only
