@@ -289,26 +289,27 @@ object Sinks {
     }
   }
 
-  private def mergePartitionedLocked(spark: SparkSession, batch: DataFrame, path: String,
-                                     keys: Seq[String], orderCol: Option[String],
-                                     numBuckets: Int,
-                                     dst: org.apache.hadoop.fs.Path,
-                                     fs: org.apache.hadoop.fs.FileSystem): Unit = {
-    val tmpRoot = new org.apache.hadoop.fs.Path(path + "_tmp")
-    // entry recovery, store level: a rebucket that crashed between its
-    // two renames leaves the whole store at _old and nothing at dst —
-    // restore it, or the merge below would "create" a batch-only store
-    // and strand the real one
+  /** Store-level + bucket-level crash recovery for a partition-scoped
+    * store. Factored out of the merge so readers that gate behavior on
+    * store existence ([[recoverUpsertStore]]) run the SAME recovery the
+    * writer would, under the same fence. Caller must hold the writer
+    * lock. */
+  private def recoverPartitionedLocked(fs: org.apache.hadoop.fs.FileSystem,
+                                       path: String,
+                                       dst: org.apache.hadoop.fs.Path): Unit = {
+    // store level: a rebucket that crashed between its two renames
+    // leaves the whole store at _old and nothing at dst — restore it,
+    // or a merge would "create" a batch-only store and strand the real
+    // one (and a reader would see no store at all)
     val storeOrphan = new org.apache.hadoop.fs.Path(path + "_old")
     if (!fs.exists(dst) && fs.exists(storeOrphan) && !fs.rename(storeOrphan, dst))
       throw new java.io.IOException(s"cannot restore $storeOrphan to $dst")
     // dst present + _old present = a rebucket crashed after its final
     // rename landed; the _old copy is stale — drop it, don't leak it
     if (fs.exists(dst)) fs.delete(storeOrphan, true)
-    // entry recovery, bucket level: a crash mid-swap leaves a bucket at
-    // its aside name and nothing live — restore it; an aside WITH a
-    // live dir is a stale copy from a crash after the new data landed —
-    // drop it
+    // bucket level: a crash mid-swap leaves a bucket at its aside name
+    // and nothing live — restore it; an aside WITH a live dir is a
+    // stale copy from a crash after the new data landed — drop it
     if (fs.exists(dst)) fs.listStatus(dst).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith(AsidePrefix)) {
@@ -319,6 +320,37 @@ object Sinks {
         } else fs.delete(st.getPath, true)
       }
     }
+  }
+
+  /** Run crash recovery for the partition-scoped store at `path` without
+    * merging anything, and report whether a COMMITTED store exists there
+    * afterwards — i.e. its meta file is present (creation stamps the meta
+    * last, so a directory without one is a half-created store whose read
+    * would fail schema inference).
+    *
+    * This is the existence check store-gated readers must use instead of
+    * `fs.exists(dir)`: a bare directory check calls a crashed half-
+    * creation "readable" (wedging every retry on schema inference) and a
+    * store stranded at `<path>_old` by a crashed rebucket "absent"
+    * (silently skipping whatever the store was guarding — for the
+    * incremental curation sink, one replayed batch's cross-batch
+    * suppression). */
+  def recoverUpsertStore(spark: SparkSession, path: String): Boolean = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withWriterLock(fs, path) {
+      recoverPartitionedLocked(fs, path, dst)
+    }
+    fs.exists(new org.apache.hadoop.fs.Path(dst, MetaFile))
+  }
+
+  private def mergePartitionedLocked(spark: SparkSession, batch: DataFrame, path: String,
+                                     keys: Seq[String], orderCol: Option[String],
+                                     numBuckets: Int,
+                                     dst: org.apache.hadoop.fs.Path,
+                                     fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val tmpRoot = new org.apache.hadoop.fs.Path(path + "_tmp")
+    recoverPartitionedLocked(fs, path, dst)
     fs.delete(tmpRoot, true)
     val meta = new org.apache.hadoop.fs.Path(dst, MetaFile)
     val n = if (fs.exists(meta)) {

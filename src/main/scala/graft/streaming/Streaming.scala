@@ -255,9 +255,18 @@ object Streaming {
     * ids are assigned at ingest, as the reference's loop does — then
     * after any number of micro-batches the curated store is row-equal
     * to one batch `curatedDocsOf(union, stages)`. Out-of-order ids
-    * degrade gracefully to first-arrival-wins canonicalization (the
-    * standard streaming relaxation: an already-admitted doc is never
-    * retroactively evicted by a lower-id late arrival).
+    * relax per stage: the EXACT-dup stage is first-arrival-wins (step
+    * 3 suppresses a batch doc whenever any other id holds its text
+    * hash — replay-safe, because a replayed batch finds only its own
+    * ids in the store and `=!=` keeps those), but NEAR-dup
+    * canonicalization cannot be promised for late LOWER-id arrivals:
+    * step 6's `doc_b < doc_a` guard (which crash-replay safety
+    * requires — a replayed batch must not be suppressed by its own
+    * earlier attempt's higher-id entries) also means a late arrival
+    * with an id below its already-admitted near-duplicate passes the
+    * probe, and the store then holds BOTH near-copies. An admitted doc
+    * is never retroactively evicted either way; feed monotone ids to
+    * get the exact batch semantics.
     *
     * Corpus-trained stages (`repeatedLineMinDf`, `maxRarity`,
     * `budgetPerSource`) are REJECTED here by construction: their
@@ -319,18 +328,30 @@ object Streaming {
       .partitionBy(col("th")).orderBy(col("doc_id"))
     val batchExact = sigged.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn")
-    val sigDst = new org.apache.hadoop.fs.Path(sigPath)
-    val fs = sigDst.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val seenExists = fs.exists(sigDst)
-    // 3. exact dedup against the seen store: lower-id th hit = a true
-    // earlier copy; same-id = this batch replaying (kept)
+    // committed-store check + crash recovery in one step: a bare
+    // fs.exists(dir) would treat a crashed half-creation (no meta, no
+    // committed footers) as readable and a store stranded at _old by a
+    // crashed rebucket as absent — the first wedges every retry on
+    // schema inference, the second silently skips one batch's
+    // cross-batch suppression
+    val seenExists = Sinks.recoverUpsertStore(s, sigPath)
+    // 3. exact dedup against the seen store: any OTHER id holding this
+    // text hash = a true earlier copy (first-arrival-wins, even for
+    // out-of-order lower ids); same-id = this batch replaying (kept)
     val exactKept = (if (seenExists) {
       val seenTh = Sinks.readUpsertStore(s, sigPath)
         .select(col("th").as("_sth"), col("doc_id").as("_sid"))
       batchExact.join(seenTh,
-        batchExact("th") === col("_sth") && col("_sid") < batchExact("doc_id"),
+        batchExact("th") === col("_sth") && col("_sid") =!= batchExact("doc_id"),
         "left_anti")
     } else batchExact).persist()
+    // pin exactKept BEFORE step 4 mutates the store: its plan embeds a
+    // read of the pre-upsert seen-store files, and steps 5-7 consume it
+    // again after the merge has renamed/deleted those files — the
+    // count() materializes every partition now, so the later consumers
+    // hit cache instead of a recomputation that would re-resolve a
+    // file listing the merge already rewrote
+    exactKept.count()
     try {
       // 4. state before output: the batch's exact survivors enter the
       // seen store first (crash between the writes replays harmlessly)

@@ -309,14 +309,19 @@ class StreamingSpec extends SparkSpec {
       "observations and careful measurements of coastal landmarks during long voyages"
     val docB = "granite peaks rise sharply above turquoise alpine lakes where " +
       "marmots whistle across sunlit boulder fields under morning skies"
-    val docB1 = docB.replace("marmots", "falcons")
+    val docB1 = docB.replace("marmots", "ridges")
     val docB2 = docB1.replace("turquoise", "emerald")
     val docC = "quantum processors entangle photons through superconducting " +
       "circuits enabling remarkable computational breakthroughs beyond classical limits"
     val short = "wonderful landscapes"
-    // sanity: the intended near-dup edges really are est_sim >= 0.5 and
-    // really have DIFFERENT signatures (so only the banded probe can
-    // catch them — signature equality cannot)
+    // sanity: the intended near-dup edges really are est_sim >= 0.5, really
+    // have DIFFERENT signatures (so only the banded probe can catch them —
+    // signature equality cannot), AND really collide in at least one
+    // aligned 2-hash band — lshPairsOf generates candidates from band
+    // buckets, so >=4/8 matching *positions* alone proves nothing about
+    // candidate generation (the round-12 red test learned this the hard
+    // way: its pair had 4 scattered position matches and zero aligned
+    // bands, so the "near-dup" edge never existed).
     import spark.implicits._
     def sigOf(t: String): Seq[Long] = Seq(t).toDF("text")
       .select(graft.expressions.Exprs.minhashSig(col("text")).as("s"))
@@ -326,10 +331,14 @@ class StreamingSpec extends SparkSpec {
       assert(sa != sb, "perturbation must change the signature")
       val n = sa.zip(sb).count { case (x, y) => x == y }
       assert(n >= 4, s"perturbed pair must stay est_sim >= 0.5 (got $n/8)")
+      val bandHit = (0 until 4).exists(k =>
+        sa(2 * k) == sb(2 * k) && sa(2 * k + 1) == sb(2 * k + 1))
+      assert(bandHit,
+        "perturbed pair must share an aligned 2-hash band, or the LSH " +
+          s"probe can never see it (sigs ${sa.mkString(",")} vs ${sb.mkString(",")})")
     }
     def row(id: Long, min: Int, text: String): String =
-      s"""{"doc_id":$id,"ts":"2025-12-11T00:$min%02d:00Z","text":"$text"}"""
-        .replace("$min%02d", f"$min%02d")
+      f"""{"doc_id":$id%d,"ts":"2025-12-11T00:$min%02d:00Z","text":"$text%s"}"""
     val in = tmpDir("inc_curation_in")
     val ckpt = tmpDir("inc_curation_ckpt").toString
     val curated = tmpDir("inc_curation_store").resolve("curated").toString
