@@ -24,6 +24,7 @@ object ScaleSoak {
     "q55_repetition_stats", "q57_containment_pairs", "q63_repeated_line_removal",
     "q64_budget_select", "q65_chunk_windows", "q66_url_filter", "q67_cluster_reps",
     "q68_bigram_rarity", "q69_curation_stages",
+    "q70_span_decontamination", "q71_span_dedup",
     "q45_ann_bruteforce_topk", "q46_lsh_bucket_pairs", "q47_ivf_topk",
     "q48_embedding_neardup", "q43_capped_df64", "q42_capped_b64")
 
@@ -42,8 +43,9 @@ object ScaleSoak {
     "documents" -> ("doc_id", 10000000L),
     "embeddings" -> ("vec_id", 10000000L))
 
-  private def generate(spark: SparkSession, src: String, out: String, reps: Int): Unit =
-    graft.engine.Tables.all.foreach { t =>
+  private def generate(spark: SparkSession, src: String, out: String, reps: Int,
+                       tables: Seq[String]): Unit =
+    tables.foreach { t =>
       val base = graft.engine.Tables.read(spark, src, t)
       val df = replicated.get(t) match {
         case Some((key, off)) =>
@@ -61,6 +63,11 @@ object ScaleSoak {
     // optional 4th arg: comma-separated query subset (targeted probes —
     // e.g. the q43 cap-on/cap-off pair at 30x without the full sweep)
     val subset = if (args.length > 3) Some(args(3).split(",").toSet) else None
+    // optional 5th arg: comma-separated table subset to replicate — a
+    // documents-only probe at 1000-3000x must not pay for (or store) a
+    // 100M-row lineitem it never reads
+    val tables = if (args.length > 4) args(4).split(",").toSeq
+                 else graft.engine.Tables.all
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -72,19 +79,24 @@ object ScaleSoak {
     // marker records the generation params: a partial earlier run or a
     // different reps value must regenerate, not silently reuse stale data
     val marker = java.nio.file.Paths.get(out, "_SOAK_MARKER")
-    val stamp = s"src=$src reps=$reps"
+    val stamp = s"src=$src reps=$reps tables=${tables.mkString(",")}"
     if (!java.nio.file.Files.exists(marker) ||
       java.nio.file.Files.readString(marker) != stamp) {
-      println(s"SOAK generating ${reps}x of $src at $out")
-      generate(spark, src, out, reps)
+      println(s"SOAK generating ${reps}x of $src at $out (${tables.mkString(",")})")
+      generate(spark, src, out, reps, tables)
       java.nio.file.Files.createDirectories(marker.getParent)
       java.nio.file.Files.writeString(marker, stamp)
     }
     val active = soakQueries.filter(q => subset.forall(_.contains(q)))
     def timeAll(d: String): Map[String, Double] = active.map { q =>
+      val df = extraRunners.getOrElse(q, SparkEntry.queries(q))(spark, d)
       val t0 = System.nanoTime()
-      val n = extraRunners.getOrElse(q, SparkEntry.queries(q))(spark, d).count()
+      // full-plan materialization, as in Bench: count() lets Catalyst
+      // eliminate projection tails AND unique-keyed outer joins (q70/q71
+      // timed a bare scan under count)
+      df.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9 // clearCache stays untimed, as in Bench
+      val n = df.count() // untimed, for the audit line
       spark.catalog.clearCache()
       println(f"SOAK $d%-18s $q%-26s $dt%7.2f s   rows=$n")
       q -> dt

@@ -353,22 +353,37 @@ object TextQueries {
     *     ([[CurationQueries.urlFilter]]): docs carrying any blocked
     *     host are dropped.
     *  3. exact dedup (always on): lowest doc_id per content hash.
-    *  4. near-dup removal (always on): MinHash-LSH est_sim >= 0.5
+    *  4. `spanDedupMinDf` — cross-document repeated-SPAN excision
+    *     ([[CurationQueries.dedupRepeatedSpans]], gram length
+    *     `spanDedupK`): every token span whose k-gram content occurs
+    *     in >= minDf distinct documents is cut out of each doc, and
+    *     docs excised to nothing are dropped. Runs AFTER exact dedup
+    *     (spans should count distinct CONTENT, not distinct copies —
+    *     and the positional-gram table is built over one signature
+    *     per distinct text, not one per copy) and BEFORE near-dup
+    *     (boilerplate spans inflate MinHash similarity between
+    *     otherwise-unrelated docs; excising first lets LSH judge the
+    *     residual content). Like the rarity stage, the gram-df
+    *     statistic is corpus-trained — the incremental streaming sink
+    *     rejects it for the same reason.
+    *  5. near-dup removal (always on): MinHash-LSH est_sim >= 0.5
     *     among exact-dedup survivors, higher doc_id of each pair
     *     dropped.
-    *  5. `qualityFloor` (always on, default 0.5): [[withQuality]]'s
+    *  6. `qualityFloor` (always on, default 0.5): [[withQuality]]'s
     *     score; zero-token docs drop here too.
-    *  6. `maxRarity` — corpus-trained bigram-rarity ceiling
+    *  7. `maxRarity` — corpus-trained bigram-rarity ceiling
     *     ([[CurationQueries.bigramRarity]], trained on the survivors
     *     entering the stage): docs rarer than the ceiling are likely
     *     noise/garbled text and are dropped; docs with < 2 tokens have
     *     no rarity evidence and are kept.
-    *  7. `budgetPerSource` — token-budget mixture selection
+    *  8. `budgetPerSource` — token-budget mixture selection
     *     ([[CurationQueries.budgetSelect]]): per source, best-quality-
     *     first until the budget fills. */
   final case class CurationStages(
     repeatedLineMinDf: Option[Long] = None,
     blockedDomains: Seq[String] = Nil,
+    spanDedupMinDf: Option[Long] = None,
+    spanDedupK: Int = 5,
     qualityFloor: Double = 0.5,
     maxRarity: Option[Double] = None,
     budgetPerSource: Option[Long] = None,
@@ -460,6 +475,21 @@ object TextQueries {
       .select(col("doc_id"))
     cur = boundary(cur.join(canonical, Seq("doc_id"), "left_semi"), "exact_dedup")
     out += ("exact_dedup" -> cur)
+    stages.spanDedupMinDf.foreach { minDf =>
+      // same shape as the repeated-line stage: compute (doc_id, clean)
+      // narrow, join back on doc_id to preserve the input columns, and
+      // drop docs excised to nothing. The rewritten text feeds every
+      // later stage — near-dup signatures and quality score the
+      // residual content, not the boilerplate.
+      val cleaned = CurationQueries.dedupRepeatedSpans(
+        cur.select(col("doc_id"), col("text")), stages.spanDedupK, minDf, scope)
+        .where(col("n_tok") > col("n_removed"))
+        .select(col("doc_id"), col("clean"))
+      cur = boundary(cur.drop("text").join(cleaned, Seq("doc_id"))
+        .withColumnRenamed("clean", "text")
+        .select(docs.columns.map(col).toSeq: _*), "span_dedup", alwaysPersist = true)
+      out += ("span_dedup" -> cur)
+    }
     // near-dup losers AMONG EXACT-DEDUP SURVIVORS — the standard
     // pipeline order (and the cheap one at duplicate-heavy scale:
     // the band joins see one signature per distinct text, not one

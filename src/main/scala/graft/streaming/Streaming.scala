@@ -288,11 +288,11 @@ object Streaming {
                               stages: graft.queries.TextQueries.CurationStages =
                                 graft.queries.TextQueries.CurationStages(),
                               numBuckets: Int = 64): DataStreamWriter[Row] = {
-    require(stages.repeatedLineMinDf.isEmpty && stages.maxRarity.isEmpty
-        && stages.budgetPerSource.isEmpty,
-      "repeated-line / rarity / budget stages are corpus-trained and re-rank " +
-        "retroactively; run them as periodic batch recuration (curatedDocsOf " +
-        "over the landed corpus), not per micro-batch")
+    require(stages.repeatedLineMinDf.isEmpty && stages.spanDedupMinDf.isEmpty
+        && stages.maxRarity.isEmpty && stages.budgetPerSource.isEmpty,
+      "repeated-line / span-dedup / rarity / budget stages are corpus-trained " +
+        "and re-rank retroactively; run them as periodic batch recuration " +
+        "(curatedDocsOf over the landed corpus), not per micro-batch")
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .outputMode("append")

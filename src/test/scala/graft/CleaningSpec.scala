@@ -254,6 +254,48 @@ class CleaningSpec extends SparkSpec {
       s"cached RDDs leaked past scope.close(): ${after.diff(before)}")
   }
 
+  test("span-dedup stage: cross-doc boilerplate spans excised between exact and near dedup") {
+    val sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+    val scope = new graft.engine.CacheScope
+    try {
+      // a 10-token boilerplate SPAN appended inside every doc's text —
+      // sub-line grain, so the repeated-LINE stage could never see it;
+      // every k=5 gram fully inside the span is hot (df = corpus size),
+      // the grams straddling the doc/boilerplate boundary differ per
+      // doc (df = 1) and keep their docs' own content intact
+      val boiler = "subscribe to our newsletter for updates every single day now"
+      val dirty = graft.engine.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("lang"), col("source"),
+          concat_ws(" ", col("text"), lit(boiler)).as("text"))
+      val stages = graft.queries.TextQueries.CurationStages(spanDedupMinDf = Some(5))
+      val counts = graft.queries.TextQueries.curationStageCounts(dirty, stages, scope)
+        .collect().map(r => (r.getString(1), r.getLong(2)))
+      // the stage slots between exact dedup and near-dup, and the
+      // accounting sees exactly the frames curatedDocsOf composes
+      assert(counts.map(_._1).toSeq ==
+        Seq("input", "exact_dedup", "span_dedup", "near_dup", "quality"))
+      assert(counts.sliding(2).forall { case Array(a, b) => b._2 <= a._2 })
+      val kept = graft.queries.TextQueries.curatedDocsOf(dirty, stages, scope)
+      assert(kept.count() == counts.last._2)
+      assert(kept.columns.toSeq == dirty.columns.toSeq :+ "quality")
+      // the boilerplate span is gone from every surviving text, but the
+      // docs themselves survive with their residual content (the stage
+      // rewrites text, it does not drop content-bearing docs)
+      assert(kept.where(col("text").contains(boiler)).count() == 0,
+        "no surviving text may still carry the boilerplate span")
+      assert(kept.count() > 0)
+      // boundary materialization is value-invariant for the new stage too
+      val stagingDir = java.nio.file.Files.createTempDirectory("graft_span_stage").toString
+      val staged = graft.queries.TextQueries.curatedDocsOf(
+        dirty, stages.copy(stagingDir = Some(stagingDir)), scope)
+      assert(staged.exceptAll(kept).count() == 0 &&
+        kept.exceptAll(staged).count() == 0,
+        "staged and unstaged span-dedup pipelines must return identical rows")
+    } finally scope.close()
+    spark.catalog.clearCache()
+  }
+
   test("curationStageCounts leaves caller-supplied staging dirs in place") {
     // a caller that ran curatedDocsOf with its own stagingDir and still
     // holds the returned frame (a parquet re-read of $dir/<stage>) must
