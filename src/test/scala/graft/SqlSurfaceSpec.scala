@@ -169,6 +169,88 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.count() < Tables.documents(spark, sf).count())
   }
 
+  test("the COMPOSED curation pipeline runs as a TEMP VIEW chain via spark.sql") {
+    ready
+    // A downstream SQL-only user must be able to run the STAGED pipeline,
+    // not just its individual operators: four composed stages (URL
+    // blocklist -> exact dedup -> MinHash-LSH near-dup -> quality floor),
+    // each a CREATE TEMP VIEW over the previous one, row-equal to
+    // curatedDocsOf with the same config. Corpus: every 7th doc gets an
+    // exact replica (id + 100000) and every 3rd doc a blocked URL, so the
+    // first two stages provably fire; near-dups come from the corpus's
+    // own near-duplicate structure plus replicas whose URL tail made them
+    // inexact copies.
+    spark.sql(
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0
+        |            THEN concat(text, ' see https://x.bad.example/p') ELSE text END AS text,
+        |       lang, source, n_chars
+        |FROM (SELECT * FROM documents
+        |      UNION ALL
+        |      SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+        |      FROM documents WHERE doc_id % 7 = 0)""".stripMargin)
+      .createOrReplaceTempView("dirty_curation")
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW cur_url AS
+        |SELECT * FROM dirty_curation
+        |WHERE size(filter(
+        |        transform(regexp_extract_all(text, '(?i)https?://([A-Za-z0-9.-]+)', 1),
+        |                  h -> lower(regexp_replace(h, '\\.+$', ''))),
+        |        h -> h = 'bad.example' OR endswith(h, '.bad.example'))) = 0""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW cur_exact AS
+        |SELECT d.* FROM cur_url d
+        |LEFT SEMI JOIN (SELECT min(doc_id) AS doc_id FROM cur_url GROUP BY md5(text)) c
+        |ON d.doc_id = c.doc_id""".stripMargin)
+    // near-dup: the q42 semantics as SQL — 4 bands of 2 hashes over the
+    // compiled minhash_signature kernel, candidates from band-bucket
+    // equality (never all-pairs), est_sim from the full signatures,
+    // higher id of each pair loses
+    spark.sql(
+      s"""CREATE OR REPLACE TEMP VIEW cur_losers AS
+         |WITH sig AS (
+         |  SELECT doc_id, minhash_signature(text) AS s FROM cur_exact
+         |  WHERE size(filter(split(text, '\\\\s+'), t -> t != '')) >= 3),
+         |k AS (
+         |  SELECT doc_id, s, explode(array(
+         |    struct(0 AS band, s[0] AS k1, s[1] AS k2),
+         |    struct(1 AS band, s[2] AS k1, s[3] AS k2),
+         |    struct(2 AS band, s[4] AS k1, s[5] AS k2),
+         |    struct(3 AS band, s[6] AS k1, s[7] AS k2))) AS bk
+         |  FROM sig)
+         |SELECT DISTINCT b.doc_id
+         |FROM k a JOIN k b ON a.bk = b.bk AND a.doc_id < b.doc_id
+         |WHERE aggregate(zip_with(a.s, b.s, (x, y) -> IF(x = y, 1, 0)),
+         |                0, (acc, v) -> acc + v) / 8e0 >= 0.5""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW cur_neardup AS
+        |SELECT d.* FROM cur_exact d LEFT ANTI JOIN cur_losers l ON d.doc_id = l.doc_id""".stripMargin)
+    val stop = graft.ext.TextOps.lexicons.head._2.map(w => s"'$w'").mkString(", ")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMP VIEW cur_final AS
+         |SELECT doc_id, text, lang, source, n_chars,
+         |       least(size(toks) / 100e0, 1e0) * 0.4e0
+         |         + least((aggregate(transform(toks, t -> length(t)), 0, (acc, x) -> acc + x) / size(toks)) / 8e0, 1e0) * 0.3e0
+         |         + (1e0 - (size(filter(toks, t -> t IN ($stop))) / size(toks))) * 0.2e0
+         |         + (1e0 - ((length(text) - length(regexp_replace(text, '[.,!?;:]', ''))) / length(text))) * 0.1e0 AS quality
+         |FROM (SELECT *, filter(split(text, '\\\\s+'), t -> t != '') AS toks
+         |      FROM cur_neardup)
+         |WHERE size(toks) > 0""".stripMargin)
+    val viaSql = spark.sql("SELECT * FROM cur_final WHERE quality >= 0.5e0")
+    val viaDf = graft.queries.TextQueries.curatedDocsOf(
+      spark.table("dirty_curation"),
+      graft.queries.TextQueries.CurationStages(blockedDomains = Seq("bad.example")))
+    assertSame(viaSql, viaDf)
+    // every composed stage really fired
+    val nDirty = spark.table("dirty_curation").count()
+    val nUrl = spark.table("cur_url").count()
+    val nExact = spark.table("cur_exact").count()
+    assert(nUrl < nDirty, "the URL stage must drop the injected blocked docs")
+    assert(nExact < nUrl, "the exact-dedup stage must drop the injected replicas")
+    assert(spark.table("cur_losers").count() > 0,
+      "the near-dup stage must find at least one LSH loser in this corpus")
+  }
+
   test("winnow_fingerprints and decimal_dot SQL functions match the Column facade") {
     ready
     val viaSql = spark.sql(
