@@ -852,9 +852,12 @@ object CurationQueries {
     * token spans and keep the rest (what production pipelines do when
     * a contaminated doc is otherwise valuable). A corpus token is
     * covered when any word n-gram starting at or before it matches a
-    * benchmark n-gram exactly (same 3-gram shingle space as q54, salt
-    * and hash identical, so the two operators agree on what
-    * "contaminated" means). Returns per-doc
+    * benchmark n-gram exactly (the same 3-gram shingle SEMANTICS as
+    * q54 — identical tokenization and gram formation, so the two
+    * operators agree on what "contaminated" means; the internal hash
+    * differs: q54's doc-level flags go through the shared md5 shingle
+    * kernel, while the span probe uses the positional xxhash64 grams —
+    * see [[positionalGramHashes]]). Returns per-doc
     * (doc_id, n_tok, n_removed, clean) where `clean` is the
     * surviving tokens space-joined — token-level reconstruction, the
     * standard post-tokenizer form.
@@ -875,7 +878,7 @@ object CurationQueries {
       .select(TextOps.tokens(col("text")).as("tk"))
       .where(size(col("tk")) >= n)
       .select(explode(TextOps.shinglesOf(col("tk"), n)).as("g"))
-      .select(TextOps.hash60("g", col("g")).as("h"))
+      .select(xxhash64(lit("g"), col("g")).as("h")) // must match positionalGramHashes' salt+hash
       .distinct()
     val toks = corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
       .withColumn("n_tok", size(col("tk")))
@@ -887,13 +890,26 @@ object CurationQueries {
   /** Positional word n-gram hashes over a (doc_id, tk, n_tok) frame:
     * one (doc_id, i, h) row per gram start index i (1-based). The
     * distinct-shingle kernel cannot serve the span operators — span
-    * removal needs EVERY start index, not the distinct gram set. */
+    * removal needs EVERY start index, not the distinct gram set.
+    *
+    * Hash choice: xxhash64 (codegen'd single pass), NOT the md5-derived
+    * hash60 the fingerprint operators expose. Those operators OUTPUT
+    * their hashes (q33/q36's fingerprints are oracle-compared values,
+    * so both engines must compute the identical function); the span
+    * operators only ever compare gram hashes AGAINST EACH OTHER inside
+    * one engine run, and their oracle-compared outputs are the
+    * reconstructed clean texts. Positional grams are the dominant
+    * per-token cost at soak scale — one row per token, not per distinct
+    * shingle — and the md5→substr→conv chain was ~half of q71's runtime
+    * at 100× (r13 measurement), so the internal hash uses the cheap
+    * kernel and 64 bits instead of 60. */
   private def positionalGramHashes(toks: org.apache.spark.sql.DataFrame, k: Int,
                                    salt: String): org.apache.spark.sql.DataFrame =
     toks.where(col("n_tok") >= k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, n_tok - ${k - 1}), i -> struct(i AS i, concat_ws(' ', slice(tk, i, $k)) AS g))")).as("pg"))
-      .select(col("doc_id"), col("pg.i").as("i"), TextOps.hash60(salt, col("pg.g")).as("h"))
+      .select(col("doc_id"), col("pg.i").as("i"),
+        xxhash64(lit(salt), col("pg.g")).as("h"))
 
   /** Span-cover reconstruction over a (doc_id, tk, n_tok, starts) frame:
     * excise every k-token span at a matched start, emit (doc_id, n_tok,

@@ -34,8 +34,13 @@ def main(sf_dir: str, out_dir: str, threads: int = 32,
     con.execute(f"SET threads TO {threads}")
     for t in TABLES:
         # driver testdata is one file per table; Spark-written soak
-        # corpora are directories of part files
+        # corpora are directories of part files. Table-subset soak
+        # corpora (ScaleSoak's 5th arg) hold only the tables their
+        # queries read — skip the rest, a subset control never
+        # references them
         p = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(p):
+            continue
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
