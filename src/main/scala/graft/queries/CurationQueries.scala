@@ -46,6 +46,23 @@ object CurationQueries {
     * excised / fully wiped) all exist at every scale. */
   private val spanK = 5
   private val spanMinDf = 2L
+
+  /** Exchange sizing for [[dedupRepeatedSpans]]' corpus-wide aggregates
+    * (the lshPairsOf occupancy-window pattern): positional grams explode
+    * to ~one row per corpus token, and a session-default shuffle (32
+    * partitions at bench config) puts the WHOLE per-partition slice of
+    * that exploded table through one hash-aggregate task — at the r13
+    * 3000× soak (15M docs, ~1.5B gram rows) that is ~47M rows per task
+    * and the spill-merge's read-ahead buffers OOM'd the 8 g heap. Above
+    * the plan-estimate gate, one narrow count job sizes the exchanges to
+    * ~4M gram rows (~110 MB) per task — hash maps and merges stay in
+    * memory at any corpus size; below it the session default is provably
+    * fine and no job runs. */
+  private val SpanGramRowsPerPartition = 4L << 20
+  private val SpanSmallCorpusBytesPerPartition = 8L << 20
+
+  private def numShufflePartitions(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions", "32").toInt
   /** q69 staged-pipeline knobs. minDf: q63's 30. Quality floor 0.6:
     * the raw corpus's quality distribution has ~27% of docs below it
     * (measured at sf0.01), so the floor drops a robust nonzero band at
@@ -954,14 +971,35 @@ object CurationQueries {
     require(minDf >= 2, "a span repeated in fewer than 2 docs is not cross-document")
     val toks = corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
       .withColumn("n_tok", size(col("tk")))
-    val grams = scope.persist(positionalGramHashes(toks, k, "d"))
+    // exchange sizing, gated on the optimizer's corpus-scan estimate (no
+    // job below the threshold — see SpanGramRowsPerPartition): the
+    // identity path keeps the session-default exchanges; the big path
+    // counts grams once (one narrow scan+sum) and hash-repartitions the
+    // gram table / match table so every downstream aggregate task sees a
+    // bounded slice of the EXPLODED volume, not 1/32nd of it
+    val sess = corpus.sparkSession
+    val sessParts = numShufflePartitions(sess)
+    val estBytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bigParts: Option[Int] =
+      if (estBytes <= BigInt(sessParts) * SpanSmallCorpusBytesPerPartition) None
+      else {
+        val nGrams = toks
+          .select(sum(greatest(col("n_tok") - (k - 1), lit(0))))
+          .collect()(0).getLong(0)
+        Some(math.max(sess.sparkContext.defaultParallelism,
+          (nGrams / SpanGramRowsPerPartition + 1).toInt))
+      }
+    def sized(df: org.apache.spark.sql.DataFrame,
+              key: String): org.apache.spark.sql.DataFrame =
+      bigParts.fold(df)(p => df.repartition(p, col(key)))
+    val grams = scope.persist(sized(positionalGramHashes(toks, k, "d"), "h"))
     // cross-doc df: per-doc occurrences collapse map-side (distinct) so
     // a gram looping inside ONE doc cannot fake cross-doc evidence
     val hot = grams.select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
       .select(col("h"))
-    val starts = grams.join(hot, Seq("h"))
+    val starts = sized(grams.join(hot, Seq("h")), "doc_id")
       .groupBy(col("doc_id")).agg(collect_list(col("i")).as("starts"))
     reconstructClean(toks.join(starts, Seq("doc_id"), "left"), k)
   }
