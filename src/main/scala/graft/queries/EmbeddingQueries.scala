@@ -187,6 +187,58 @@ object EmbeddingQueries {
          |FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers)
          |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540,
+    // public): cluster the corpus into centroid cells (the same
+    // deterministic coarse quantizer as q47), find near-dup pairs
+    // (cosine >= tau) INSIDE each cell only, and within every dup group
+    // keep the vector FARTHEST from its cell centroid — the paper's
+    // heuristic for retaining the most informative exemplar — dropping
+    // the rest. One-pass formulation: a vector is dropped iff some
+    // same-cell near-dup neighbor is strictly farther from the centroid
+    // (or equally far with a lower vec_id). On a dup clique that keeps
+    // exactly the minimum-centroid-cosine member (SemDeDup's choice);
+    // on chains it keeps every locally minimal member — deterministic,
+    // shuffle-bounded, no iteration.
+    //
+    // Scale shape vs q48 (sign-LSH dedup): the candidate bound here is
+    // the CELL, i.e. the semantic cluster — at 100 TB the number of
+    // centroids grows (sqrt(N) rule) so cells stay bounded, pairs stay
+    // cell-local, and the assignment remains a narrow broadcast map.
+    // Nothing is all-pairs; the only shuffles are the cell self-join
+    // and the final per-cell count.
+    //
+    // tau here is 0.45, demonstrative: the driver's synthetic embeddings
+    // top out near 0.51 pairwise cosine (no true near-dups exist), so a
+    // production-style 0.9+ threshold would never exercise the drop path
+    // in the oracle gate. The semantics are tau-independent (SemDedupSpec
+    // pins them on a hand-built corpus); production calls pick 0.9+.
+    "q72_semantic_dedup" -> Q(
+      (s, d) => semanticDedup(Tables.embeddings(s, d), nSeeds, tau = 0.45),
+      s"""WITH $sqlVecs,
+         |ccos AS (
+         |  SELECT x.vec_id AS v_id, c.vec_id AS cent,
+         |         ${sqlDot("x.v", "c.v")} / (x.nrm * c.nrm) AS ccos
+         |  FROM vecs x JOIN vecs c ON c.vec_id < $nSeeds),
+         |assign AS (
+         |  SELECT v_id AS vec_id, cent AS cell, ccos
+         |  FROM (SELECT ccos.*, row_number() OVER (PARTITION BY v_id ORDER BY ccos DESC, cent ASC) AS rn FROM ccos) z
+         |  WHERE rn = 1),
+         |av AS (
+         |  SELECT a.vec_id, a.cell, a.ccos, v.v, v.nrm
+         |  FROM assign a JOIN vecs v ON v.vec_id = a.vec_id),
+         |losers AS (
+         |  SELECT DISTINCT CASE WHEN a.ccos <= b.ccos THEN b.vec_id ELSE a.vec_id END AS vec_id
+         |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.45),
+         |kept AS (
+         |  SELECT cell, COUNT(*) AS n_kept FROM assign
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM losers) GROUP BY 1)
+         |SELECT t.cell, t.n_vecs, COALESCE(k.n_kept, 0) AS n_kept,
+         |       t.n_vecs - COALESCE(k.n_kept, 0) AS n_dropped
+         |FROM (SELECT cell, COUNT(*) AS n_vecs FROM assign GROUP BY 1) t
+         |LEFT JOIN kept k ON k.cell = t.cell
+         |ORDER BY t.cell""".stripMargin),
+
     // IVF-style coarse quantization: assign every vector to its nearest
     // centroid (here: the first 8 vectors as deterministic centroids),
     // then answer top-3 neighbor queries inside the probe's cell only —
@@ -215,6 +267,67 @@ object EmbeddingQueries {
          |FROM (SELECT cos.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rn FROM cos) z
          |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin)
   )
+
+  /** SemDeDup-style semantic dedup over an embeddings table (vec_id,
+    * embedding). Assigns every vector to its nearest centroid cell (the
+    * first `nSeeds` vectors by vec_id — the same deterministic coarse
+    * quantizer as [[ivfTopK]]), marks same-cell near-dup pairs
+    * (cosine >= `tau`), and within each pair drops the member CLOSER to
+    * its cell centroid — keeping the farthest-from-centroid exemplar,
+    * per the published heuristic. Ties on centroid-cosine drop the
+    * higher vec_id. Returns per-cell accounting:
+    * (cell, n_vecs, n_kept, n_dropped).
+    *
+    * A vector survives iff NO same-cell near-dup neighbor is strictly
+    * farther from the centroid (or equally far with a lower id): on a
+    * dup clique exactly the minimum-centroid-cosine member survives; on
+    * chains every locally minimal member does. One pass, no iteration.
+    *
+    * Scale shape: assignment is a narrow map against a broadcast
+    * centroid table (one row), pairs form only inside a cell, and at
+    * corpus scale nSeeds grows ~sqrt(N) so cells stay bounded — never
+    * all-pairs. Shuffles: the cell self-join and two per-cell counts. */
+  def semanticDedup(emb: DataFrame, nSeeds: Int, tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val base = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
+    val cents = base.select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+      .where(col("cent_id") < nSeeds)
+      .groupBy().agg(
+        map_from_arrays(collect_list(col("cent_id")), collect_list(col("cv"))).as("cents"),
+        map_from_arrays(collect_list(col("cent_id")), collect_list(col("cnrm"))).as("cnorms"))
+    def scored = array((0 until nSeeds).map(kk => struct(
+      (dotCol(col("v"), element_at(col("cents"), kk.toLong))
+        / (col("nrm") * element_at(col("cnorms"), kk.toLong))).as("ccos"),
+      lit(-kk).as("negk"))): _*)
+    // cached: both sides of the cell self-join and the survivor
+    // accounting reuse ONE evaluation of the nSeeds-dot assignment map
+    val assign = base.crossJoin(broadcast(cents))
+      .withColumn("best", array_max(scored))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (-col("best.negk")).cast("long").as("cell"), col("best.ccos").as("ccos"))
+      .persist()
+    val a = assign.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cell"), col("ccos").as("ccos_a"))
+    val b = assign.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell"), col("ccos").as("ccos_b"))
+    // pair (a < b): the member closer to the centroid loses; equal
+    // distance -> the higher id (= b) loses
+    val losers = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(dotCol(col("va"), col("vb")) / (col("na") * col("nb")) >= tau)
+      .select(when(col("ccos_a") <= col("ccos_b"), col("id_b"))
+        .otherwise(col("id_a")).as("vec_id"))
+      .distinct()
+    val kept = assign.join(losers, Seq("vec_id"), "left_anti")
+    assign.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      .join(kept.groupBy(col("cell")).agg(count(lit(1)).as("n_kept")), Seq("cell"), "left")
+      .select(col("cell"), col("n_vecs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_vecs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .orderBy(col("cell"))
+  }
 
   /** IVF-style coarse-quantized top-k: assign every vector to its nearest
     * centroid (the first `nSeeds` vectors, deterministic), then answer

@@ -96,6 +96,21 @@ class PlanAuditSpec extends SparkSpec {
       "expansion must read the persisted posting/base tables")
   }
 
+  test("q72 semantic dedup: pairs stay cell-bounded; assignment map read from cache") {
+    val p = plan("q72_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), "never an all-pairs stage")
+    // the 1-row centroid broadcast is the only nested-loop join in the
+    // tree (it reprints under every cached-plan reference, so its COUNT
+    // is not assertable); the corpus-side pair join carries the cell
+    // equi-key and must plan as a hash/merge join
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"),
+      "the cell pair join must be an equi-join, not a nested loop")
+    assert(!p.contains("Generate"), "fused dots — no explode of the vectors")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "the cell self-join must read ONE cached evaluation of the assignment map")
+  }
+
   test("q70 span decontamination: benchmark grams broadcast; no all-pairs stage") {
     val p = plan("q70_span_decontamination")
     assert(p.contains("BroadcastHashJoin"), "the benchmark gram set must broadcast")
