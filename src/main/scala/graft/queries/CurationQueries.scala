@@ -36,6 +36,13 @@ object CurationQueries {
   /** A bigram is corpus-rare (q68) when its occurrence count is at or
     * below this. */
   private val rareMaxCount = 2
+  /** q73 DSIR importance scoring: hashed-gram feature-bucket count and
+    * the target-slice quality floor (high-quality English — the
+    * "trusted corpus" a DSIR selection resamples toward; ~30% of the
+    * synthetic corpus at every sf, so both the target and its
+    * complement stay populated). */
+  private val dsirBuckets = 4096L
+  private val dsirTargetQuality = 0.6
   /** q71 span-dedup knobs: gram length k = 5 (spans shorter than 5
     * tokens are phrase-level noise, not boilerplate) and cross-doc
     * df >= 2 (any span shared verbatim by two documents is suspect).
@@ -689,7 +696,44 @@ object CurationQueries {
          |       CAST(n_tok - len(kept) AS BIGINT) AS n_removed,
          |       md5(coalesce(array_to_string(
          |         list_transform(kept, j -> tk[CAST(j AS INTEGER)]), ' '), '')) AS clean_hash
-         |FROM f ORDER BY doc_id""".stripMargin)
+         |FROM f ORDER BY doc_id""".stripMargin),
+
+    // DSIR-style data selection (see [[importanceWeights]]): score every
+    // doc's hashed unigram+bigram profile against the high-quality-English
+    // target slice vs the raw corpus; selected = target-enriched
+    // (importance >= 1). The oracle restates the identical exact-integer
+    // accounting, so the hash compare covers the doubles too.
+    "q73_importance_weights" -> Q(
+      (s, d) => importanceWeights(Tables.documents(s, d)).orderBy(col("doc_id")),
+      s"""WITH qd AS (${TextQueries.sqlQualityDocs}),
+         |t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |f AS (SELECT t.doc_id,
+         |             (qd.lang = 'en' AND qd.quality >= $dsirTargetQuality) AS is_target,
+         |             list_concat(t.toks,
+         |               CASE WHEN len(t.toks) >= 2
+         |                    THEN list_transform(range(2, len(t.toks) + 1),
+         |                                        i -> t.toks[i - 1] || ' ' || t.toks[i])
+         |                    ELSE [] END) AS grams
+         |      FROM t JOIN qd USING (doc_id)),
+         |g AS (SELECT doc_id, is_target,
+         |             (${TextOps.sqlHash60("i", "g")}) % $dsirBuckets AS b
+         |      FROM (SELECT doc_id, is_target, unnest(grams) AS g FROM f)),
+         |pd AS (SELECT doc_id, is_target, b, COUNT(*) AS m FROM g GROUP BY 1, 2, 3),
+         |bk AS (SELECT b, SUM(m) AS q_cnt,
+         |              SUM(CASE WHEN is_target THEN m ELSE 0 END) AS p_cnt
+         |       FROM pd GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(q_cnt) AS BIGINT) AS q_tot,
+         |              CAST(SUM(p_cnt) AS BIGINT) AS p_tot FROM bk),
+         |sc AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_grams,
+         |              CAST(SUM(m * (p_cnt + 1)) AS BIGINT) AS target_mass,
+         |              CAST(SUM(m * (q_cnt + 1)) AS BIGINT) AS raw_mass
+         |       FROM pd JOIN bk USING (b) GROUP BY 1)
+         |SELECT doc_id, n_grams, target_mass, raw_mass,
+         |       (CAST(target_mass AS DOUBLE) * (q_tot + $dsirBuckets))
+         |         / (CAST(raw_mass AS DOUBLE) * (p_tot + $dsirBuckets)) AS importance,
+         |       (CAST(target_mass AS DOUBLE) * (q_tot + $dsirBuckets))
+         |         / (CAST(raw_mass AS DOUBLE) * (p_tot + $dsirBuckets)) >= 1e0 AS selected
+         |FROM sc CROSS JOIN tt ORDER BY doc_id""".stripMargin)
   )
 
   /** URL/domain blocklist annotation: appends `urls` (every extracted
@@ -861,6 +905,86 @@ object CurationQueries {
       .select(col("doc_id"), col("n_bigrams"), col("rare_bigrams"),
         (col("rare_bigrams") / col("n_bigrams")).as("rarity"),
         (col("sum_freq") / col("n_bigrams")).as("avg_freq"))
+  }
+
+  /** DSIR-style hashed-ngram importance scoring (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169): score every raw doc by how much its hashed
+    * unigram+bigram profile resembles a TARGET slice (by default the
+    * high-quality-English docs, per the shared quality formula) versus
+    * the raw corpus as a whole — the published recipe for selecting
+    * pretraining data that looks like a trusted reference set. Feature
+    * space: md5-derived 60-bit gram hashes folded into `nBuckets`
+    * buckets (the paper's hashed n-gram generative model), both
+    * distributions Laplace-smoothed (+1 per bucket).
+    *
+    * Estimator note — parity by construction: the paper scores docs by
+    * a log-probability-ratio SUM, but a float log-sum is not
+    * bit-reproducible across engines, so this operator uses the ratio
+    * of smoothed MASSES instead: with m_g the doc's count of gram g,
+    * b(g) its bucket, p/q the target/raw bucket counts and P/Q their
+    * totals,
+    *   importance = [Σ m_g·(p_b(g)+1)] · (Q+B)  /  [Σ m_g·(q_b(g)+1)] · (P+B)
+    * — the doc's average per-gram target-model mass over its average
+    * raw-model mass. Both sums are exact BIGINT accounting; the score
+    * is four exact int→double conversions, one multiply per side, one
+    * division — bit-identical in any IEEE-754 engine (q68's parity
+    * pattern). Monotone agreement with the log form is not claimed
+    * (it is a different mean); the selection semantics are the
+    * paper's: docs whose gram profile is target-enriched score > 1,
+    * anti-target profiles score ≪ 1, and out-of-vocabulary grams pull
+    * toward the smoothing prior (Q+B)/(P+B).
+    *
+    * Scale shape: the tokenize/explode pipeline runs ONCE,
+    * pre-aggregated map-side to per-(doc, bucket) multiplicities and
+    * persisted for its two consumers; the bucket distributions are
+    * `nBuckets` rows computed in ONE aggregation (the target flag
+    * rides the gram rows, so p and q are two sums of the same
+    * groupBy), broadcast back for scoring — the only data-sized
+    * shuffles are the two doc-keyed aggregations. The smoothing
+    * totals join as a broadcast 1-row cross (q05's scalar pattern).
+    * Nothing is all-pairs; no driver-side collect. Overflow bound: a
+    * per-doc mass is ≤ n_grams_doc · (corpus grams + 1), so BIGINT
+    * accounting is exact past 10^9-gram corpora for multi-thousand-
+    * token docs; the final score's int→double conversions round
+    * identically in both engines regardless, so parity outlives
+    * exactness. */
+  def importanceWeights(docs: org.apache.spark.sql.DataFrame,
+                        target: org.apache.spark.sql.Column =
+                          col("lang") === "en" && col("quality") >= dsirTargetQuality,
+                        nBuckets: Long = dsirBuckets,
+                        scope: CacheScope = CacheScope.untracked): org.apache.spark.sql.DataFrame = {
+    val grams = TextQueries.withQuality(docs)
+      .select(col("doc_id"), target.as("is_target"), col("toks"))
+      // unigrams ++ bigrams in one materialized array (TextOps class
+      // doc: toks is already a plain attribute, so the higher-order
+      // transform evaluates it once); the if-guard keeps sequence()
+      // ascending-only — sequence(2, 1) would DESCEND, not empty out
+      .withColumn("grams", expr(
+        "concat(toks, if(size(toks) >= 2, transform(sequence(2, size(toks)), " +
+          "i -> concat(element_at(toks, i - 1), ' ', element_at(toks, i))), array()))"))
+      .select(col("doc_id"), col("is_target"), explode(col("grams")).as("g"))
+    val perDoc = scope.persist(grams
+      .select(col("doc_id"), col("is_target"),
+        (TextOps.hash60("i", col("g")) % nBuckets).as("b"))
+      .groupBy(col("doc_id"), col("is_target"), col("b"))
+      .agg(count(lit(1)).as("m")))
+    val buckets = perDoc.groupBy(col("b")).agg(
+      sum(col("m")).as("q_cnt"),
+      sum(when(col("is_target"), col("m")).otherwise(0L)).as("p_cnt"))
+    val totals = buckets.agg(
+      sum(col("q_cnt")).as("q_tot"), sum(col("p_cnt")).as("p_tot"))
+    perDoc.join(broadcast(buckets), Seq("b"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("m")).as("n_grams"),
+        sum(col("m") * (col("p_cnt") + lit(1L))).as("target_mass"),
+        sum(col("m") * (col("q_cnt") + lit(1L))).as("raw_mass"))
+      .crossJoin(broadcast(totals))
+      .withColumn("importance",
+        (col("target_mass").cast("double") * (col("q_tot") + lit(nBuckets)))
+          / (col("raw_mass").cast("double") * (col("p_tot") + lit(nBuckets))))
+      .select(col("doc_id"), col("n_grams"), col("target_mass"), col("raw_mass"),
+        col("importance"), (col("importance") >= lit(1e0)).as("selected"))
   }
 
   /** Span-level benchmark decontamination — the removal step after

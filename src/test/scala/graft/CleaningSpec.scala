@@ -559,6 +559,45 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q73 importance weights: target-profile docs score > 1, anti-target < gibberish < target") {
+    import spark.implicits._
+    // constructed corpus: 6 TARGET docs (en, quality 1.0 — 100 8-char
+    // tokens, no stopwords/punct) each repeating phrase T 5x, so
+    // T-grams carry heavy target mass; 6 German docs share phrase D;
+    // three probe docs are all lang=de (never in the target slice), so
+    // their scores come ONLY from their gram profiles:
+    //   docT (id 100) = T once   -> target-heavy grams -> importance > 1
+    //   docG (id 101) = gibberish -> OOV grams, smoothing prior ~0.5x
+    //   docD (id 102) = D once   -> anti-target grams  -> lowest
+    val T = (1 to 20).map(i => f"gram$i%02dxx").mkString(" ")
+    val D = (1 to 20).map(i => f"dword$i%02dz").mkString(" ")
+    val G = (1 to 20).map(i => f"uniq$i%02dqq").mkString(" ")
+    val tgt = (1L to 6L).map(i => (i, Seq.fill(5)(T).mkString(" "), "en", "s"))
+    val de = (11L to 16L).map(i => (i, D, "de", "s"))
+    val probes = Seq((100L, T, "de", "s"), (101L, G, "de", "s"), (102L, D, "de", "s"))
+    val docs = (tgt ++ de ++ probes)
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.queries.CurationQueries.importanceWeights(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out(100L)._1 > 1.0 && out(100L)._2,
+      s"a doc written in the target slice's vocabulary must be selected: $out")
+    assert(!out(102L)._2 && out(102L)._1 < out(101L)._1 && out(101L)._1 < out(100L)._1,
+      s"expected anti-target < gibberish < target-profile ordering: $out")
+    // the target docs themselves: p ~= q on every gram, smoothing
+    // prior > 1 -> selected
+    assert((1L to 6L).forall(out(_)._2), s"target-slice docs must self-select: $out")
+    // exact-integer accounting => partitioning-invariant, bit-for-bit
+    val re = graft.queries.CurationQueries.importanceWeights(docs.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))).toSet
+    val base = graft.queries.CurationQueries.importanceWeights(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))).toSet
+    assert(re == base, "importance accounting must not depend on the partitioning")
+    spark.catalog.clearCache()
+  }
+
   test("q67 cluster reps: quality picks the rep; exact-replica ties break to the smaller doc_id") {
     import spark.implicits._
     // constructed corpus: docs 1 and 2 are EXACT replicas (identical

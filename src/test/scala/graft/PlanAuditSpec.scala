@@ -111,6 +111,20 @@ class PlanAuditSpec extends SparkSpec {
       "the cell self-join must read ONE cached evaluation of the assignment map")
   }
 
+  test("q73 importance weights: gram table cached once; bucket stats broadcast; combines map-side") {
+    val p = plan("q73_importance_weights")
+    assert(!p.contains("CartesianProduct"), "never an all-pairs stage")
+    // the 1-row smoothing-totals broadcast is the only nested-loop join
+    // (uncountable — it reprints under cached-plan references, q72's
+    // caveat); the SCORING join must be the 4096-row bucket broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      "the nBuckets-row distribution table must broadcast back for scoring")
+    assert(p.contains("partial_count"),
+      "per-(doc,bucket) multiplicities must combine map-side")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "distribution and scoring consumers must read ONE persisted gram table")
+  }
+
   test("q70 span decontamination: benchmark grams broadcast; no all-pairs stage") {
     val p = plan("q70_span_decontamination")
     assert(p.contains("BroadcastHashJoin"), "the benchmark gram set must broadcast")
