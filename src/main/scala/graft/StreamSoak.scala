@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Streaming-curation scale soak (dev main): drives
+  * [[graft.streaming.Streaming.incrementalCurationSink]] over B
+  * micro-batches built from the sf documents table and times every
+  * trigger, then times ONE periodic batch recuration (`curatedDocsOf`
+  * over the landed union) as the O(corpus) control.
+  *
+  * Corpus shape — the duplicate-density worst case: every batch is the
+  * WHOLE source table with monotone doc_id offsets and a per-(batch,
+  * doc) token prefix, so exact dedup never collapses across batches
+  * (the seen store grows by the full batch every trigger) while every
+  * batch-b doc is a near-replica of its b-1 predecessors (the banded
+  * probe faces b-1 stored collisions per doc — candidate volume grows
+  * with the store, exactly what a replica-heavy ingest feed does).
+  * Evidence sought: per-trigger wall stays ~flat while the seen store
+  * grows B-fold (state is probed via the band equi-join, never
+  * scanned), and the final trigger costs far less than the full-union
+  * recuration the sink's scaladoc tells corpus-trained stages to use.
+  *
+  * Usage: runMain graft.StreamSoak [srcSfDir] [workDir] [nBatches]
+  * Dev harness — not part of the driver contract surface.
+  */
+object StreamSoak {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = if (args.length > 1) args(1) else "/tmp/graft_streamsoak"
+    val nBatches = if (args.length > 2) args(2).toInt else 12
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.engine.Tables.NanosFlag, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // fresh work dir: stale checkpoints/stores would turn triggers into no-ops
+    val workPath = java.nio.file.Paths.get(work)
+    if (java.nio.file.Files.exists(workPath)) {
+      java.nio.file.Files.walk(workPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val inDir = s"$work/in"; val ckpt = s"$work/ckpt"
+    val curated = s"$work/curated"; val sigs = s"$work/seen"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val docs = graft.engine.Tables.documents(spark, src).select("doc_id", "text")
+    val stages = graft.queries.TextQueries.CurationStages()
+
+    def landBatch(b: Int): Unit = {
+      // prefix tokens: s<b> is batch-unique (no cross-batch exact dups,
+      // so the seen store grows by the full batch every trigger), d<id>
+      // is doc-unique within the batch — the source's natural exact
+      // replicas become near-replicas, shifting their whole load onto
+      // the banded stages (the harder path). d<id> reuses the SOURCE
+      // id, so a base doc's b replicas stay band-colliding near-dups.
+      val batch = docs.select(
+        (col("doc_id") + lit(b * 10000000L)).as("doc_id"),
+        concat(lit(s"s$b d"), col("doc_id"), lit(" "), col("text")).as("text"))
+      val stage = s"$work/stage_b$b"
+      batch.coalesce(4).write.mode("overwrite").parquet(stage)
+      // file source sees files, not directories: move the parts in
+      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .filter(p => p.getFileName.toString.startsWith("part-")).iterator()
+      var i = 0
+      while (parts.hasNext) {
+        val p = parts.next()
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(inDir, s"b${b}_$i.parquet"))
+        i += 1
+      }
+    }
+
+    val triggerS = (1 to nBatches).map { b =>
+      landBatch(b)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Streaming.incrementalCurationSink(
+          graft.streaming.Streaming.parquetFileStream(spark, docSchema, inDir),
+          curated, sigs, stages)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      val seenN = graft.engine.Sinks.readUpsertStore(spark, sigs).count()
+      val curN = graft.engine.Sinks.readUpsertStore(spark, curated).count()
+      println(f"STREAMSOAK trigger $b%2d  dur $dt%7.2f s   seen=$seenN%8d curated=$curN%8d")
+      dt
+    }
+
+    // the O(corpus) control: one periodic batch recuration over the
+    // landed union — what every trigger would cost if the stream
+    // re-curated history instead of probing the stores
+    val union = spark.read.schema(docSchema).parquet(s"$inDir/*.parquet")
+    val t0 = System.nanoTime()
+    val full = graft.queries.TextQueries.curatedDocsOf(union, stages)
+    full.write.format("noop").mode("overwrite").save()
+    val fullS = (System.nanoTime() - t0) / 1e9
+    // sanity: monotone ids => streamed store must equal the one-batch
+    // run (checksummed, not just counted)
+    val streamedChk = graft.engine.Sinks.readUpsertStore(spark, curated)
+      .agg(count(lit(1)), sum(col("doc_id"))).collect().head
+    val batchChk = full.agg(count(lit(1)), sum(col("doc_id"))).collect().head
+    spark.catalog.clearCache()
+    println(f"STREAMSOAK recuration-control dur $fullS%7.2f s over ${nBatches} batches")
+    println(s"STREAMSOAK equivalence streamed=(${streamedChk.mkString(",")}) batch=(${batchChk.mkString(",")})")
+    println(f"STREAMSOAK summary first=${triggerS.head}%.2f last=${triggerS.last}%.2f " +
+      f"median=${triggerS.sorted.apply(triggerS.size / 2)}%.2f control=$fullS%.2f")
+    spark.stop()
+  }
+}
