@@ -43,6 +43,27 @@ object CurationQueries {
     * complement stay populated). */
   private val dsirBuckets = 4096L
   private val dsirTargetQuality = 0.6
+  /** q74 rule-filter battery: the Gopher stop-word inventory (Rae et
+    * al., arXiv:2112.11446, Table A1). The published gate is ">= 2 of
+    * these present"; the synthetic vocabulary carries only "the" from
+    * this set, so the gate here is >= 1 — the corpus-adapted threshold
+    * that keeps the rule non-vacuous (78% pass / 22% fail at sf0.001)
+    * instead of rejecting every document. */
+  private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  /** q74 injection tails — the synthetic corpus is clean word soup
+    * (no symbols, newlines, braces, or boilerplate at any sf), so the
+    * query wrapper plants one deterministic defect class per
+    * doc_id % 7 residue, the q61/q66 pattern that makes every rule's
+    * oracle non-vacuous. Sizes are chosen against the corpus envelope
+    * (10..99 words/doc): 13 symbol tokens push symbol_ratio past 0.1
+    * even at 99 words; 30 30-char words push mean word length past 10
+    * even against 99 short words; 30 digit tokens pull the alphabetic
+    * fraction under 0.8 even at 99 words. */
+  private val symbolTail = " # # # # # # # # # # # # ..."
+  private val loremTail = " lorem ipsum dolor sit amet"
+  private val braceTail = " config { \"retries\": 3 }"
+  private val longWordTail = Seq.fill(30)("pneumonoultramicroscopicsilico").mkString(" ")
+  private val digitTail = Seq.fill(30)("12345").mkString(" ")
   /** q71 span-dedup knobs: gram length k = 5 (spans shorter than 5
     * tokens are phrase-level noise, not boilerplate) and cross-doc
     * df >= 2 (any span shared verbatim by two documents is suspect).
@@ -733,7 +754,84 @@ object CurationQueries {
          |         / (CAST(raw_mass AS DOUBLE) * (p_tot + $dsirBuckets)) AS importance,
          |       (CAST(target_mass AS DOUBLE) * (q_tot + $dsirBuckets))
          |         / (CAST(raw_mass AS DOUBLE) * (p_tot + $dsirBuckets)) >= 1e0 AS selected
-         |FROM sc CROSS JOIN tt ORDER BY doc_id""".stripMargin)
+         |FROM sc CROSS JOIN tt ORDER BY doc_id""".stripMargin),
+
+    // Gopher/C4 rule-filter battery (see [[ruleFilters]]): per-doc
+    // boolean gates at the published thresholds. The corpus is clean
+    // word soup, so the wrapper plants one defect class per
+    // doc_id % 7 residue (symbols/ellipsis, lorem-ipsum, braces,
+    // bullet lines, over-long words, digit runs, untouched) — the
+    // q61/q66 injection pattern; the two naturally-varying rules
+    // (word-count floor, stop-word gate) need no injection. The oracle
+    // restates injection and every rule, so the hash compare pins all
+    // nine flags and the composite keep per doc.
+    "q74_rule_filters" -> Q(
+      (s, d) => {
+        val c = col("doc_id") % 7
+        val dirty = Tables.documents(s, d).select(col("doc_id"),
+          when(c === 0, concat(col("text"), lit(symbolTail)))
+            .when(c === 1, concat(col("text"), lit(loremTail)))
+            .when(c === 2, concat(col("text"), lit(braceTail)))
+            .when(c === 3, replace(col("text"), lit(" "), lit("\n- ")))
+            .when(c === 4, concat(col("text"), lit(" " + longWordTail)))
+            .when(c === 5, concat(col("text"), lit(" " + digitTail)))
+            .otherwise(col("text")).as("text"))
+        ruleFilters(dirty).orderBy(col("doc_id"))
+      },
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |         CASE doc_id % 7
+         |           WHEN 0 THEN text || '$symbolTail'
+         |           WHEN 1 THEN text || '$loremTail'
+         |           WHEN 2 THEN text || '$braceTail'
+         |           WHEN 3 THEN replace(text, ' ', chr(10) || '- ')
+         |           WHEN 4 THEN text || ' $longWordTail'
+         |           WHEN 5 THEN text || ' $digitTail'
+         |           ELSE text END AS t
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, t, ${TextOps.sqlTokens("t")} AS w,
+         |         list_filter(string_split(t, chr(10)), x -> x <> '') AS ln
+         |  FROM inj),
+         |m AS (
+         |  SELECT doc_id, t,
+         |         CAST(len(w) AS BIGINT) AS n_words,
+         |         CAST(len(ln) AS BIGINT) AS n_lines,
+         |         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_wlen,
+         |         CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS hash_cnt,
+         |         CAST((length(t) - length(replace(t, '...', ''))) / 3 AS BIGINT) AS dots_cnt,
+         |         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_cnt,
+         |         CAST(${gopherStops.map(sw =>
+                     s"(CASE WHEN list_contains(w, '$sw') THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS stop_kinds,
+         |         CAST(len(list_filter(ln, x -> starts_with(x, '- ') OR starts_with(x, '* '))) AS BIGINT) AS bullet_cnt,
+         |         CAST(len(list_filter(ln, x -> ends_with(x, '...'))) AS BIGINT) AS dotl_cnt
+         |  FROM w WHERE len(w) > 0),
+         |f AS (
+         |  SELECT doc_id, n_words, n_lines, stop_kinds,
+         |         sum_wlen / n_words AS mean_wlen,
+         |         (hash_cnt + dots_cnt) / n_words AS symbol_ratio,
+         |         alpha_cnt / n_words AS alpha_frac,
+         |         bullet_cnt / n_lines AS bullet_frac,
+         |         dotl_cnt / n_lines AS dots_line_frac,
+         |         NOT contains(lower(t), 'lorem ipsum') AS r_lorem,
+         |         NOT contains(t, '{') AS r_brace
+         |  FROM m)
+         |SELECT doc_id, n_words, mean_wlen, symbol_ratio, alpha_frac, stop_kinds,
+         |       n_lines, bullet_frac, dots_line_frac,
+         |       (n_words >= 50 AND n_words <= 100000) AS r_words,
+         |       (mean_wlen >= 3e0 AND mean_wlen <= 10e0) AS r_wlen,
+         |       (symbol_ratio <= 0.1e0) AS r_symbol,
+         |       (bullet_frac < 0.9e0) AS r_bullet,
+         |       (dots_line_frac <= 0.3e0) AS r_dots,
+         |       (alpha_frac >= 0.8e0) AS r_alpha,
+         |       (stop_kinds >= 1) AS r_stop,
+         |       r_lorem, r_brace,
+         |       (n_words >= 50 AND n_words <= 100000
+         |        AND mean_wlen >= 3e0 AND mean_wlen <= 10e0
+         |        AND symbol_ratio <= 0.1e0 AND bullet_frac < 0.9e0
+         |        AND dots_line_frac <= 0.3e0 AND alpha_frac >= 0.8e0
+         |        AND stop_kinds >= 1 AND r_lorem AND r_brace) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin)
   )
 
   /** URL/domain blocklist annotation: appends `urls` (every extracted
@@ -986,6 +1084,79 @@ object CurationQueries {
       .select(col("doc_id"), col("n_grams"), col("target_mass"), col("raw_mass"),
         col("importance"), (col("importance") >= lit(1e0)).as("selected"))
   }
+
+  /** Gopher/C4-style rule-filter battery — the hard boolean gates a
+    * web-corpus pipeline runs BEFORE any scoring (Rae et al.,
+    * arXiv:2112.11446 Table A1; Raffel et al., arXiv:1910.10683 §2.2),
+    * distinct from q31's continuous quality score: each rule is an
+    * independent published threshold, and `keep` is their conjunction.
+    * Per doc over (doc_id, text):
+    *
+    *  - r_words:  50 <= word count <= 100,000          (Gopher)
+    *  - r_wlen:   3 <= mean word length <= 10          (Gopher)
+    *  - r_symbol: (#{'#'} + #{'...'}) / words <= 0.1   (Gopher)
+    *  - r_bullet: bullet-started line fraction < 0.9   (Gopher)
+    *  - r_dots:   '...'-ended line fraction <= 0.3     (Gopher)
+    *  - r_alpha:  words containing a letter >= 0.8     (Gopher)
+    *  - r_stop:   >= 1 stop word present               (Gopher, corpus-
+    *              adapted threshold — see [[gopherStops]])
+    *  - r_lorem:  no 'lorem ipsum'                     (C4)
+    *  - r_brace:  no '{'                               (C4)
+    *
+    * Words are whitespace tokens (symbol and digit runs COUNT as words
+    * — that is what the symbol/alpha ratios measure); lines are
+    * newline splits, empties dropped on both axes.
+    *
+    * Scale shape: a pure narrow map — one projection pass per doc,
+    * zero joins, zero aggregations, nothing leaves the partition
+    * (PlanAuditSpec pins exchanges == 1, the output sort only). Every
+    * ratio is exact BIGINT-over-BIGINT division, so the doubles and
+    * the derived booleans are bit-identical in any IEEE-754 engine and
+    * independent of partitioning. The `w`/`ln` arrays materialize as
+    * their own projection columns before any higher-order consumer
+    * (TextOps class doc: un-materialized array args re-evaluate per
+    * element). */
+  def ruleFilters(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = docs
+    .withColumn("w", TextOps.tokens(col("text")))
+    .withColumn("ln", filter(split(col("text"), "\n"), x => x =!= ""))
+    .withColumn("n_words", size(col("w")).cast("long"))
+    .where(col("n_words") > 0)
+    .withColumn("n_lines", size(col("ln")).cast("long"))
+    .withColumn("sum_wlen",
+      aggregate(transform(col("w"), x => length(x).cast("long")), lit(0L), (a, x) => a + x))
+    .withColumn("hash_cnt",
+      (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))).cast("long"))
+    .withColumn("dots_cnt",
+      ((length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / lit(3)).cast("long"))
+    .withColumn("alpha_cnt", size(filter(col("w"), x => x.rlike("[A-Za-z]"))).cast("long"))
+    .withColumn("stop_kinds", gopherStops.map(sw =>
+      when(array_contains(col("w"), sw), lit(1L)).otherwise(lit(0L))).reduce(_ + _))
+    .withColumn("bullet_cnt",
+      size(filter(col("ln"), x => x.startsWith("- ") || x.startsWith("* "))).cast("long"))
+    .withColumn("dotl_cnt", size(filter(col("ln"), x => x.endsWith("..."))).cast("long"))
+    .withColumn("mean_wlen", col("sum_wlen") / col("n_words"))
+    .withColumn("symbol_ratio", (col("hash_cnt") + col("dots_cnt")) / col("n_words"))
+    .withColumn("alpha_frac", col("alpha_cnt") / col("n_words"))
+    .withColumn("bullet_frac", col("bullet_cnt") / col("n_lines"))
+    .withColumn("dots_line_frac", col("dotl_cnt") / col("n_lines"))
+    .withColumn("r_words", col("n_words") >= 50L && col("n_words") <= 100000L)
+    .withColumn("r_wlen", col("mean_wlen") >= 3e0 && col("mean_wlen") <= 10e0)
+    .withColumn("r_symbol", col("symbol_ratio") <= 0.1e0)
+    .withColumn("r_bullet", col("bullet_frac") < 0.9e0)
+    .withColumn("r_dots", col("dots_line_frac") <= 0.3e0)
+    .withColumn("r_alpha", col("alpha_frac") >= 0.8e0)
+    .withColumn("r_stop", col("stop_kinds") >= 1L)
+    .withColumn("r_lorem", !lower(col("text")).contains("lorem ipsum"))
+    .withColumn("r_brace", !col("text").contains("{"))
+    .withColumn("keep",
+      col("r_words") && col("r_wlen") && col("r_symbol") && col("r_bullet")
+        && col("r_dots") && col("r_alpha") && col("r_stop")
+        && col("r_lorem") && col("r_brace"))
+    .select(col("doc_id"), col("n_words"), col("mean_wlen"), col("symbol_ratio"),
+      col("alpha_frac"), col("stop_kinds"), col("n_lines"), col("bullet_frac"),
+      col("dots_line_frac"), col("r_words"), col("r_wlen"), col("r_symbol"),
+      col("r_bullet"), col("r_dots"), col("r_alpha"), col("r_stop"),
+      col("r_lorem"), col("r_brace"), col("keep"))
 
   /** Span-level benchmark decontamination — the removal step after
     * q54's doc-level flagging: instead of dropping every doc that

@@ -559,6 +559,48 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q74 rule filters: each Gopher/C4 gate fires on exactly its defect class") {
+    import spark.implicits._
+    // one doc per defect, built so the targeted rule is the ONLY new
+    // failure (except where the defect inherently breaks a second rule,
+    // asserted explicitly): base = 59 five-letter words + 'the'
+    val base = (Seq.fill(59)("alpha") :+ "the").mkString(" ")
+    val docs = Seq(
+      1L -> base, // clean: every rule passes
+      2L -> (Seq.fill(9)("alpha") :+ "the").mkString(" "), // 10 words < 50
+      3L -> (base + " # # # # # # # # # # # # ..."), // symbol ratio + ellipsis line
+      4L -> (("intro" +: Seq.fill(19)("- alpha the")).mkString("\n")), // 19/20 bullet lines
+      5L -> (base + " lorem ipsum dolor"),
+      6L -> (base + " config { } done"),
+      7L -> Seq.fill(55)("alpha").mkString(" "), // no stop word
+      8L -> (Seq.fill(49)("abcdefghijkl") :+ "the").mkString(" "), // mean 11.8 > 10
+      9L -> (base + " " + Seq.fill(30)("12345").mkString(" ")) // alpha 60/90 < 0.8
+    ).toDF("doc_id", "text")
+    val out = graft.queries.CurationQueries.ruleFilters(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, name: String): Boolean =
+      out(id).getBoolean(out(id).fieldIndex(name))
+    val rules = Seq("r_words", "r_wlen", "r_symbol", "r_bullet", "r_dots",
+      "r_alpha", "r_stop", "r_lorem", "r_brace")
+    assert(rules.forall(flag(1L, _)) && flag(1L, "keep"), s"clean doc must pass every gate")
+    // exact-integer accounting: mean word length of doc 1 is (59*5+3)/60
+    assert(out(1L).getDouble(out(1L).fieldIndex("mean_wlen")) == 298.0 / 60.0)
+    val expectedFails = Map[Long, Set[String]](
+      2L -> Set("r_words"),
+      3L -> Set("r_symbol", "r_dots"), // 13 symbols / 73 words; the one line ends '...'
+      4L -> Set("r_bullet", "r_alpha"), // '-' tokens are words, and non-alphabetic
+      5L -> Set("r_lorem"),
+      6L -> Set("r_brace"),
+      7L -> Set("r_stop"),
+      8L -> Set("r_wlen"),
+      9L -> Set("r_alpha"))
+    expectedFails.foreach { case (id, fails) =>
+      val actual = rules.filterNot(flag(id, _)).toSet
+      assert(actual == fails, s"doc $id: expected failures $fails, got $actual")
+      assert(!flag(id, "keep"), s"doc $id must not be kept")
+    }
+  }
+
   test("q73 importance weights: target-profile docs score > 1, anti-target < gibberish < target") {
     import spark.implicits._
     // constructed corpus: 6 TARGET docs (en, quality 1.0 — 100 8-char

@@ -271,6 +271,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins == 1, s"exactly the one scoring join, got $joins")
   }
 
+  test("q74 rule filters: narrow map — no join, no aggregate, only the output sort exchanges") {
+    val p = plan("q74_rule_filters")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "every gate is a per-row column expression — nothing may join or aggregate")
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1, s"only the output sort may exchange, got $exchanges")
+  }
+
   test("q66 url filter: narrow map — no join, no aggregate, only the output sort exchanges") {
     val p = plan("q66_url_filter")
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
