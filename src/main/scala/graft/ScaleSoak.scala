@@ -24,7 +24,8 @@ object ScaleSoak {
     "q55_repetition_stats", "q57_containment_pairs", "q63_repeated_line_removal",
     "q64_budget_select", "q65_chunk_windows", "q66_url_filter", "q67_cluster_reps",
     "q68_bigram_rarity", "q69_curation_stages",
-    "q70_span_decontamination", "q71_span_dedup", "q73_importance_weights",
+    "q70_span_decontamination", "q71_span_dedup", "q72_semantic_dedup",
+    "q73_importance_weights", "q74_rule_filters", "q75_kmeans_refine",
     "q45_ann_bruteforce_topk", "q46_lsh_bucket_pairs", "q47_ivf_topk",
     "q48_embedding_neardup", "q43_capped_df64", "q42_capped_b64")
 

@@ -34,6 +34,18 @@ object EmbeddingQueries {
   private val nSeeds = 8
   private val nQueries = 10
   private val D12 = DecimalType(27, 12)
+  /** q75: Lloyd sweeps — 2 is the published SemDeDup-style recipe shape
+    * (a few refinement passes, then one assignment); the plan unrolls
+    * one aggregation round per sweep, so the count is deliberately
+    * small and bounded in [[kmeansRefine]]. */
+  private val kmeansIters = 2
+  /** q75 centroid-sum quantum: elements quantize onto the 1e-12 grid by
+    * the tie-free IEEE floor construction (see [[qdotCol]]) and sum as
+    * exact BIGINTs. Exactness bound: |Σ element| per (cell, dim) must
+    * stay under 2^63/1e12 ≈ 9.2e6 — comfortable for unit-scale
+    * embedding coordinates up to ~9M members per cell; past that, shard
+    * cells or lower the quantum. */
+  private val QScale = 1000000000000L
 
   // ---- Spark-side building blocks ----
 
@@ -62,6 +74,35 @@ object EmbeddingQueries {
 
   private val sqlVecs =
     s"vecs AS (SELECT vec_id, embedding AS v, sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings)"
+
+  /** One Lloyd sweep as oracle CTEs (mirrors [[refineOnce]]): a$i =
+    * nearest-centroid assignment under c${i-1}; s$i = per-(cell, dim)
+    * decimal sums (the partition-order-independent accounting); m$i =
+    * per-cell means reassembled in dim order; c$i = the full seed-key
+    * list with empty cells inheriting the previous centroid. */
+  private def sqlKmeansIter(i: Int): String = {
+    val prev = s"c${i - 1}"
+    s"""a$i AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT x.vec_id, x.v, c.cell,
+       |           row_number() OVER (PARTITION BY x.vec_id
+       |             ORDER BY ${sqlQDot("x.v", "c.cv")} / (x.nrm * c.cnrm) DESC, c.cell ASC) AS rn
+       |    FROM vecs x CROSS JOIN $prev c) z WHERE rn = 1),
+       |s$i AS (
+       |  SELECT cell, d,
+       |         SUM(CAST(floor(CAST(x AS DOUBLE) * ${QScale}e0 + 0.5) AS BIGINT)) AS sxi,
+       |         COUNT(*) AS n
+       |  FROM (SELECT cell, unnest(range(0, $dim)) AS d, unnest(v) AS x FROM a$i) u
+       |  GROUP BY cell, d),
+       |m$i AS (
+       |  SELECT cell, list(CAST(sxi AS DOUBLE) / (CAST(n AS DOUBLE) * ${QScale}e0) ORDER BY d) AS cv
+       |  FROM s$i GROUP BY cell),
+       |c$i AS (
+       |  SELECT cell, cv, sqrt(${sqlQDot("cv", "cv")}) AS cnrm FROM (
+       |    SELECT k.cell, coalesce(m.cv, p.cv) AS cv
+       |    FROM (SELECT unnest(range(0, $nSeeds)) AS cell) k
+       |    LEFT JOIN m$i m USING (cell) LEFT JOIN $prev p USING (cell)) q)"""
+  }
 
   val defs: Map[String, Q] = Map(
 
@@ -265,7 +306,33 @@ object EmbeddingQueries {
          |  JOIN vecs cv ON cv.vec_id = a.vec_id)
          |SELECT query_id, cell, CAST(rn AS INTEGER) AS rank, cand_id AS neighbor_id, cosine
          |FROM (SELECT cos.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rn FROM cos) z
-         |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin)
+         |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin),
+
+    // Distributed Lloyd refinement (see [[kmeansRefine]]): the
+    // clustering step the SemDeDup recipe assumes — 2 sweeps from the
+    // deterministic seed centroids, empty cells keeping their previous
+    // centroid, then the refined assignment. The oracle restates both
+    // sweeps as chained CTEs with the same decimal-fold accounting, so
+    // the hash compare pins every centroid coordinate transitively
+    // through the output cosines.
+    "q75_kmeans_refine" -> Q(
+      (s, d) => kmeansRefine(Tables.embeddings(s, d), nSeeds, kmeansIters)
+        .orderBy(col("vec_id")),
+      s"""WITH vecs AS (
+         |  SELECT vec_id, embedding AS v,
+         |         sqrt(${sqlQDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT vec_id AS cell, list_transform(v, y -> CAST(y AS DOUBLE)) AS cv, nrm AS cnrm
+         |  FROM vecs WHERE vec_id < $nSeeds),
+         |${(1 to kmeansIters).map(sqlKmeansIter).mkString(",\n")}
+         |SELECT vec_id, cell, ccos FROM (
+         |  SELECT x.vec_id, c.cell,
+         |         ${sqlQDot("x.v", "c.cv")} / (x.nrm * c.cnrm) AS ccos,
+         |         row_number() OVER (PARTITION BY x.vec_id
+         |           ORDER BY ${sqlQDot("x.v", "c.cv")} / (x.nrm * c.cnrm) DESC, c.cell ASC) AS rn
+         |  FROM vecs x CROSS JOIN c$kmeansIters c) z
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin)
   )
 
   /** SemDeDup-style semantic dedup over an embeddings table (vec_id,
@@ -327,6 +394,125 @@ object EmbeddingQueries {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_vecs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
       .orderBy(col("cell"))
+  }
+
+  /** q75's quantized dot product: every elementwise product is floored
+    * onto the 1e-12 grid with PURE IEEE double arithmetic
+    * (floor(x·y·1e12 + 0.5)) and summed as exact longs. Unlike the
+    * DECIMAL(27,12) cast the other embedding queries quantize through,
+    * this construction has NO engine-specific tie behavior: a decimal
+    * cast rounds the EXACT product value and engines disagree on
+    * half-quantum ties (Spark HALF_UP vs round-half-even — observed in
+    * the wild, one product in ~1M at sf0.01), while here every step
+    * (multiply, multiply, add, floor) is a correctly-rounded IEEE op
+    * computed identically by any conforming engine, and floor has no
+    * ties. Still partition-invariant: the quantization is row-local
+    * and long addition is associative. Overflow bound: |Σ q| ≤
+    * dim·1e12 ≪ 2^63. */
+  private def qdotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => floor(x * y * lit(1e12) + lit(0.5e0))),
+      lit(0L), (acc, x) => acc + x).cast("double") / lit(1e12)
+
+  /** SQL mirror of [[qdotCol]] over two DOUBLE[]/FLOAT[] columns. */
+  private def sqlQDot(a: String, b: String): String =
+    s"(CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> " +
+      s"CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT))) AS DOUBLE) / 1e12)"
+
+  /** The fused nearest-centroid chooser shared by [[kmeansRefine]]'s
+    * sweeps: for a row joined against the 1-row (cents, cnorms) map
+    * pack, an array of (cosine, -cell) structs whose array_max is the
+    * best cell — highest cosine, ties to the lowest cell id. A single
+    * projection: nSeeds fused quantized dots, no row multiplication, no
+    * window. */
+  private def scoredCells(nSeeds: Int): Column =
+    array((0 until nSeeds).map(kk => struct(
+      (qdotCol(col("v"), element_at(col("cents"), kk.toLong))
+        / (col("nrm") * element_at(col("cnorms"), kk.toLong))).as("ccos"),
+      lit(-kk).as("negk"))): _*)
+
+  /** One Lloyd sweep: assign every vector to its nearest centroid from
+    * the 1-row `prev` map pack, recompute each cell's centroid as the
+    * per-dimension mean of its members, and repack — a cell that lost
+    * every member keeps its previous centroid (the standard
+    * empty-cluster rule, and what keeps the cell key space total for
+    * the next sweep's fused chooser). */
+  private def refineOnce(base: DataFrame, prev: DataFrame, nSeeds: Int): DataFrame = {
+    val keys = (0 until nSeeds).map(_.toLong)
+    val assign = base.crossJoin(broadcast(prev))
+      .withColumn("best", array_max(scoredCells(nSeeds)))
+      .select(col("vec_id"), col("v"), (-col("best.negk")).cast("long").as("cell"))
+    // per-(cell, dim) sums as exact scaled BIGINTs: each element is
+    // quantized onto the 1e-12 grid by the same tie-free IEEE floor
+    // construction as [[qdotCol]], then summed as longs — the whole
+    // mean stays inside IEEE-deterministic int->double arithmetic, so
+    // centroid coordinates are bit-identical across engines and
+    // partitionings. Partition-order independent, and the explode
+    // aggregates map-side down to nSeeds*dim groups
+    val sums = assign.select(col("cell"), posexplode(col("v"))).toDF("cell", "d", "x")
+      .groupBy(col("cell"), col("d"))
+      .agg(sum(floor(col("x") * lit(QScale.toDouble) + lit(0.5e0))).as("sxi"),
+        count(lit(1)).as("n"))
+    val means = sums.groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("d"),
+        (col("sxi").cast("double") / (col("n").cast("double") * lit(QScale.toDouble)))
+          .as("m")))).as("dm"))
+      .select(col("cell"), transform(col("dm"), e => e.getField("m")).as("cv"))
+    means.groupBy()
+      .agg(map_from_arrays(collect_list(col("cell")), collect_list(col("cv"))).as("m"))
+      .crossJoin(broadcast(prev))
+      .select(map_from_arrays(
+        array(keys.map(lit(_)): _*),
+        array(keys.map(k =>
+          coalesce(element_at(col("m"), k), element_at(col("cents"), k))): _*)).as("cents"))
+      .select(col("cents"), map_from_arrays(
+        array(keys.map(lit(_)): _*),
+        array(keys.map(k => sqrt(qdotCol(element_at(col("cents"), k),
+          element_at(col("cents"), k)))): _*)).as("cnorms"))
+  }
+
+  /** Distributed Lloyd k-means refinement — the clustering step the
+    * SemDeDup recipe (Abbas et al., arXiv:2303.09540) assumes before
+    * [[semanticDedup]]'s within-cell pass: start from the deterministic
+    * seed centroids (first `nSeeds` vectors by vec_id, the shared
+    * convention of [[ivfTopK]]/[[semanticDedup]]), run `iters` Lloyd
+    * sweeps (cosine assignment, per-dimension mean update), and return
+    * the refined assignment (vec_id, cell, ccos) under the final
+    * centroids.
+    *
+    * Numeric parity: the whole computation is closed over exact-long
+    * accounting plus correctly-rounded IEEE double ops — elements and
+    * elementwise products quantize onto the 1e-12 grid by the tie-free
+    * floor construction (see [[qdotCol]]: unlike a decimal cast, no
+    * half-quantum tie whose rounding direction engines disagree on),
+    * sums are associative longs, and every derived double (mean, norm,
+    * cosine) is int→double conversions, multiplies, divides, and
+    * sqrt — each correctly rounded per IEEE-754 and therefore
+    * bit-identical in any conforming engine and under any partitioning.
+    * Ties on assignment cosine go to the lowest cell id; a cell with no
+    * members keeps its previous centroid.
+    *
+    * Scale shape per sweep: one narrow fused-projection assignment
+    * against the broadcast nSeeds-row centroid pack (no row
+    * multiplication, no window), one map-side-combined (cell, dim)
+    * decimal aggregation (collapses to nSeeds·dim groups before the
+    * exchange), one nSeeds-row repack. The corpus never shuffles; the
+    * sweep count is a bounded parameter (the production recipe runs a
+    * few sweeps — convergence-to-fixpoint looping belongs in a driver
+    * harness, not a query plan, which is why `iters` is capped). */
+  def kmeansRefine(emb: DataFrame, nSeeds: Int = 8, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 4, s"iters unrolls the plan; keep it in [1,4], got $iters")
+    val base = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(qdotCol(col("v"), col("v"))))
+    val c0 = base.where(col("vec_id") < nSeeds)
+      .groupBy().agg(
+        map_from_arrays(collect_list(col("vec_id")), collect_list(col("v"))).as("cents"),
+        map_from_arrays(collect_list(col("vec_id")), collect_list(col("nrm"))).as("cnorms"))
+    val cFinal = (1 to iters).foldLeft(c0)((prev, _) => refineOnce(base, prev, nSeeds))
+    base.crossJoin(broadcast(cFinal))
+      .withColumn("best", array_max(scoredCells(nSeeds)))
+      .select(col("vec_id"), (-col("best.negk")).cast("long").as("cell"),
+        col("best.ccos").as("ccos"))
   }
 
   /** IVF-style coarse-quantized top-k: assign every vector to its nearest

@@ -271,6 +271,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins == 1, s"exactly the one scoring join, got $joins")
   }
 
+  test("q75 kmeans refinement: corpus never shuffles into a join; centroid sums combine map-side") {
+    val p = plan("q75_kmeans_refine")
+    assert(!p.contains("CartesianProduct"), "never an all-pairs stage")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the only joins are the broadcast 1-row centroid-pack crosses — the corpus side must not shuffle into any join")
+    assert(p.contains("partial_sum"),
+      "per-(cell, dim) decimal centroid sums must combine map-side before the exchange")
+  }
+
   test("q74 rule filters: narrow map — no join, no aggregate, only the output sort exchanges") {
     val p = plan("q74_rule_filters")
     assert(!p.contains("Join") && !p.contains("HashAggregate"),

@@ -77,4 +77,66 @@ class SemDedupSpec extends SparkSpec {
       EmbeddingQueries.semanticDedup(emb, nSeeds = 1, tau = 1.5)
     }
   }
+
+  test("q75 kmeans: Lloyd sweeps pull a between-clusters seed onto its cluster") {
+    // seed 1 starts BETWEEN the x and y clusters (cos ~0.64 to the
+    // y-cluster members); after two mean updates it sits on the
+    // y-cluster's center and the members' final cosine reflects that
+    val emb = corpus(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),        // seed 0: x-axis
+      1L -> Seq(0.8f, 0.6f, 0f, 0f),    // seed 1: between the clusters
+      2L -> Seq(1f, 0.05f, 0f, 0f),     // x cluster
+      3L -> Seq(1f, -0.05f, 0f, 0f),    // x cluster
+      4L -> Seq(0.05f, 1f, 0f, 0f),     // y cluster
+      5L -> Seq(0f, 1f, 0.05f, 0f),     // y cluster
+      6L -> Seq(-0.05f, 1f, 0f, 0f)))   // y cluster
+    val out = EmbeddingQueries.kmeansRefine(emb, nSeeds = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // the seed VECTOR itself is at 37 degrees from x / 53 from y — it is
+    // an x-cluster member, and refinement correctly migrates it to cell
+    // 0 once centroid 1 moves onto the y cluster
+    assert(Seq(0L, 1L, 2L, 3L).forall(out(_)._1 == 0L), s"x cluster must land in cell 0: $out")
+    assert(Seq(4L, 5L, 6L).forall(out(_)._1 == 1L), s"y cluster must land in cell 1: $out")
+    // refinement moved centroid 1 off (0.8, 0.6): vec 4's cosine to the
+    // ORIGINAL seed is ~0.64; to the refined y-center it must be high
+    assert(out(4L)._2 > 0.9, s"vec 4's fit must improve after refinement: ${out(4L)}")
+    // partitioning invariance: decimal-fold centroid sums make the
+    // output bit-identical under any input layout
+    val re = EmbeddingQueries.kmeansRefine(emb.repartition(7), nSeeds = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = out.map { case (id, (c, s)) => (id, c, s) }.toSet
+    assert(re == base, "centroid accounting must not depend on the partitioning")
+  }
+
+  test("q75 kmeans: a duplicated seed's emptied cell keeps its centroid and can recapture") {
+    // seeds 0 and 1 are identical: sweep 1 ties every x vector between
+    // cells 0/1 and the tie-break sends all to cell 0, so cell 1
+    // empties and the empty-cluster rule KEEPS its pristine x-axis
+    // centroid. Sweep 1 then drags cell 0's centroid toward vec 3
+    // (1, 0.05), after which the exactly-on-axis vectors 0 and 1 fit
+    // the preserved cell-1 centroid BETTER (cos = 1 exactly) — the
+    // kept centroid legitimately wins them back, vec 3 keeps cell 0,
+    // and nothing is ever null/NaN. Pinned end state of that dance:
+    val emb = corpus(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(1f, 0f, 0f, 0f),        // exact duplicate of seed 0
+      2L -> Seq(0f, 1f, 0f, 0f),        // seed 2: y-axis
+      3L -> Seq(1f, 0.05f, 0f, 0f),
+      4L -> Seq(0f, 1f, 0.05f, 0f)))
+    val out = EmbeddingQueries.kmeansRefine(emb, nSeeds = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 5 && out.forall { case (_, _, c) => !c.isNaN && c > 0.99 })
+    assert(out.filter(r => Seq(0L, 1L).contains(r._1)).forall(r => r._2 == 1L && r._3 == 1.0),
+      s"the preserved pristine centroid must win back the on-axis vectors: ${out.toSeq}")
+    assert(out.filter(_._1 == 3L).forall(r => r._2 == 0L && r._3 == 1.0),
+      s"cell 0's drifted centroid converges onto its sole member: ${out.toSeq}")
+    assert(out.filter(r => Seq(2L, 4L).contains(r._1)).forall(_._2 == 2L), s"y vectors: ${out.toSeq}")
+  }
+
+  test("kmeansRefine rejects an unbounded sweep count") {
+    val emb = corpus(Seq(0L -> Seq(1f, 0f)))
+    intercept[IllegalArgumentException] {
+      EmbeddingQueries.kmeansRefine(emb, nSeeds = 1, iters = 9)
+    }
+  }
 }
