@@ -375,6 +375,19 @@ object EmbeddingQueries {
       .select(col("vec_id"), col("v"), col("nrm"),
         (-col("best.negk")).cast("long").as("cell"), col("best.ccos").as("ccos"))
       .persist()
+    semanticDedupInCells(assign, tau)
+  }
+
+  /** The within-cell half of [[semanticDedup]] over a PRECOMPUTED cell
+    * assignment — `assign` must carry (vec_id, v: array&lt;double&gt;, nrm,
+    * cell, ccos). This is the composition point for the full published
+    * recipe: cluster with [[kmeansRefine]], join the assignment back
+    * onto the vectors, and dedup within the refined cells — the seeded
+    * one-pass [[semanticDedup]] is that pipeline with zero refinement
+    * sweeps. Same loser rule and accounting; same scale shape (the
+    * pair join is cell-local and everything else is per-cell counts). */
+  def semanticDedupInCells(assign: DataFrame, tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     val a = assign.select(col("vec_id").as("id_a"), col("v").as("va"),
       col("nrm").as("na"), col("cell"), col("ccos").as("ccos_a"))
     val b = assign.select(col("vec_id").as("id_b"), col("v").as("vb"),

@@ -133,6 +133,33 @@ class SemDedupSpec extends SparkSpec {
     assert(out.filter(r => Seq(2L, 4L).contains(r._1)).forall(_._2 == 2L), s"y vectors: ${out.toSeq}")
   }
 
+  test("full recipe: kmeansRefine cells feed semanticDedupInCells") {
+    import org.apache.spark.sql.functions._
+    // x/y clusters with one tight near-dup pair each ((2,3) and (5,6),
+    // cos > 0.999); the looser neighbors stay under tau. The refined
+    // cells (x cluster = {0,1,2,3} including the migrated seed, y
+    // cluster = {4,5,6}) drive the within-cell pass: exactly one drop
+    // per cell, whichever pair member sits closer to its centroid.
+    val emb = corpus(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0.8f, 0.6f, 0f, 0f),
+      2L -> Seq(1f, 0.05f, 0f, 0f),
+      3L -> Seq(1f, 0.0501f, 0f, 0f),
+      4L -> Seq(0.05f, 1f, 0f, 0f),
+      5L -> Seq(0f, 1f, 0.05f, 0f),
+      6L -> Seq(0f, 1f, 0.0501f, 0f)))
+    val cells = EmbeddingQueries.kmeansRefine(emb, nSeeds = 2, iters = 2)
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(aggregate(
+        zip_with(col("v"), col("v"), (x, y) => x * y), lit(0d), (acc, x) => acc + x)))
+    val out = EmbeddingQueries
+      .semanticDedupInCells(base.join(cells, Seq("vec_id")), tau = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 4L, 3L, 1L), (1L, 3L, 2L, 1L)),
+      s"one near-dup drop inside each refined cell: ${out.toSeq}")
+    spark.catalog.clearCache()
+  }
+
   test("kmeansRefine rejects an unbounded sweep count") {
     val emb = corpus(Seq(0L -> Seq(1f, 0f)))
     intercept[IllegalArgumentException] {
