@@ -32,6 +32,10 @@ object Exprs {
   /** Exact DECIMAL(27,12)-folded dot product of two array<double>. */
   def decimalDot(a: Column, b: Column): Column = c(DecimalDotProduct(e(a), e(b)))
 
+  /** Tie-free 1e-12-quantized dot product of two array<double> (q75's
+    * IEEE floor construction — see [[QuantDotProduct]]). */
+  def quantDot(a: Column, b: Column): Column = c(QuantDotProduct(e(a), e(b)))
+
   /** Ratio-pruned oriented candidate pairs from a posting list of
     * (doc_id, n) structs — the PPJoin expansion step. */
   def prefixPairs(ds: Column): Column = c(PrefixPairExpand(e(ds)))
@@ -65,6 +69,9 @@ object GraftExtensions {
     (FunctionIdentifier("decimal_dot"),
       info("decimal_dot", "decimal_dot(a, b) - exact decimal-folded dot product of two double arrays"),
       (args: Seq[Expression]) => DecimalDotProduct(args.head, args(1))),
+    (FunctionIdentifier("quant_dot"),
+      info("quant_dot", "quant_dot(a, b) - tie-free 1e-12-floor-quantized dot product of two double arrays"),
+      (args: Seq[Expression]) => QuantDotProduct(args.head, args(1))),
     (FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints", "winnow_fingerprints(text) - distinct 8-char-gram winnowing fingerprints (w=4) as array<bigint>"),
       (args: Seq[Expression]) => WinnowFingerprints(args.head, 8, 4)))

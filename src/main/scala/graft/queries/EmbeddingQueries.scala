@@ -421,10 +421,13 @@ object EmbeddingQueries {
     * computed identically by any conforming engine, and floor has no
     * ties. Still partition-invariant: the quantization is row-local
     * and long addition is associative. Overflow bound: |Σ q| ≤
-    * dim·1e12 ≪ 2^63. */
+    * dim·1e12 ≪ 2^63. Computed by the compiled
+    * [[graft.expressions.QuantDotProduct]] kernel (bit-equal to the
+    * zip_with/aggregate formulation per ExprEquivalenceSpec) — q75
+    * evaluates nSeeds dots per row per sweep, so the interpreted
+    * higher-order fold was its hot loop. */
   private def qdotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => floor(x * y * lit(1e12) + lit(0.5e0))),
-      lit(0L), (acc, x) => acc + x).cast("double") / lit(1e12)
+    graft.expressions.Exprs.quantDot(a, b)
 
   /** SQL mirror of [[qdotCol]] over two DOUBLE[]/FLOAT[] columns. */
   private def sqlQDot(a: String, b: String): String =

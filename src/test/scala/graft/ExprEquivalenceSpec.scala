@@ -110,6 +110,34 @@ class ExprEquivalenceSpec extends SparkSpec {
     assert(neu.exceptAll(old).count() == 0 && old.exceptAll(neu).count() == 0)
   }
 
+  test("QuantDotProduct == zip_with/aggregate floor fold") {
+    def oldQDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => floor(x * y * lit(1e12) + lit(0.5e0))),
+        lit(0L), (acc, x) => acc + x).cast(DoubleType) / lit(1e12)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // self- and cross-products (shift pairs the row with its neighbor's
+    // vector, exercising negative products too)
+    val shifted = vecs.select((col("vec_id") + 1).as("vec_id"), col("v").as("w"))
+    val both = vecs.join(shifted, Seq("vec_id"))
+      .select(col("vec_id"),
+        oldQDot(col("v"), col("w")).as("d_old"),
+        Exprs.quantDot(col("v"), col("w")).as("d_new"))
+    // bit-identical, not approximately equal
+    assert(both.where(col("d_old") =!= col("d_new")).count() == 0)
+    assert(both.where(col("d_new").isNull).count() == 0)
+    // null semantics: mismatched lengths and null elements poison both
+    import spark.implicits._
+    val edge = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0))
+    ).toDF("a", "b")
+    val e2 = edge.select(oldQDot(col("a"), col("b")).as("o"),
+      Exprs.quantDot(col("a"), col("b")).as("n")).collect()
+    assert(e2.forall(r => r.isNullAt(0) && r.isNullAt(1)),
+      "mismatched lengths / null elements must poison both formulations")
+  }
+
   test("DecimalDotProduct == zip_with/aggregate decimal fold") {
     val D12 = DecimalType(27, 12)
     def oldDot(a: Column, b: Column): Column =

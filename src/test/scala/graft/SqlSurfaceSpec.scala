@@ -269,5 +269,12 @@ class SqlSurfaceSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), Exprs.decimalDot(col("v"), col("v")).as("sq"))
     assertSame(dotSql, dotDf)
+    val qdotSql = spark.sql(
+      """SELECT vec_id, quant_dot(v, v) AS sq
+        |FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings)""".stripMargin)
+    val qdotDf = Tables.read(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), Exprs.quantDot(col("v"), col("v")).as("sq"))
+    assertSame(qdotSql, qdotDf)
   }
 }
