@@ -97,9 +97,14 @@ object ScaleSoak {
       // Catalyst eliminate projection tails AND unique-keyed outer
       // joins (q70/q71 timed a bare scan under count)
       val df = extraRunners.getOrElse(q, SparkEntry.queries(q))(spark, d)
-      df.write.format("noop").mode("overwrite").save()
+      // row count for the audit line rides the SAME noop materialization
+      // via an Observation — a bare df.count() here would re-execute the
+      // whole query a second time (uncached), doubling the soak's cost
+      val obs = org.apache.spark.sql.Observation()
+      df.observe(obs, count(lit(1)).as("rows"))
+        .write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9 // clearCache stays untimed, as in Bench
-      val n = df.count() // untimed, for the audit line
+      val n = obs.get("rows").asInstanceOf[Long]
       spark.catalog.clearCache()
       println(f"SOAK $d%-18s $q%-26s $dt%7.2f s   rows=$n")
       q -> dt

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.Q
-import graft.engine.Tables
+import graft.engine.{CacheScope, Tables}
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
   * array<float> (64-dim), label): brute-force cosine top-k as the
@@ -354,28 +354,17 @@ object EmbeddingQueries {
     * centroid table (one row), pairs form only inside a cell, and at
     * corpus scale nSeeds grows ~sqrt(N) so cells stay bounded — never
     * all-pairs. Shuffles: the cell self-join and two per-cell counts. */
-  def semanticDedup(emb: DataFrame, nSeeds: Int, tau: Double): DataFrame = {
+  def semanticDedup(emb: DataFrame, nSeeds: Int, tau: Double,
+                    scope: CacheScope = CacheScope.untracked): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     val base = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
-    val cents = base.select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-      .where(col("cent_id") < nSeeds)
-      .groupBy().agg(
-        map_from_arrays(collect_list(col("cent_id")), collect_list(col("cv"))).as("cents"),
-        map_from_arrays(collect_list(col("cent_id")), collect_list(col("cnrm"))).as("cnorms"))
-    def scored = array((0 until nSeeds).map(kk => struct(
-      (dotCol(col("v"), element_at(col("cents"), kk.toLong))
-        / (col("nrm") * element_at(col("cnorms"), kk.toLong))).as("ccos"),
-      lit(-kk).as("negk"))): _*)
-    // cached: both sides of the cell self-join and the survivor
-    // accounting reuse ONE evaluation of the nSeeds-dot assignment map
-    val assign = base.crossJoin(broadcast(cents))
-      .withColumn("best", array_max(scored))
+    val assign = base.crossJoin(broadcast(centsPack(base, nSeeds)))
+      .withColumn("best", array_max(scoredCells(nSeeds, dotCol)))
       .select(col("vec_id"), col("v"), col("nrm"),
         (-col("best.negk")).cast("long").as("cell"), col("best.ccos").as("ccos"))
-      .persist()
-    semanticDedupInCells(assign, tau)
+    semanticDedupInCells(assign, tau, scope)
   }
 
   /** The within-cell half of [[semanticDedup]] over a PRECOMPUTED cell
@@ -385,9 +374,18 @@ object EmbeddingQueries {
     * onto the vectors, and dedup within the refined cells — the seeded
     * one-pass [[semanticDedup]] is that pipeline with zero refinement
     * sweeps. Same loser rule and accounting; same scale shape (the
-    * pair join is cell-local and everything else is per-cell counts). */
-  def semanticDedupInCells(assign: DataFrame, tau: Double): DataFrame = {
+    * pair join is cell-local and everything else is per-cell counts).
+    *
+    * `assign` feeds FOUR plan branches (both pair-join sides and the
+    * two per-cell counts), so it is persisted here — one evaluation of
+    * whatever upstream produced it (the seeded nSeeds-dot map, or a
+    * full [[kmeansRefine]] plan in the composed recipe, which would
+    * otherwise re-run its iters+1 corpus sweeps per branch). Pass a
+    * tracking [[CacheScope]] to release the blocks deterministically. */
+  def semanticDedupInCells(assign0: DataFrame, tau: Double,
+                           scope: CacheScope = CacheScope.untracked): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val assign = scope.persist(assign0)
     val a = assign.select(col("vec_id").as("id_a"), col("v").as("va"),
       col("nrm").as("na"), col("cell"), col("ccos").as("ccos_a"))
     val b = assign.select(col("vec_id").as("id_b"), col("v").as("vb"),
@@ -434,17 +432,30 @@ object EmbeddingQueries {
     s"(CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> " +
       s"CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT))) AS DOUBLE) / 1e12)"
 
-  /** The fused nearest-centroid chooser shared by [[kmeansRefine]]'s
-    * sweeps: for a row joined against the 1-row (cents, cnorms) map
-    * pack, an array of (cosine, -cell) structs whose array_max is the
-    * best cell — highest cosine, ties to the lowest cell id. A single
-    * projection: nSeeds fused quantized dots, no row multiplication, no
-    * window. */
-  private def scoredCells(nSeeds: Int): Column =
+  /** The fused nearest-centroid chooser shared by [[semanticDedup]],
+    * [[ivfTopK]], and [[kmeansRefine]]'s sweeps: for a row joined
+    * against the 1-row (cents, cnorms) map pack, an array of
+    * (cosine, -cell) structs whose array_max is the best cell — highest
+    * cosine, ties to the lowest cell id (hence the negated k) — and
+    * whose reverse(array_sort(.)) is the same ordering all nSeeds deep
+    * (the nprobe path). A single projection: nSeeds fused dots through
+    * the caller's kernel (`dotCol` decimal or `qdotCol` quantized), no
+    * row multiplication, no window. */
+  private def scoredCells(nSeeds: Int, dot: (Column, Column) => Column): Column =
     array((0 until nSeeds).map(kk => struct(
-      (qdotCol(col("v"), element_at(col("cents"), kk.toLong))
+      (dot(col("v"), element_at(col("cents"), kk.toLong))
         / (col("nrm") * element_at(col("cnorms"), kk.toLong))).as("ccos"),
       lit(-kk).as("negk"))): _*)
+
+  /** The 1-row broadcastable (cents, cnorms) map pack over the seed
+    * centroids — the first `nSeeds` vectors by vec_id, the shared
+    * convention of every cell-based embedding operator here. `base`
+    * must carry (vec_id, v, nrm). */
+  private def centsPack(base: DataFrame, nSeeds: Int): DataFrame =
+    base.where(col("vec_id") < nSeeds)
+      .groupBy().agg(
+        map_from_arrays(collect_list(col("vec_id")), collect_list(col("v"))).as("cents"),
+        map_from_arrays(collect_list(col("vec_id")), collect_list(col("nrm"))).as("cnorms"))
 
   /** One Lloyd sweep: assign every vector to its nearest centroid from
     * the 1-row `prev` map pack, recompute each cell's centroid as the
@@ -455,7 +466,7 @@ object EmbeddingQueries {
   private def refineOnce(base: DataFrame, prev: DataFrame, nSeeds: Int): DataFrame = {
     val keys = (0 until nSeeds).map(_.toLong)
     val assign = base.crossJoin(broadcast(prev))
-      .withColumn("best", array_max(scoredCells(nSeeds)))
+      .withColumn("best", array_max(scoredCells(nSeeds, qdotCol)))
       .select(col("vec_id"), col("v"), (-col("best.negk")).cast("long").as("cell"))
     // per-(cell, dim) sums as exact scaled BIGINTs: each element is
     // quantized onto the 1e-12 grid by the same tie-free IEEE floor
@@ -466,7 +477,7 @@ object EmbeddingQueries {
     // aggregates map-side down to nSeeds*dim groups
     val sums = assign.select(col("cell"), posexplode(col("v"))).toDF("cell", "d", "x")
       .groupBy(col("cell"), col("d"))
-      .agg(sum(floor(col("x") * lit(QScale.toDouble) + lit(0.5e0))).as("sxi"),
+      .agg(sum(floor(col("x") * lit(QScale.toDouble) + lit(0.5e0)).cast("long")).as("sxi"),
         count(lit(1)).as("n"))
     val means = sums.groupBy(col("cell"))
       .agg(sort_array(collect_list(struct(col("d"),
@@ -520,13 +531,10 @@ object EmbeddingQueries {
     val base = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(qdotCol(col("v"), col("v"))))
-    val c0 = base.where(col("vec_id") < nSeeds)
-      .groupBy().agg(
-        map_from_arrays(collect_list(col("vec_id")), collect_list(col("v"))).as("cents"),
-        map_from_arrays(collect_list(col("vec_id")), collect_list(col("nrm"))).as("cnorms"))
+    val c0 = centsPack(base, nSeeds)
     val cFinal = (1 to iters).foldLeft(c0)((prev, _) => refineOnce(base, prev, nSeeds))
     base.crossJoin(broadcast(cFinal))
-      .withColumn("best", array_max(scoredCells(nSeeds)))
+      .withColumn("best", array_max(scoredCells(nSeeds, qdotCol)))
       .select(col("vec_id"), (-col("best.negk")).cast("long").as("cell"),
         col("best.ccos").as("ccos"))
   }
@@ -556,18 +564,8 @@ object EmbeddingQueries {
     val base = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
-    val cents = base.select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-      .where(col("cent_id") < nSeeds)
-      .groupBy().agg(
-        map_from_arrays(collect_list(col("cent_id")), collect_list(col("cv"))).as("cents"),
-        map_from_arrays(collect_list(col("cent_id")), collect_list(col("cnrm"))).as("cnorms"))
-    // [(ccos_k, -k)] fused struct array: array_max = argmax with ties
-    // broken toward the SMALLER centroid id (hence the negated k);
-    // reverse(array_sort(.)) = the same ordering, all nSeeds deep.
-    def scored = array((0 until nSeeds).map(kk => struct(
-      (dotCol(col("v"), element_at(col("cents"), kk.toLong))
-        / (col("nrm") * element_at(col("cnorms"), kk.toLong))).as("ccos"),
-      lit(-kk).as("negk"))): _*)
+    val cents = centsPack(base, nSeeds)
+    def scored = scoredCells(nSeeds, dotCol)
     // cached: the corpus-sized candidate side reads ONE evaluation of
     // the (nSeeds dots per row) assignment map — narrow, cell only
     val assign = base.crossJoin(broadcast(cents))
