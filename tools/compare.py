@@ -11,6 +11,7 @@ columns, and reports exact-match / mismatch per query.
 Dev-only tool (driver-side python deps); not part of the engine.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -31,7 +32,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # soak corpora: Spark writes a DIRECTORY of part files, and a
+        # table-subset corpus (ScaleSoak's 5th arg) omits tables its
+        # queries never read — glob the former, skip the latter
+        p = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(p):
+            continue
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name in sorted(oracle):
