@@ -39,6 +39,10 @@ object EmbeddingQueries {
     * one aggregation round per sweep, so the count is deliberately
     * small and bounded in [[kmeansRefine]]. */
   private val kmeansIters = 2
+  /** q76: per-cell pair-join cap — at sf0.01 cells hold ~60 members, so
+    * 32 genuinely excludes tail members and the oracle distinguishes
+    * the capped accounting from q72's. */
+  private val semDedupCap = 32
   /** q75 centroid-sum quantum: elements quantize onto the 1e-12 grid by
     * the tie-free IEEE floor construction (see [[qdotCol]]) and sum as
     * exact BIGINTs. Exactness bound: |Σ element| per (cell, dim) must
@@ -280,6 +284,44 @@ object EmbeddingQueries {
          |LEFT JOIN kept k ON k.cell = t.cell
          |ORDER BY t.cell""".stripMargin),
 
+    // q72's dense-cell safety valve made real (see
+    // [[semanticDedupInCells]] maxCellSize): only each cell's cap
+    // closest-to-centroid members form pairs, tail members are
+    // auto-kept — pair volume bounded at cap²·cells however skewed the
+    // corpus. Same accounting schema as q72 so the two are directly
+    // diffable; the oracle restates the deterministic core ranking.
+    "q76_semantic_dedup_capped" -> Q(
+      (s, d) => semanticDedup(Tables.embeddings(s, d), nSeeds, tau = 0.45,
+        maxCellSize = Some(semDedupCap)),
+      s"""WITH $sqlVecs,
+         |ccos AS (
+         |  SELECT x.vec_id AS v_id, c.vec_id AS cent,
+         |         ${sqlDot("x.v", "c.v")} / (x.nrm * c.nrm) AS ccos
+         |  FROM vecs x JOIN vecs c ON c.vec_id < $nSeeds),
+         |assign AS (
+         |  SELECT v_id AS vec_id, cent AS cell, ccos
+         |  FROM (SELECT ccos.*, row_number() OVER (PARTITION BY v_id ORDER BY ccos DESC, cent ASC) AS rn FROM ccos) z
+         |  WHERE rn = 1),
+         |av AS (
+         |  SELECT a.vec_id, a.cell, a.ccos, v.v, v.nrm
+         |  FROM assign a JOIN vecs v ON v.vec_id = a.vec_id),
+         |core AS (
+         |  SELECT vec_id, cell, ccos, v, nrm
+         |  FROM (SELECT av.*, row_number() OVER (PARTITION BY cell ORDER BY ccos DESC, vec_id ASC) AS cr FROM av) z
+         |  WHERE cr <= $semDedupCap),
+         |losers AS (
+         |  SELECT DISTINCT CASE WHEN a.ccos <= b.ccos THEN b.vec_id ELSE a.vec_id END AS vec_id
+         |  FROM core a JOIN core b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.45),
+         |kept AS (
+         |  SELECT cell, COUNT(*) AS n_kept FROM assign
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM losers) GROUP BY 1)
+         |SELECT t.cell, t.n_vecs, COALESCE(k.n_kept, 0) AS n_kept,
+         |       t.n_vecs - COALESCE(k.n_kept, 0) AS n_dropped
+         |FROM (SELECT cell, COUNT(*) AS n_vecs FROM assign GROUP BY 1) t
+         |LEFT JOIN kept k ON k.cell = t.cell
+         |ORDER BY t.cell""".stripMargin),
+
     // IVF-style coarse quantization: assign every vector to its nearest
     // centroid (here: the first 8 vectors as deterministic centroids),
     // then answer top-3 neighbor queries inside the probe's cell only —
@@ -355,7 +397,8 @@ object EmbeddingQueries {
     * corpus scale nSeeds grows ~sqrt(N) so cells stay bounded — never
     * all-pairs. Shuffles: the cell self-join and two per-cell counts. */
   def semanticDedup(emb: DataFrame, nSeeds: Int, tau: Double,
-                    scope: CacheScope = CacheScope.untracked): DataFrame = {
+                    scope: CacheScope = CacheScope.untracked,
+                    maxCellSize: Option[Int] = None): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     val base = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -364,7 +407,7 @@ object EmbeddingQueries {
       .withColumn("best", array_max(scoredCells(nSeeds, dotCol)))
       .select(col("vec_id"), col("v"), col("nrm"),
         (-col("best.negk")).cast("long").as("cell"), col("best.ccos").as("ccos"))
-    semanticDedupInCells(assign, tau, scope)
+    semanticDedupInCells(assign, tau, scope, maxCellSize)
   }
 
   /** The within-cell half of [[semanticDedup]] over a PRECOMPUTED cell
@@ -381,14 +424,37 @@ object EmbeddingQueries {
     * whatever upstream produced it (the seeded nSeeds-dot map, or a
     * full [[kmeansRefine]] plan in the composed recipe, which would
     * otherwise re-run its iters+1 corpus sweeps per branch). Pass a
-    * tracking [[CacheScope]] to release the blocks deterministically. */
+    * tracking [[CacheScope]] to release the blocks deterministically.
+    *
+    * `maxCellSize` is the dense-cell safety valve (the semantic-dedup
+    * analogue of q62's per-bucket LSH cap): when set, only each cell's
+    * `maxCellSize` HIGHEST-centroid-cosine members — the dense core
+    * where a cell's near-dups concentrate, ranked deterministically by
+    * (ccos desc, vec_id) — participate in the pair join; tail members
+    * are auto-kept. Pair volume is then bounded at cap²·cells
+    * regardless of how skewed the corpus is (exact replicas all land in
+    * one cell and would otherwise square), at the price of missed
+    * near-dups BETWEEN tail members — the same recall-for-boundedness
+    * trade, deterministic and oracle-checkable, as the banded caps. The
+    * capped path pays one per-cell sort (a window over the persisted
+    * assignment) to buy the bounded join; at production scale nSeeds
+    * grows ~sqrt(N), so the window's partition count grows with the
+    * corpus and no single cell's sort dominates. */
   def semanticDedupInCells(assign0: DataFrame, tau: Double,
-                           scope: CacheScope = CacheScope.untracked): DataFrame = {
+                           scope: CacheScope = CacheScope.untracked,
+                           maxCellSize: Option[Int] = None): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    maxCellSize.foreach(c => require(c >= 1, s"maxCellSize must be >= 1, got $c"))
     val assign = scope.persist(assign0)
-    val a = assign.select(col("vec_id").as("id_a"), col("v").as("va"),
+    val core = maxCellSize match {
+      case Some(c) =>
+        val w = Window.partitionBy(col("cell")).orderBy(col("ccos").desc, col("vec_id"))
+        assign.withColumn("_cr", row_number().over(w)).where(col("_cr") <= c).drop("_cr")
+      case None => assign
+    }
+    val a = core.select(col("vec_id").as("id_a"), col("v").as("va"),
       col("nrm").as("na"), col("cell"), col("ccos").as("ccos_a"))
-    val b = assign.select(col("vec_id").as("id_b"), col("v").as("vb"),
+    val b = core.select(col("vec_id").as("id_b"), col("v").as("vb"),
       col("nrm").as("nb"), col("cell"), col("ccos").as("ccos_b"))
     // pair (a < b): the member closer to the centroid loses; equal
     // distance -> the higher id (= b) loses

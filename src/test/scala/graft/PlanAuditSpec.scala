@@ -111,6 +111,18 @@ class PlanAuditSpec extends SparkSpec {
       "the cell self-join must read ONE cached evaluation of the assignment map")
   }
 
+  test("q76 capped semantic dedup: q72's plan shape plus the per-cell rank window") {
+    val p = plan("q76_semantic_dedup_capped")
+    assert(!p.contains("CartesianProduct"), "never an all-pairs stage")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"),
+      "the cell pair join must be an equi-join, not a nested loop")
+    assert(p.contains("Window") && p.contains("row_number"),
+      "the cap is a deterministic per-cell rank, not a sample")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "the core derivation must read the cached assignment map")
+  }
+
   test("q73 importance weights: gram table cached once; bucket stats broadcast; combines map-side") {
     val p = plan("q73_importance_weights")
     assert(!p.contains("CartesianProduct"), "never an all-pairs stage")

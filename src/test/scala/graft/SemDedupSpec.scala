@@ -160,6 +160,50 @@ class SemDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("maxCellSize caps the pair join to the cell core and auto-keeps the tail") {
+    // cell 0 by centroid-cosine rank: 0 (1.0), 2 (~.9950), 3 (~.9929),
+    // 4 (~.8944), 5 (~.8871). Near-dup pairs: (2,3) and (4,5), both
+    // cos > 0.999; nothing else reaches tau. cap=3 -> core {0,2,3}:
+    // the core pair still dedups (2 is closer, drops), the tail pair
+    // (4,5) is never formed and BOTH survive.
+    val emb = corpus(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0f, 1f, 0f, 0f),
+      2L -> Seq(1f, 0.10f, 0f, 0f),
+      3L -> Seq(1f, 0.12f, 0f, 0f),
+      4L -> Seq(1f, 0.50f, 0f, 0f),
+      5L -> Seq(1f, 0.52f, 0f, 0f)))
+    def run(cap: Option[Int]) =
+      EmbeddingQueries.semanticDedup(emb, nSeeds = 2, tau = 0.999, maxCellSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(run(Some(3)) == Seq((0L, 5L, 4L, 1L), (1L, 1L, 1L, 0L)),
+      "capped: core pair drops its closer member, tail pair is auto-kept")
+    // uncapped ALSO drops 4 (closer than 5 to the centroid)...
+    assert(run(None) == Seq((0L, 5L, 3L, 2L), (1L, 1L, 1L, 0L)))
+    // ...and a cap at least the cell size reproduces it exactly
+    assert(run(Some(10)) == run(None), "cap >= cell size must be the identity")
+    intercept[IllegalArgumentException] {
+      EmbeddingQueries.semanticDedup(emb, nSeeds = 2, tau = 0.999, maxCellSize = Some(0))
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("registry q76 runs on testdata; cap only ever keeps more than q72") {
+    def acct(q: String) =
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val capped = acct("q76_semantic_dedup_capped")
+    val exact = acct("q72_semantic_dedup")
+    assert(capped.keySet == exact.keySet, "same cell partition")
+    capped.foreach { case (cell, (n, k, d)) =>
+      assert(k + d == n, s"cell $cell: kept $k + dropped $d != $n")
+      val (en, ek, _) = exact(cell)
+      assert(n == en, s"cell $cell: n_vecs must match q72")
+      assert(k >= ek, s"cell $cell: the cap can only ADD survivors (got $k < $ek)")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("kmeansRefine rejects an unbounded sweep count") {
     val emb = corpus(Seq(0L -> Seq(1f, 0f)))
     intercept[IllegalArgumentException] {
