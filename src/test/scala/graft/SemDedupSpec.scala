@@ -157,6 +157,20 @@ class SemDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq((0L, 4L, 3L, 1L), (1L, 3L, 2L, 1L)),
       s"one near-dup drop inside each refined cell: ${out.toSeq}")
+    // the cap composes with refined cells: capping at the full cell
+    // size changes nothing, and a cap of 1 leaves nothing to pair —
+    // every member auto-kept
+    val capped = EmbeddingQueries
+      .semanticDedupInCells(base.join(cells, Seq("vec_id")), tau = 0.999,
+        maxCellSize = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(capped.toSeq == out.toSeq, "cap >= refined cell size is the identity")
+    val solo = EmbeddingQueries
+      .semanticDedupInCells(base.join(cells, Seq("vec_id")), tau = 0.999,
+        maxCellSize = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(solo.toSeq == Seq((0L, 4L, 4L, 0L), (1L, 3L, 3L, 0L)),
+      s"a 1-member core can form no pairs — everything survives: ${solo.toSeq}")
     spark.catalog.clearCache()
   }
 
