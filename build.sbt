@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes through sbt's logger by default, which
+// prefixes every line with "[info] " — the driver's bench parser reads
+// raw JSON lines from stdout, and that prefix is the one variable the
+// emit-side experiments (Bench's tail-positioned legacy line) could not
+// rule out. StdoutOutput hands the forked JVM's stdout through verbatim.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -47,6 +47,7 @@ object Bench {
       "q72_semantic_dedup", // in-cell pair join, ~1.8 s cold (r13) — shielded like its peers
       "q73_importance_weights", // full gram explode + 2 doc aggs, ~3.2 s cold (r13)
       "q75_kmeans_refine", // 3 fused-assignment passes + 2 centroid aggs (r13)
+      "q77_semantic_dedup_refined", // q75's sweeps + q76's capped pair join composed (r14)
       "q21_top_revenue_orders",
       "q22_region_revenue", "q16_flatten_arrays", "q12_upsert_latest",
       "q39_topk_aggregator", "q14_summary_metrics", "q26_priority_top3",

@@ -100,7 +100,11 @@ object ScaleSoak {
       val df = extraRunners.getOrElse(q, SparkEntry.queries(q))(spark, d)
       // row count for the audit line rides the SAME noop materialization
       // via an Observation — a bare df.count() here would re-execute the
-      // whole query a second time (uncached), doubling the soak's cost
+      // whole query a second time (uncached), doubling the soak's cost.
+      // The CollectMetrics node rides INSIDE the timed plan (it can sit
+      // above the final WholeStageCodegen), so soak timings are not
+      // query-for-query comparable to Bench's (observe-free) accounting
+      // of the same queries — compare soak-to-soak ratios only
       val obs = org.apache.spark.sql.Observation()
       df.observe(obs, count(lit(1)).as("rows"))
         .write.format("noop").mode("overwrite").save()

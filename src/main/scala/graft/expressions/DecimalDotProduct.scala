@@ -1,10 +1,10 @@
 package graft.expressions
 
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Exact, order-independent dot product of two array<double> columns:
   * each elementwise product is rounded to DECIMAL(27,12) (HALF_UP via
@@ -70,7 +70,13 @@ object DecimalDot {
 }
 
 case class DecimalDotProduct(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ImplicitCastInputTypes {
+  // Same contract as QuantDotProduct: declared array<double> inputs stop
+  // the SQL surface (`decimal_dot`) from reading a float-backed array
+  // with the wrong stride — analysis widens float->double (exact) or
+  // rejects incompatible argument types outright
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any): Any =

@@ -1,9 +1,9 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Tie-free quantized dot product of two array<double> columns: every
   * elementwise product is floored onto the 1e-12 grid with pure IEEE
@@ -46,7 +46,14 @@ object QuantDot {
 }
 
 case class QuantDotProduct(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ImplicitCastInputTypes {
+  // Declared input types matter for the SQL surface (`quant_dot`): an
+  // undeclared array<float> argument would make ArrayData.getDouble read
+  // the float-backed array with the wrong element stride and silently
+  // return garbage. With the declaration, analysis inserts a
+  // float->double widening cast (exact) — or fails on incompatible types
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any): Any =

@@ -24,6 +24,11 @@ import graft.engine.{CacheScope, Tables}
   * per-pair shuffle — at corpus scale each candidate pair costs O(dim)
   * in-register work instead of a 64-row join.
   *
+  * The search queries (q45–q48) quantize through the DECIMAL(27,12)
+  * cast; the dedup/k-means family (q72, q75–q77) RANKS on its cosines
+  * (loser direction, cap boundary, assignment), so it uses the tie-free
+  * IEEE-floor quantized kernel instead — see [[qdotCol]].
+  *
   * "Hyperplanes"/centroids are the first `nSeeds` vectors by vec_id —
   * deterministic stand-ins for seeded random projections, so both engines
   * and every rerun agree.
@@ -79,9 +84,15 @@ object EmbeddingQueries {
   private val sqlVecs =
     s"vecs AS (SELECT vec_id, embedding AS v, sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings)"
 
+  /** [[sqlVecs]] under the tie-free quantized kernel (mirrors the
+    * Spark-side `qdotCol` norm the semantic-dedup family computes). */
+  private val sqlVecsQ =
+    s"vecs AS (SELECT vec_id, embedding AS v, sqrt(${sqlQDot("embedding", "embedding")}) AS nrm FROM embeddings)"
+
   /** One Lloyd sweep as oracle CTEs (mirrors [[refineOnce]]): a$i =
     * nearest-centroid assignment under c${i-1}; s$i = per-(cell, dim)
-    * decimal sums (the partition-order-independent accounting); m$i =
+    * exact-long (1e-12-quantized) sums (the partition-order-independent
+    * accounting); m$i =
     * per-cell means reassembled in dim order; c$i = the full seed-key
     * list with empty cells inheriting the previous centroid. */
   private def sqlKmeansIter(i: Int): String = {
@@ -257,12 +268,20 @@ object EmbeddingQueries {
     // production-style 0.9+ threshold would never exercise the drop path
     // in the oracle gate. The semantics are tau-independent (SemDedupSpec
     // pins them on a hand-built corpus); production calls pick 0.9+.
+    //
+    // Every cosine (norms, assignment, pair) goes through the tie-free
+    // quantized kernel (see [[qdotCol]]), not the decimal cast: the
+    // dedup family RANKS on these values — loser direction, and q76's
+    // cap boundary — so a half-quantum tie whose rounding direction
+    // engines disagree on (~1 in 1e6 decimal-cast products at sf0.01)
+    // would amplify into whole-cell accounting mismatches. The floor
+    // construction has no such tie.
     "q72_semantic_dedup" -> Q(
       (s, d) => semanticDedup(Tables.embeddings(s, d), nSeeds, tau = 0.45),
-      s"""WITH $sqlVecs,
+      s"""WITH $sqlVecsQ,
          |ccos AS (
          |  SELECT x.vec_id AS v_id, c.vec_id AS cent,
-         |         ${sqlDot("x.v", "c.v")} / (x.nrm * c.nrm) AS ccos
+         |         ${sqlQDot("x.v", "c.v")} / (x.nrm * c.nrm) AS ccos
          |  FROM vecs x JOIN vecs c ON c.vec_id < $nSeeds),
          |assign AS (
          |  SELECT v_id AS vec_id, cent AS cell, ccos
@@ -274,7 +293,7 @@ object EmbeddingQueries {
          |losers AS (
          |  SELECT DISTINCT CASE WHEN a.ccos <= b.ccos THEN b.vec_id ELSE a.vec_id END AS vec_id
          |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.45),
+         |  WHERE ${sqlQDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.45),
          |kept AS (
          |  SELECT cell, COUNT(*) AS n_kept FROM assign
          |  WHERE vec_id NOT IN (SELECT vec_id FROM losers) GROUP BY 1)
@@ -293,10 +312,10 @@ object EmbeddingQueries {
     "q76_semantic_dedup_capped" -> Q(
       (s, d) => semanticDedup(Tables.embeddings(s, d), nSeeds, tau = 0.45,
         maxCellSize = Some(semDedupCap)),
-      s"""WITH $sqlVecs,
+      s"""WITH $sqlVecsQ,
          |ccos AS (
          |  SELECT x.vec_id AS v_id, c.vec_id AS cent,
-         |         ${sqlDot("x.v", "c.v")} / (x.nrm * c.nrm) AS ccos
+         |         ${sqlQDot("x.v", "c.v")} / (x.nrm * c.nrm) AS ccos
          |  FROM vecs x JOIN vecs c ON c.vec_id < $nSeeds),
          |assign AS (
          |  SELECT v_id AS vec_id, cent AS cell, ccos
@@ -312,7 +331,7 @@ object EmbeddingQueries {
          |losers AS (
          |  SELECT DISTINCT CASE WHEN a.ccos <= b.ccos THEN b.vec_id ELSE a.vec_id END AS vec_id
          |  FROM core a JOIN core b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.45),
+         |  WHERE ${sqlQDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.45),
          |kept AS (
          |  SELECT cell, COUNT(*) AS n_kept FROM assign
          |  WHERE vec_id NOT IN (SELECT vec_id FROM losers) GROUP BY 1)
@@ -374,7 +393,48 @@ object EmbeddingQueries {
          |         row_number() OVER (PARTITION BY x.vec_id
          |           ORDER BY ${sqlQDot("x.v", "c.cv")} / (x.nrm * c.cnrm) DESC, c.cell ASC) AS rn
          |  FROM vecs x CROSS JOIN c$kmeansIters c) z
-         |WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+
+    // The COMPOSED published recipe under the oracle: q75's Lloyd
+    // refinement feeding q76's capped within-cell dedup — cluster, then
+    // dedup inside the REFINED cells (see [[semanticDedupRefined]]).
+    // The oracle restates q75's full sweep chain (same CTEs, transitively
+    // hash-pinned there) and then q76's core/losers/kept accounting over
+    // the refined assignment, all under the tie-free quantized kernel —
+    // so this row pins the composition itself, not just the two halves.
+    "q77_semantic_dedup_refined" -> Q(
+      (s, d) => semanticDedupRefined(Tables.embeddings(s, d), nSeeds, kmeansIters,
+        tau = 0.45, maxCellSize = Some(semDedupCap)),
+      s"""WITH $sqlVecsQ,
+         |c0 AS (
+         |  SELECT vec_id AS cell, list_transform(v, y -> CAST(y AS DOUBLE)) AS cv, nrm AS cnrm
+         |  FROM vecs WHERE vec_id < $nSeeds),
+         |${(1 to kmeansIters).map(sqlKmeansIter).mkString(",\n")},
+         |assign AS (
+         |  SELECT vec_id, cell, ccos, v, nrm FROM (
+         |    SELECT x.vec_id, c.cell,
+         |           ${sqlQDot("x.v", "c.cv")} / (x.nrm * c.cnrm) AS ccos,
+         |           x.v, x.nrm,
+         |           row_number() OVER (PARTITION BY x.vec_id
+         |             ORDER BY ${sqlQDot("x.v", "c.cv")} / (x.nrm * c.cnrm) DESC, c.cell ASC) AS rn
+         |    FROM vecs x CROSS JOIN c$kmeansIters c) z
+         |  WHERE rn = 1),
+         |core AS (
+         |  SELECT vec_id, cell, ccos, v, nrm
+         |  FROM (SELECT assign.*, row_number() OVER (PARTITION BY cell ORDER BY ccos DESC, vec_id ASC) AS cr FROM assign) z
+         |  WHERE cr <= $semDedupCap),
+         |losers AS (
+         |  SELECT DISTINCT CASE WHEN a.ccos <= b.ccos THEN b.vec_id ELSE a.vec_id END AS vec_id
+         |  FROM core a JOIN core b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${sqlQDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.45),
+         |kept AS (
+         |  SELECT cell, COUNT(*) AS n_kept FROM assign
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM losers) GROUP BY 1)
+         |SELECT t.cell, t.n_vecs, COALESCE(k.n_kept, 0) AS n_kept,
+         |       t.n_vecs - COALESCE(k.n_kept, 0) AS n_dropped
+         |FROM (SELECT cell, COUNT(*) AS n_vecs FROM assign GROUP BY 1) t
+         |LEFT JOIN kept k ON k.cell = t.cell
+         |ORDER BY t.cell""".stripMargin)
   )
 
   /** SemDeDup-style semantic dedup over an embeddings table (vec_id,
@@ -402,9 +462,9 @@ object EmbeddingQueries {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     val base = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
+      .withColumn("nrm", sqrt(qdotCol(col("v"), col("v"))))
     val assign = base.crossJoin(broadcast(centsPack(base, nSeeds)))
-      .withColumn("best", array_max(scoredCells(nSeeds, dotCol)))
+      .withColumn("best", array_max(scoredCells(nSeeds, qdotCol)))
       .select(col("vec_id"), col("v"), col("nrm"),
         (-col("best.negk")).cast("long").as("cell"), col("best.ccos").as("ccos"))
     semanticDedupInCells(assign, tau, scope, maxCellSize)
@@ -460,7 +520,7 @@ object EmbeddingQueries {
     // distance -> the higher id (= b) loses
     val losers = a.join(b, Seq("cell"))
       .where(col("id_a") < col("id_b"))
-      .where(dotCol(col("va"), col("vb")) / (col("na") * col("nb")) >= tau)
+      .where(qdotCol(col("va"), col("vb")) / (col("na") * col("nb")) >= tau)
       .select(when(col("ccos_a") <= col("ccos_b"), col("id_b"))
         .otherwise(col("id_a")).as("vec_id"))
       .distinct()
@@ -587,12 +647,24 @@ object EmbeddingQueries {
     * Scale shape per sweep: one narrow fused-projection assignment
     * against the broadcast nSeeds-row centroid pack (no row
     * multiplication, no window), one map-side-combined (cell, dim)
-    * decimal aggregation (collapses to nSeeds·dim groups before the
-    * exchange), one nSeeds-row repack. The corpus never shuffles; the
+    * exact-long (1e-12-quantized) aggregation (collapses to nSeeds·dim
+    * groups before the exchange), one nSeeds-row repack. The corpus never shuffles; the
     * sweep count is a bounded parameter (the production recipe runs a
     * few sweeps — convergence-to-fixpoint looping belongs in a driver
     * harness, not a query plan, which is why `iters` is capped). */
-  def kmeansRefine(emb: DataFrame, nSeeds: Int = 8, iters: Int = 2): DataFrame = {
+  def kmeansRefine(emb: DataFrame, nSeeds: Int = 8, iters: Int = 2): DataFrame =
+    kmeansAssign(emb, nSeeds, iters)
+      .select(col("vec_id"), col("cell"), col("ccos"))
+
+  /** [[kmeansRefine]]'s refined assignment CARRYING the vectors:
+    * (vec_id, v, nrm, cell, ccos) — exactly the input shape
+    * [[semanticDedupInCells]] wants, so the composed SemDeDup recipe
+    * plugs the two together without ever joining the corpus back onto
+    * itself on vec_id (the join a "return the narrow assignment, then
+    * re-attach vectors" formulation would pay: two corpus-scale shuffle
+    * sides for data this side of the plan already has in hand). q75
+    * reads the narrow projection; Catalyst prunes v/nrm there. */
+  def kmeansAssign(emb: DataFrame, nSeeds: Int = 8, iters: Int = 2): DataFrame = {
     require(iters >= 1 && iters <= 4, s"iters unrolls the plan; keep it in [1,4], got $iters")
     val base = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -601,9 +673,30 @@ object EmbeddingQueries {
     val cFinal = (1 to iters).foldLeft(c0)((prev, _) => refineOnce(base, prev, nSeeds))
     base.crossJoin(broadcast(cFinal))
       .withColumn("best", array_max(scoredCells(nSeeds, qdotCol)))
-      .select(col("vec_id"), (-col("best.negk")).cast("long").as("cell"),
-        col("best.ccos").as("ccos"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (-col("best.negk")).cast("long").as("cell"), col("best.ccos").as("ccos"))
   }
+
+  /** The published SemDeDup pipeline end-to-end (Abbas et al.,
+    * arXiv:2303.09540): k-means-cluster the corpus ([[kmeansAssign]],
+    * `iters` Lloyd sweeps from the deterministic seeds), then dedup
+    * within the REFINED cells ([[semanticDedupInCells]]) — the seeded
+    * one-pass [[semanticDedup]] is this recipe at zero sweeps. Same
+    * loser rule, accounting schema, cap semantics, and (tie-free
+    * quantized) numeric contract as q72/q76, so all three are directly
+    * diffable; SemDedupSpec pins a corpus where the refinement step
+    * changes a keep/drop decision the seeded cells cannot see (a
+    * near-dup pair straddling a seed boundary that the refined
+    * boundary no longer splits).
+    *
+    * Scale shape: kmeansAssign's sweeps never shuffle the corpus (see
+    * [[kmeansRefine]]); the one corpus-scale exchange in the whole
+    * recipe is the cell-keyed pair self-join, which the persisted
+    * assignment feeds from a single evaluation. */
+  def semanticDedupRefined(emb: DataFrame, nSeeds: Int, iters: Int, tau: Double,
+                           scope: CacheScope = CacheScope.untracked,
+                           maxCellSize: Option[Int] = None): DataFrame =
+    semanticDedupInCells(kmeansAssign(emb, nSeeds, iters), tau, scope, maxCellSize)
 
   /** IVF-style coarse-quantized top-k: assign every vector to its nearest
     * centroid (the first `nSeeds` vectors, deterministic), then answer

@@ -292,6 +292,26 @@ class PlanAuditSpec extends SparkSpec {
       "per-(cell, dim) decimal centroid sums must combine map-side before the exchange")
   }
 
+  test("q77 composed semantic dedup: sweeps never shuffle the corpus into a join; pair join is cell-keyed off ONE cached assignment") {
+    val p = plan("q77_semantic_dedup_refined")
+    assert(!p.contains("CartesianProduct"), "never an all-pairs stage")
+    // unlike q75 (which pins ZERO shuffle joins), the composed recipe
+    // legitimately has exactly one corpus-scale shuffle join: the
+    // cell-keyed pair self-join. It must be an equi-join...
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"),
+      "the cell pair join must be an equi-join, not a nested loop")
+    // ...fed from ONE persisted evaluation of the refined assignment —
+    // without the cache, each of the four consumer branches would re-run
+    // the full iters+1 Lloyd sweep chain over the corpus
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "the pair join must read the cached refined assignment")
+    assert(p.contains("Window") && p.contains("row_number"),
+      "the cap is a deterministic per-cell rank, not a sample")
+    assert(p.contains("partial_sum"),
+      "per-(cell, dim) centroid sums must combine map-side before the exchange")
+  }
+
   test("q74 rule filters: narrow map — no join, no aggregate, only the output sort exchanges") {
     val p = plan("q74_rule_filters")
     assert(!p.contains("Join") && !p.contains("HashAggregate"),

@@ -202,6 +202,54 @@ class SemDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("composed recipe (q77): refinement merges a seed-straddling near-dup pair the seeded cells split") {
+    // Near-dup pair (2,3) straddles the SEED boundary: seed 0 sits at 0°,
+    // seed 1 at 53.1°, so the seeded decision boundary is ~26.6° — vec 2
+    // (25.8°) goes to cell 0, vec 3 (27.3°) to cell 1, the pair never
+    // meets, and one-pass semanticDedup drops nothing. Two Lloyd sweeps
+    // drag centroid 1 onto the y bulk (~80°) and centroid 0 toward the
+    // pair (~18°); both members then share the refined cell 0 and the
+    // composed recipe drops the closer-to-centroid member (vec 2,
+    // ccos ~.990 vs vec 3's ~.986). This is the decision the published
+    // recipe's clustering step exists to enable — pinned end to end.
+    val emb = corpus(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0.6f, 0.8f, 0f, 0f),
+      2L -> Seq(0.9003f, 0.4352f, 0f, 0f),   // 25.8°; cos(2,3) ~ 0.99966
+      3L -> Seq(0.8886f, 0.4586f, 0f, 0f),   // 27.3°
+      4L -> Seq(0f, 1f, 0f, 0f),             // y bulk (all pairwise < tau)
+      5L -> Seq(0.05f, 1f, 0f, 0f),
+      6L -> Seq(0f, 1f, 0.05f, 0f)))
+    val seeded = EmbeddingQueries.semanticDedup(emb, nSeeds = 2, tau = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(seeded.map(_._4).sum == 0L,
+      s"the seeded cells split the only near-dup pair — nothing may drop: ${seeded.toSeq}")
+    val refined = EmbeddingQueries
+      .semanticDedupRefined(emb, nSeeds = 2, iters = 2, tau = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(refined.toSeq == Seq((0L, 3L, 2L, 1L), (1L, 4L, 4L, 0L)),
+      s"refined cell 0 = {0,2,3} must drop exactly the closer pair member: ${refined.toSeq}")
+    spark.catalog.clearCache()
+  }
+
+  test("registry q77 runs on testdata and accounts the corpus exactly once over refined cells") {
+    val out = SparkEntry.queries("q77_semantic_dedup_refined")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001").count()
+    assert(out.map(_._2).sum == total, "refined cells must partition the corpus")
+    out.foreach { case (cell, n, k, d) =>
+      assert(k + d == n, s"cell $cell: kept $k + dropped $d != $n")
+      assert(k >= 1, s"cell $cell: at least its least-central member survives")
+    }
+    // the refined partition must actually differ from the seeded one —
+    // otherwise q77 is q76 with extra steps on this corpus
+    val seeded = SparkEntry.queries("q76_semantic_dedup_capped")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(r => r._1 -> r._2).toMap != seeded,
+      "two Lloyd sweeps must move at least one vector across cells on this corpus")
+    spark.catalog.clearCache()
+  }
+
   test("registry q76 runs on testdata; cap only ever keeps more than q72") {
     def acct(q: String) =
       SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")

@@ -258,10 +258,9 @@ class SqlSurfaceSpec extends SparkSpec {
     val viaDf = Tables.documents(spark, sf).select(col("doc_id"),
       Exprs.winnowFingerprints(col("text"), 8, 4).as("fp"))
     assertSame(viaSql, viaDf)
-    // the kernel contract is array<double> (EmbeddingQueries casts at
-    // the projection; an implicit cast would push float->double widening
-    // into the dictionary-encoded scan, which the vectorized reader
-    // rejects)
+    // the kernel contract is array<double>; EmbeddingQueries casts
+    // explicitly at the projection, and the declared inputTypes cover
+    // the undeclared-SQL path (pinned by the float-array test below)
     val dotSql = spark.sql(
       """SELECT vec_id, decimal_dot(v, v) AS sq
         |FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings)""".stripMargin)
@@ -276,5 +275,27 @@ class SqlSurfaceSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), Exprs.quantDot(col("v"), col("v")).as("sq"))
     assertSame(qdotSql, qdotDf)
+  }
+
+  test("dot kernels on a raw float array: analysis widens, never a wrong-stride read") {
+    // Without declared inputTypes, calling the SQL functions on the
+    // embeddings table's native array<float> made ArrayData.getDouble
+    // read the float-backed array at the wrong element stride — silent
+    // garbage. The declared array<double> contract makes analysis insert
+    // the (exact) float->double widening cast instead, so the undeclared
+    // form now equals the explicitly-cast form bit-for-bit.
+    ready
+    for (fn <- Seq("quant_dot", "decimal_dot")) {
+      val bare = spark.sql(
+        s"SELECT vec_id, $fn(embedding, embedding) AS sq FROM embeddings")
+      val cast = spark.sql(
+        s"""SELECT vec_id, $fn(v, v) AS sq
+           |FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings)""".stripMargin)
+      assertSame(bare, cast)
+    }
+    // incompatible element types fail at analysis, not at runtime
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT quant_dot(array('a', 'b'), array('c', 'd'))").collect()
+    }
   }
 }
