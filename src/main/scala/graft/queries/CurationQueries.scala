@@ -101,6 +101,13 @@ object CurationQueries {
     * rare URL-token bigrams, so the ceiling separates the two
     * populations with wide margin at every scale. Budget 400: keeps a
     * strict, non-trivial per-source subset at sf0.01 (q64's device). */
+  /** q78 semantic-stage cosine threshold. Lower than q72/q76/q77's
+    * pure-embedding 0.45: the stage sees only TEXT-dedup survivors, so
+    * the densest embedding near-dups (which co-occur with exact/near
+    * text replicas in the synthetic corpus) are already gone — 0.35
+    * keeps a non-trivial drop population among the survivors at every
+    * sf, so the oracle distinguishes the stage from a no-op. */
+  private val semStageTau = 0.35
   private val stageMinDf = 30L
   private val stageQualityFloor = 0.6
   private val stageMaxRarity = 0.5
@@ -636,6 +643,81 @@ object CurationQueries {
          |  UNION ALL SELECT 6, 'rarity', COUNT(*) FROM st6
          |  UNION ALL SELECT 7, 'budget', COUNT(*) FROM st7
          |) ORDER BY stage_no""".stripMargin),
+
+    // The semantic-dedup stage composed INTO the curation pipeline
+    // (r13 verdict #4): the default text chain (exact dedup → near-dup
+    // → quality floor) with the embedding-keyed SemDeDup stage between
+    // near-dup and quality — cells trained on the FULL embeddings
+    // table by q77's exact Lloyd chain, pair join among CURRENT
+    // SURVIVORS only (the near-dup stage's content-loss rule), keyed
+    // doc_id = vec_id (the driver's tables align 1:1). The oracle
+    // restates the whole composition: q37's dedup chain (sig CTEs
+    // namespaced "n" — the kmeans CTEs claim s1/s2 of their own),
+    // q77's sweep + assignment CTEs verbatim, the survivor-restricted
+    // capped pair join, and the same per-stage counts
+    // TextQueries.curationStageCounts derives from the frames
+    // curatedDocsOf returns — so the row gates the stage's placement
+    // and survivor restriction, not just the dedup arithmetic.
+    "q78_semantic_curation_stages" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        TextQueries.curationStageCounts(Tables.documents(s, d),
+          TextQueries.CurationStages(
+            semanticDedup = Some(TextQueries.SemanticDedupStage(
+              emb, tau = semStageTau,
+              nSeeds = EmbeddingQueries.nSeeds,
+              iters = EmbeddingQueries.kmeansIters,
+              maxCellSize = Some(EmbeddingQueries.semDedupCap)))))
+      },
+      s"""WITH ${TextQueries.sqlSigCtesFrom("documents", "n")},
+         |canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |sigc AS (SELECT * FROM nsig WHERE doc_id IN (SELECT doc_id FROM canon)),
+         |tlosers AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM (
+         |${Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (i, j) =>
+             s"""    SELECT b.doc_id AS doc_b,
+                |           ${(0 until 8).map(k => s"CAST(a.h$k = b.h$k AS INTEGER)").mkString(" + ")} AS matches
+                |    FROM sigc a JOIN sigc b ON a.h$i = b.h$i AND a.h$j = b.h$j AND a.doc_id < b.doc_id""".stripMargin
+           }.mkString("\n    UNION ALL\n")}
+         |  ) z WHERE matches / 8e0 >= 0.5),
+         |st2 AS (SELECT doc_id FROM canon
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM tlosers)),
+         |${EmbeddingQueries.sqlVecsQ},
+         |c0 AS (
+         |  SELECT vec_id AS cell, list_transform(v, y -> CAST(y AS DOUBLE)) AS cv, nrm AS cnrm
+         |  FROM vecs WHERE vec_id < ${EmbeddingQueries.nSeeds}),
+         |${(1 to EmbeddingQueries.kmeansIters).map(EmbeddingQueries.sqlKmeansIter).mkString(",\n")},
+         |assign AS (
+         |  SELECT vec_id, cell, ccos, v, nrm FROM (
+         |    SELECT x.vec_id, c.cell,
+         |           ${EmbeddingQueries.sqlQDot("x.v", "c.cv")} / (x.nrm * c.cnrm) AS ccos,
+         |           x.v, x.nrm,
+         |           row_number() OVER (PARTITION BY x.vec_id
+         |             ORDER BY ${EmbeddingQueries.sqlQDot("x.v", "c.cv")} / (x.nrm * c.cnrm) DESC, c.cell ASC) AS rn
+         |    FROM vecs x CROSS JOIN c${EmbeddingQueries.kmeansIters} c) z
+         |  WHERE rn = 1),
+         |asurv AS (SELECT * FROM assign WHERE vec_id IN (SELECT doc_id FROM st2)),
+         |core AS (
+         |  SELECT vec_id, cell, ccos, v, nrm
+         |  FROM (SELECT asurv.*, row_number() OVER (PARTITION BY cell ORDER BY ccos DESC, vec_id ASC) AS cr FROM asurv) z
+         |  WHERE cr <= ${EmbeddingQueries.semDedupCap}),
+         |slosers AS (
+         |  SELECT DISTINCT CASE WHEN a.ccos <= b.ccos THEN b.vec_id ELSE a.vec_id END AS vec_id
+         |  FROM core a JOIN core b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${EmbeddingQueries.sqlQDot("a.v", "b.v")} / (a.nrm * b.nrm) >= $semStageTau),
+         |st3 AS (SELECT doc_id FROM st2
+         |        WHERE doc_id NOT IN (SELECT vec_id FROM slosers)),
+         |qd AS (${TextQueries.sqlQualityDocsFrom("documents")}),
+         |st4 AS (SELECT doc_id FROM qd
+         |        WHERE doc_id IN (SELECT doc_id FROM st3) AND quality >= 0.5)
+         |SELECT stage_no, stage, n_docs FROM (
+         |  SELECT 0 AS stage_no, 'input' AS stage, COUNT(*) AS n_docs FROM documents
+         |  UNION ALL SELECT 1, 'exact_dedup', COUNT(*) FROM canon
+         |  UNION ALL SELECT 2, 'near_dup', COUNT(*) FROM st2
+         |  UNION ALL SELECT 3, 'semantic_dedup', COUNT(*) FROM st3
+         |  UNION ALL SELECT 4, 'quality', COUNT(*) FROM st4
+         |) z ORDER BY stage_no""".stripMargin),
 
     // Span-level decontamination ([[decontaminateSpans]]): q54 FLAGS
     // docs overlapping the benchmark; this REMOVES the overlapping

@@ -35,19 +35,19 @@ import graft.engine.{CacheScope, Tables}
   */
 object EmbeddingQueries {
 
-  private val dim = 64
-  private val nSeeds = 8
+  private[queries] val dim = 64
+  private[queries] val nSeeds = 8
   private val nQueries = 10
   private val D12 = DecimalType(27, 12)
   /** q75: Lloyd sweeps — 2 is the published SemDeDup-style recipe shape
     * (a few refinement passes, then one assignment); the plan unrolls
     * one aggregation round per sweep, so the count is deliberately
     * small and bounded in [[kmeansRefine]]. */
-  private val kmeansIters = 2
+  private[queries] val kmeansIters = 2
   /** q76: per-cell pair-join cap — at sf0.01 cells hold ~60 members, so
     * 32 genuinely excludes tail members and the oracle distinguishes
     * the capped accounting from q72's. */
-  private val semDedupCap = 32
+  private[queries] val semDedupCap = 32
   /** q75 centroid-sum quantum: elements quantize onto the 1e-12 grid by
     * the tie-free IEEE floor construction (see [[qdotCol]]) and sum as
     * exact BIGINTs. Exactness bound: |Σ element| per (cell, dim) must
@@ -86,7 +86,7 @@ object EmbeddingQueries {
 
   /** [[sqlVecs]] under the tie-free quantized kernel (mirrors the
     * Spark-side `qdotCol` norm the semantic-dedup family computes). */
-  private val sqlVecsQ =
+  private[queries] val sqlVecsQ =
     s"vecs AS (SELECT vec_id, embedding AS v, sqrt(${sqlQDot("embedding", "embedding")}) AS nrm FROM embeddings)"
 
   /** One Lloyd sweep as oracle CTEs (mirrors [[refineOnce]]): a$i =
@@ -95,7 +95,7 @@ object EmbeddingQueries {
     * accounting); m$i =
     * per-cell means reassembled in dim order; c$i = the full seed-key
     * list with empty cells inheriting the previous centroid. */
-  private def sqlKmeansIter(i: Int): String = {
+  private[queries] def sqlKmeansIter(i: Int): String = {
     val prev = s"c${i - 1}"
     s"""a$i AS (
        |  SELECT vec_id, v, cell FROM (
@@ -460,14 +460,23 @@ object EmbeddingQueries {
                     scope: CacheScope = CacheScope.untracked,
                     maxCellSize: Option[Int] = None): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    semanticDedupInCells(seededAssign(emb, nSeeds), tau, scope, maxCellSize)
+  }
+
+  /** The deterministic seeded-cell assignment (vec_id, v, nrm, cell,
+    * ccos) that [[semanticDedup]] deduplicates within — [[kmeansAssign]]
+    * at zero refinement sweeps (same chooser, same quantized kernel,
+    * centroids = the raw seed vectors). Factored out so the curation
+    * stage ([[TextQueries.SemanticDedupStage]] with `iters = 0`) can
+    * reuse the exact assignment q72 is oracle-pinned on. */
+  private[queries] def seededAssign(emb: DataFrame, nSeeds: Int): DataFrame = {
     val base = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(qdotCol(col("v"), col("v"))))
-    val assign = base.crossJoin(broadcast(centsPack(base, nSeeds)))
+    base.crossJoin(broadcast(centsPack(base, nSeeds)))
       .withColumn("best", array_max(scoredCells(nSeeds, qdotCol)))
       .select(col("vec_id"), col("v"), col("nrm"),
         (-col("best.negk")).cast("long").as("cell"), col("best.ccos").as("ccos"))
-    semanticDedupInCells(assign, tau, scope, maxCellSize)
   }
 
   /** The within-cell half of [[semanticDedup]] over a PRECOMPUTED cell
@@ -506,6 +515,25 @@ object EmbeddingQueries {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     maxCellSize.foreach(c => require(c >= 1, s"maxCellSize must be >= 1, got $c"))
     val assign = scope.persist(assign0)
+    val losers = losersInCells(assign, tau, maxCellSize)
+    val kept = assign.join(losers, Seq("vec_id"), "left_anti")
+    assign.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      .join(kept.groupBy(col("cell")).agg(count(lit(1)).as("n_kept")), Seq("cell"), "left")
+      .select(col("cell"), col("n_vecs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_vecs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .orderBy(col("cell"))
+  }
+
+  /** The within-cell pair rule's loser set over an already-persisted
+    * assignment — the single statement of the SemDeDup keep/drop
+    * decision [[semanticDedupInCells]] accounts for and
+    * [[semanticLosers]] exposes: same-cell pairs at cosine >= `tau`
+    * (capped to each cell's `maxCellSize` highest-centroid-cosine core
+    * when set), the member CLOSER to the centroid loses, ties on
+    * centroid-cosine drop the higher vec_id. */
+  private def losersInCells(assign: DataFrame, tau: Double,
+                            maxCellSize: Option[Int]): DataFrame = {
     val core = maxCellSize match {
       case Some(c) =>
         val w = Window.partitionBy(col("cell")).orderBy(col("ccos").desc, col("vec_id"))
@@ -518,19 +546,28 @@ object EmbeddingQueries {
       col("nrm").as("nb"), col("cell"), col("ccos").as("ccos_b"))
     // pair (a < b): the member closer to the centroid loses; equal
     // distance -> the higher id (= b) loses
-    val losers = a.join(b, Seq("cell"))
+    a.join(b, Seq("cell"))
       .where(col("id_a") < col("id_b"))
       .where(qdotCol(col("va"), col("vb")) / (col("na") * col("nb")) >= tau)
       .select(when(col("ccos_a") <= col("ccos_b"), col("id_b"))
         .otherwise(col("id_a")).as("vec_id"))
       .distinct()
-    val kept = assign.join(losers, Seq("vec_id"), "left_anti")
-    assign.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
-      .join(kept.groupBy(col("cell")).agg(count(lit(1)).as("n_kept")), Seq("cell"), "left")
-      .select(col("cell"), col("n_vecs"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_vecs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
-      .orderBy(col("cell"))
+  }
+
+  /** Dropped vec_ids of the within-cell pass — the decision set itself
+    * rather than [[semanticDedupInCells]]'s per-cell accounting, for
+    * callers that consume the keep/drop outcome (the curation
+    * pipeline's semantic stage anti-joins the survivors against this).
+    * Same contract as [[semanticDedupInCells]]: `assign0` carries
+    * (vec_id, v, nrm, cell, ccos) and is persisted here (it feeds both
+    * pair-join sides); pass a tracking [[CacheScope]] to release the
+    * blocks. */
+  def semanticLosers(assign0: DataFrame, tau: Double,
+                     scope: CacheScope = CacheScope.untracked,
+                     maxCellSize: Option[Int] = None): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    maxCellSize.foreach(c => require(c >= 1, s"maxCellSize must be >= 1, got $c"))
+    losersInCells(scope.persist(assign0), tau, maxCellSize)
   }
 
   /** q75's quantized dot product: every elementwise product is floored
@@ -554,7 +591,7 @@ object EmbeddingQueries {
     graft.expressions.Exprs.quantDot(a, b)
 
   /** SQL mirror of [[qdotCol]] over two DOUBLE[]/FLOAT[] columns. */
-  private def sqlQDot(a: String, b: String): String =
+  private[queries] def sqlQDot(a: String, b: String): String =
     s"(CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> " +
       s"CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT))) AS DOUBLE) / 1e12)"
 

@@ -369,21 +369,59 @@ object TextQueries {
     *  5. near-dup removal (always on): MinHash-LSH est_sim >= 0.5
     *     among exact-dedup survivors, higher doc_id of each pair
     *     dropped.
-    *  6. `qualityFloor` (always on, default 0.5): [[withQuality]]'s
+    *  6. `semanticDedup` — embedding-keyed SemDeDup stage (see
+    *     [[SemanticDedupStage]]): same-cell embedding pairs at cosine
+    *     >= tau among the CURRENT SURVIVORS, centroid-closer member
+    *     dropped. Runs after near-dup (text similarity is cheaper —
+    *     let it thin the corpus first; what remains for this stage is
+    *     exactly the population shingles cannot see, paraphrase
+    *     replicas) and before the quality floor (like near-dup, it is
+    *     a dedup decision, not a quality one — and quality must score
+    *     the deduped corpus a budget stage will select from).
+    *  7. `qualityFloor` (always on, default 0.5): [[withQuality]]'s
     *     score; zero-token docs drop here too.
-    *  7. `maxRarity` — corpus-trained bigram-rarity ceiling
+    *  8. `maxRarity` — corpus-trained bigram-rarity ceiling
     *     ([[CurationQueries.bigramRarity]], trained on the survivors
     *     entering the stage): docs rarer than the ceiling are likely
     *     noise/garbled text and are dropped; docs with < 2 tokens have
     *     no rarity evidence and are kept.
-    *  8. `budgetPerSource` — token-budget mixture selection
+    *  9. `budgetPerSource` — token-budget mixture selection
     *     ([[CurationQueries.budgetSelect]]): per source, best-quality-
     *     first until the budget fills. */
+  /** Config of the optional embedding-keyed SEMANTIC dedup stage of
+    * [[curatedDocsOf]] — the SemDeDup recipe (Abbas et al.,
+    * arXiv:2303.09540) as a curation stage, catching the population no
+    * text stage can: paraphrase replicas share almost no shingles
+    * (MinHash est_sim ~ 0, exact hashes distinct) yet sit at cosine >=
+    * `tau` in embedding space.
+    *
+    * `embeddings` must carry (doc_id, embedding) — the docs↔embeddings
+    * key. Cells are trained on the FULL embeddings frame (cluster
+    * structure is a corpus-level artifact computed once per corpus,
+    * and the deterministic seed centroids — the first `nSeeds` ids —
+    * must exist regardless of which docs earlier stages dropped), but
+    * the pair join runs among CURRENT SURVIVORS only — the same
+    * content-loss rule as the near-dup stage: pairing a survivor
+    * against an already-dropped replica could drop BOTH copies of the
+    * content. Docs with no embedding row are kept (no evidence).
+    * `iters` >= 1 dedups within Lloyd-refined cells
+    * ([[EmbeddingQueries.kmeansAssign]], the published pipeline shape
+    * q77 pins); 0 within the seeded one-pass cells (q72's). `tau` /
+    * `maxCellSize` have exactly q72/q76's semantics — the cap is the
+    * dense-cell boundedness valve a replica-heavy corpus needs. */
+  final case class SemanticDedupStage(
+    embeddings: DataFrame,
+    tau: Double = 0.45,
+    nSeeds: Int = 8,
+    iters: Int = 2,
+    maxCellSize: Option[Int] = None)
+
   final case class CurationStages(
     repeatedLineMinDf: Option[Long] = None,
     blockedDomains: Seq[String] = Nil,
     spanDedupMinDf: Option[Long] = None,
     spanDedupK: Int = 5,
+    semanticDedup: Option[SemanticDedupStage] = None,
     qualityFloor: Double = 0.5,
     maxRarity: Option[Double] = None,
     budgetPerSource: Option[Long] = None,
@@ -500,6 +538,22 @@ object TextQueries {
       .select(col("doc_b").as("doc_id")).distinct()
     cur = boundary(cur.join(losers, Seq("doc_id"), "left_anti"), "near_dup")
     out += ("near_dup" -> cur)
+    stages.semanticDedup.foreach { sd =>
+      val emb = sd.embeddings.select(col("doc_id").as("vec_id"), col("embedding"))
+      val assign =
+        if (sd.iters >= 1) EmbeddingQueries.kmeansAssign(emb, sd.nSeeds, sd.iters)
+        else EmbeddingQueries.seededAssign(emb, sd.nSeeds)
+      // pair join among current survivors only (see [[SemanticDedupStage]]):
+      // the corpus-scale assignment semi-joins the survivor id set, which
+      // AQE broadcasts from runtime stats; the persisted survivor
+      // assignment then feeds both pair-join sides from one evaluation
+      val surv = assign.join(cur.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      val semLosers = EmbeddingQueries.semanticLosers(surv, sd.tau, scope, sd.maxCellSize)
+        .select(col("vec_id").as("doc_id"))
+      cur = boundary(cur.join(semLosers, Seq("doc_id"), "left_anti"), "semantic_dedup")
+      out += ("semantic_dedup" -> cur)
+    }
     cur = boundary(withQuality(cur)
       .where(col("quality") >= stages.qualityFloor)
       .select(docs.columns.map(col).toSeq :+ col("quality"): _*), "quality")
@@ -631,8 +685,9 @@ object TextQueries {
     * of each pair dropped), and the quality floor (>= 0.5). q37 is the
     * per-language accounting over this; downstream stages (split,
     * packing, decontamination) run on it directly. The optional
-    * production stages (repeated-line removal, URL blocklist, rarity
-    * ceiling, budget selection) compose through [[curatedDocsOf]].
+    * production stages (repeated-line removal, URL blocklist, span
+    * dedup, embedding-keyed semantic dedup, rarity ceiling, budget
+    * selection) compose through [[curatedDocsOf]].
     *
     * Caching: the signature table is persisted (all band-join branches
     * scan it). Pass a [[graft.engine.CacheScope]] and `close()` it
@@ -759,20 +814,22 @@ object TextQueries {
   }
 
   /** DuckDB mirror of [[signaturesOf]] as a `sig` CTE chain over an
-    * arbitrary (doc_id, text) relation. Claims CTE names t, s2, s3,
-    * sig — composing oracles (q69) must avoid them. */
-  private[queries] def sqlSigCtesFrom(table: String): String = {
+    * arbitrary (doc_id, text) relation. Claims CTE names ${p}t, ${p}s2,
+    * ${p}s3, ${p}sig — composing oracles (q69) must avoid them, or pass
+    * a prefix `p` to namespace the chain (q78 composes it with the
+    * kmeans CTEs, which claim s1/s2/... of their own). */
+  private[queries] def sqlSigCtesFrom(table: String, p: String = ""): String = {
     def h(k: Int) = {
       val src = if (k < 4) "m0" else "m1"
       s"list_min(list_transform($src, m -> ('0x' || substr(m, ${1 + 8 * (k % 4)}, 8))::BIGINT)) AS h$k"
     }
-    s"""t AS (SELECT doc_id, $sqlToks AS tk FROM $table),
-       |s2 AS (SELECT doc_id, ${TextOps.sqlShingleList("tk")} AS sh FROM t),
-       |s3 AS (SELECT doc_id, list_transform(sh, x -> md5('0:' || x)) AS m0,
+    s"""${p}t AS (SELECT doc_id, $sqlToks AS tk FROM $table),
+       |${p}s2 AS (SELECT doc_id, ${TextOps.sqlShingleList("tk")} AS sh FROM ${p}t),
+       |${p}s3 AS (SELECT doc_id, list_transform(sh, x -> md5('0:' || x)) AS m0,
        |              list_transform(sh, x -> md5('1:' || x)) AS m1
-       |       FROM s2 WHERE len(sh) > 0),
-       |sig AS (SELECT doc_id, ${(0 until nHashes).map(h).mkString(",\n               ")}
-       |        FROM s3)""".stripMargin
+       |       FROM ${p}s2 WHERE len(sh) > 0),
+       |${p}sig AS (SELECT doc_id, ${(0 until nHashes).map(h).mkString(",\n               ")}
+       |        FROM ${p}s3)""".stripMargin
   }
 
   /** DuckDB mirror of [[signatures]] (the documents-table form). */

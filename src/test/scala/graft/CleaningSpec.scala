@@ -296,6 +296,81 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("semantic-dedup stage: paraphrase replicas invisible to text stages drop; survivor restriction holds") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val scope = new graft.engine.CacheScope
+    try {
+      // 11 docs with mutually disjoint vocabularies — every text stage
+      // is blind: exact hashes all distinct except doc 10 (a verbatim
+      // copy of doc 3), shingle overlap zero everywhere else, so
+      // MinHash est_sim ~ 0. The SEMANTIC structure lives only in the
+      // embeddings: docs 2 and 3 are a "paraphrase pair" (cosine
+      // ~0.9995, disjoint words), and doc 10 is embedding-paired with
+      // doc 3 too. 64-dim vectors, first dims only; seeds = ids 0, 1.
+      val texts = (0 to 9).map(i =>
+        (i.toLong, (0 until 12).map(j => s"w${i}x$j").mkString(" "))) :+
+        (10L, (0 until 12).map(j => s"w3x$j").mkString(" "))
+      val docs = texts.toDF("doc_id", "text")
+        .select(col("doc_id"), lit("en").as("lang"), lit("src0").as("source"), col("text"))
+      def vec(parts: (Int, Double)*): Seq[Double] = {
+        val a = Array.fill(64)(0.0); parts.foreach { case (i, x) => a(i) = x }; a.toSeq
+      }
+      val embAll = Seq(
+        0L -> vec(0 -> 1.0),                 // seed A: cell 0, ccos 1
+        1L -> vec(1 -> 1.0),                 // seed B: cell 1, ccos 1
+        2L -> vec(1 -> 0.5, 2 -> 0.866),     // cell 1, ccos 0.50 ┐ pair: cos ~0.9995
+        3L -> vec(1 -> 0.48, 2 -> 0.877),    // cell 1, ccos 0.48 ┘ 2 is centroid-closer -> 2 drops
+        4L -> vec(3 -> 1.0), 5L -> vec(4 -> 1.0), 6L -> vec(5 -> 1.0),
+        7L -> vec(6 -> 1.0), 8L -> vec(7 -> 1.0),
+        // doc 9 gets NO embedding row (filtered below) — must be kept
+        9L -> vec(8 -> 1.0),
+        // doc 10: pairs with 3 at LOWER ccos (0.46 < 0.48) — if the
+        // pair join ran over the FULL frame, survivor 3 would lose to
+        // this already-exact-dedup-dropped copy and the content would
+        // vanish entirely; the survivor restriction must prevent that
+        10L -> vec(1 -> 0.46, 2 -> 0.888))
+      val emb = embAll.toDF("doc_id", "embedding")
+        .where(col("doc_id") =!= 9L)
+      val stages = graft.queries.TextQueries.CurationStages(
+        semanticDedup = Some(graft.queries.TextQueries.SemanticDedupStage(
+          emb, tau = 0.9, nSeeds = 2, iters = 0)),
+        qualityFloor = 0.0)
+      val counts = graft.queries.TextQueries.curationStageCounts(docs, stages, scope)
+        .collect().map(r => (r.getString(1), r.getLong(2)))
+      assert(counts.map(_._1).toSeq ==
+        Seq("input", "exact_dedup", "near_dup", "semantic_dedup", "quality"))
+      // exact dedup drops only the verbatim copy (10); near-dup sees
+      // zero shingle overlap and drops nothing; the semantic stage
+      // drops exactly the centroid-closer paraphrase member (2)
+      assert(counts.map(_._2).toSeq == Seq(11L, 10L, 10L, 9L, 9L))
+      val kept = graft.queries.TextQueries.curatedDocsOf(docs, stages, scope)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(0L, 1L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+      // the pins the count alone can't separate:
+      assert(kept.contains(3L),
+        "survivor restriction: doc 3 must not lose to its already-dropped copy 10")
+      assert(kept.contains(9L), "docs with no embedding row must be kept")
+      assert(!kept.contains(2L),
+        "the centroid-closer paraphrase member must drop")
+      // without the stage, the paraphrase pair is invisible: both survive
+      val noStage = graft.queries.TextQueries.curatedDocsOf(docs,
+        stages.copy(semanticDedup = None), scope)
+        .select("doc_id").as[Long].collect().toSet
+      assert(noStage == kept + 2L,
+        "text stages alone must keep both paraphrase members")
+      // Lloyd-refined cells (the q77 path): vectors don't move, so the
+      // only >=tau pair is still (2, 3) — one of the two drops, and
+      // everything else (incl. the no-embedding doc) survives
+      val refined = graft.queries.TextQueries.curatedDocsOf(docs,
+        stages.copy(semanticDedup = stages.semanticDedup.map(_.copy(iters = 2))), scope)
+        .select("doc_id").as[Long].collect().toSet
+      assert(refined.size == 9 && (refined - 2L - 3L) == (kept - 3L),
+        "refined cells: exactly one paraphrase member drops")
+    } finally scope.close()
+    spark.catalog.clearCache()
+  }
+
   test("curationStageCounts leaves caller-supplied staging dirs in place") {
     // a caller that ran curatedDocsOf with its own stagingDir and still
     // holds the returned frame (a parquet re-read of $dir/<stage>) must

@@ -312,6 +312,34 @@ class PlanAuditSpec extends SparkSpec {
       "per-(cell, dim) centroid sums must combine map-side before the exchange")
   }
 
+  test("semantic-dedup curation stage (q78's composed frame): cell pair join equi-keyed off ONE cached survivor assignment") {
+    // q78 itself returns curationStageCounts' eager local rows (like
+    // q69, nothing to audit there) — the auditable plan is the staged
+    // pipeline's lazy survivor frame with the stage enabled, which is
+    // exactly what the accounting counts
+    val scope = new graft.engine.CacheScope
+    try {
+      val emb = graft.engine.Tables.embeddings(spark, sf)
+        .select(org.apache.spark.sql.functions.col("vec_id").as("doc_id"),
+          org.apache.spark.sql.functions.col("embedding"))
+      val df = graft.queries.TextQueries.curatedDocsOf(
+        graft.engine.Tables.documents(spark, sf),
+        graft.queries.TextQueries.CurationStages(
+          semanticDedup = Some(graft.queries.TextQueries.SemanticDedupStage(
+            emb, tau = 0.35, maxCellSize = Some(32)))), scope)
+      df.count()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), "never an all-pairs stage")
+      assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+        || p.contains("ShuffledHashJoin"),
+        "the cell pair join must be an equi-join, not a nested loop")
+      assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+        "the pair join must read the cached survivor assignment")
+      assert(p.contains("Window") && p.contains("row_number"),
+        "the cap is a deterministic per-cell rank, not a sample")
+    } finally scope.close()
+  }
+
   test("q74 rule filters: narrow map — no join, no aggregate, only the output sort exchanges") {
     val p = plan("q74_rule_filters")
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
