@@ -40,6 +40,17 @@ final class CacheScope private[engine] (track: Boolean) extends AutoCloseable {
     df.persist()
   }
 
+  /** [[persist]] at an explicit storage level — for tables a caller
+    * KNOWS outgrow the storage fraction at its scale tier (e.g. the
+    * positional-gram table of CurationQueries.dedupRepeatedSpans at
+    * >=1000x corpora), where a DISK_ONLY/SER level trades re-read cost
+    * for freeing execution memory that would otherwise thrash between
+    * cached blocks and shuffle spill. */
+  def persist(df: DataFrame, level: org.apache.spark.storage.StorageLevel): DataFrame = {
+    if (track) synchronized { tracked += df }
+    df.persist(level)
+  }
+
   /** Locally checkpoint `df` (eager) — lineage truncates to the
     * materialized RDD, the in-memory analogue of a staged-layer parquet
     * boundary (see TextQueries.stageFrames) — and, in a tracking scope,

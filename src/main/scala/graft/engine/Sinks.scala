@@ -424,6 +424,62 @@ object Sinks {
   def readUpsertStore(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop(BucketCol)
 
+  /** Maintenance: delete the rows whose merge keys appear in `victims`
+    * from a partition-scoped store — the primitive behind
+    * [[graft.streaming.Streaming.compactCuratedStore]]'s
+    * retro-canonicalization. Scoped exactly like the merge: only the
+    * buckets holding victim keys are read (partition-pruned) and
+    * rewritten, each swapped with the same aside protocol — a bucket
+    * the delete empties entirely is removed. Victim keys absent from
+    * the store are no-ops, so the operation is idempotent. Takes the
+    * writer fence; a delete and a merge cannot interleave. */
+  def deleteFromUpsertStore(spark: SparkSession, path: String, victims: DataFrame): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withWriterLock(fs, path) {
+      recoverPartitionedLocked(fs, path, dst)
+      val meta = new org.apache.hadoop.fs.Path(dst, MetaFile)
+      if (!fs.exists(meta))
+        throw new java.io.IOException(s"no upsert store meta at $path")
+      val (n, keys) = readMeta(fs, meta)
+      if (keys.isEmpty)
+        throw new java.io.IOException(s"store meta at $path lacks keys; cannot delete by key")
+      val missing = keys.filterNot(victims.columns.contains)
+      require(missing.isEmpty,
+        s"victims frame lacks the store's merge key(s): ${missing.mkString(",")}")
+      val keyed = victims.select(keys.map(col): _*).distinct()
+        .withColumn(BucketCol,
+          pmod(xxhash64(keys.map(col): _*), lit(n.toLong)).cast("int"))
+      val touched = keyed.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.nonEmpty) {
+        val tmpRoot = new org.apache.hadoop.fs.Path(path + "_tmp")
+        fs.delete(tmpRoot, true)
+        val kept = spark.read.parquet(path)
+          .where(col(BucketCol).isin(touched.toIndexedSeq: _*)) // partition-pruned
+          .join(keyed.drop(BucketCol), keys, "left_anti")
+        kept.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmpRoot.toString)
+        touched.foreach { b =>
+          val live = new org.apache.hadoop.fs.Path(dst, s"$BucketCol=$b")
+          val aside = new org.apache.hadoop.fs.Path(dst, s"$AsidePrefix$BucketCol=$b")
+          val fresh = new org.apache.hadoop.fs.Path(tmpRoot, s"$BucketCol=$b")
+          fs.delete(aside, true)
+          val had = fs.exists(live)
+          if (had && !fs.rename(live, aside))
+            throw new java.io.IOException(s"cannot move $live aside to $aside")
+          // unlike the merge, a delete may EMPTY a bucket (no fresh dir):
+          // the live dir then simply goes away
+          if (fs.exists(fresh) && !fs.rename(fresh, live)) {
+            if (had) fs.rename(aside, live)
+            throw new java.io.IOException(s"cannot move $fresh into place at $live")
+          }
+          fs.delete(aside, true)
+        }
+        fs.delete(tmpRoot, true)
+      }
+    }
+  }
+
   /** Maintenance: re-lay a partition-scoped store out with a new bucket
     * count. The count is fixed at creation (merges must hash with it),
     * so a store that has grown far past its sizing needs this offline

@@ -42,8 +42,10 @@ object Multimodal {
         .setScale(12, java.math.RoundingMode.HALF_UP)
         .unscaledValue().longValueExact())
 
-    def decode(doc_id: Long, bytes: Array[Byte]): MediaFeatures = {
-      val len = bytes.length.toLong
+    /** Stripe-average embedding over a byte payload: per-stripe exact
+      * decimal means of b/255.0. Shared by the stub (raw payload bytes)
+      * and [[BmpDecoder]] (DECODED pixel bytes). */
+    private[graft] def stripeFeatures(bytes: Array[Byte]): Array[Double] = {
       val sums = new Array[Long](featureDim) // unscaled at scale 12
       val counts = new Array[Long](featureDim)
       var i = 0
@@ -53,14 +55,75 @@ object Multimodal {
         counts(k) += 1
         i += 1
       }
-      val feats = Array.tabulate(featureDim)(k =>
+      Array.tabulate(featureDim)(k =>
         if (counts(k) == 0) 0.0
         else java.math.BigDecimal.valueOf(sums(k), 12).doubleValue() / counts(k))
+    }
+
+    def decode(doc_id: Long, bytes: Array[Byte]): MediaFeatures = {
+      val len = bytes.length.toLong
       MediaFeatures(doc_id, len,
         width = (len % 640 + 64).toInt,
         height = ((len * 7) % 480 + 48).toInt,
         n_frames = (len % 16 + 1).toInt,
-        features = feats)
+        features = stripeFeatures(bytes))
+    }
+  }
+
+  /** REAL decoder for one format — 24-bit uncompressed (BI_RGB) BMP,
+    * parsed pure-JVM from the classic BITMAPFILEHEADER +
+    * BITMAPINFOHEADER layout: 'BM' magic, little-endian pixel-data
+    * offset at byte 10, signed width/height at 18/22 (negative height =
+    * top-down row order), 4-byte-padded pixel rows. Produces the same
+    * [[MediaFeatures]] contract as the stub, with header TRUTH instead
+    * of arithmetic stand-ins: width/height from the DIB header,
+    * n_frames = 1 (a still image), features = the stripe-average
+    * embedding over the DECODED pixel bytes — padding stripped and rows
+    * normalized to top-down order, so a bottom-up and a top-down
+    * encoding of the same image decode to identical features.
+    *
+    * Strictly validated (magic, DIB size, planes, 24 bpp, BI_RGB,
+    * positive dims, pixel array in bounds): anything that fails is not
+    * a BMP and returns None, routing [[decodeFeatures]] to the stub —
+    * total and deterministic on arbitrary payloads, so the q50/q51
+    * text-as-media corpus decodes exactly as before. */
+  object BmpDecoder {
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def i32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    def tryDecode(docId: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+      if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) None
+      else {
+        val dataOff = i32(bytes, 10)
+        val dibSize = i32(bytes, 14)
+        val w = i32(bytes, 18)
+        val hRaw = i32(bytes, 22)
+        val planes = u16(bytes, 26)
+        val bpp = u16(bytes, 28)
+        val compression = i32(bytes, 30)
+        val h = math.abs(hRaw)
+        val rowBytes = 3L * w
+        val stride = (rowBytes + 3) & ~3L
+        if (dibSize < 40 || planes != 1 || bpp != 24 || compression != 0 ||
+            w <= 0 || hRaw == 0 || hRaw == Int.MinValue || w > (Int.MaxValue / 4) ||
+            dataOff < 54 || dataOff.toLong + stride * h > bytes.length) None
+        else {
+          val pixels = new Array[Byte]((rowBytes * h).toInt)
+          val topDown = hRaw < 0
+          var r = 0
+          while (r < h) {
+            val srcRow = if (topDown) r else h - 1 - r
+            System.arraycopy(bytes, dataOff + (srcRow * stride).toInt,
+              pixels, r * rowBytes.toInt, rowBytes.toInt)
+            r += 1
+          }
+          Some(MediaFeatures(docId, bytes.length.toLong, w, h, 1,
+            StubDecoder.stripeFeatures(pixels)))
+        }
+      }
     }
   }
 
@@ -71,12 +134,17 @@ object Multimodal {
 
   /** Batch decode: one decoder pass per partition (mapPartitions keeps
     * the iterator lazy — constant memory per task regardless of
-    * partition size; scale the parallelism with input partitioning). */
+    * partition size; scale the parallelism with input partitioning).
+    * Format dispatch is per payload: a strictly-valid 24-bit BMP
+    * decodes for real ([[BmpDecoder]]); everything else falls back to
+    * the deterministic stub — one total function over arbitrary
+    * binary columns. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { batch =>
-      // real impl: init codec/model once here, then stream the batch
-      batch.map(r => StubDecoder.decode(r.doc_id, r.media))
+      // a heavier codec/model would init once here, then stream the batch
+      batch.map(r => BmpDecoder.tryDecode(r.doc_id, r.media)
+        .getOrElse(StubDecoder.decode(r.doc_id, r.media)))
     }
   }
 

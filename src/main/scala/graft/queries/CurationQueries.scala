@@ -1363,13 +1363,23 @@ object CurationQueries {
         val nGrams = toks
           .select(sum(greatest(col("n_tok") - (k - 1), lit(0))))
           .collect()(0).getLong(0)
+        val rowsPerPart = sys.env.get("GRAFT_SPAN_GRAM_ROWS_PER_PART")
+          .map(_.toLong).getOrElse(SpanGramRowsPerPartition)
         Some(math.max(sess.sparkContext.defaultParallelism,
-          (nGrams / SpanGramRowsPerPartition + 1).toInt))
+          (nGrams / rowsPerPart + 1).toInt))
       }
     def sized(df: org.apache.spark.sql.DataFrame,
               key: String): org.apache.spark.sql.DataFrame =
       bigParts.fold(df)(p => df.repartition(p, col(key)))
-    val grams = scope.persist(sized(positionalGramHashes(toks, k, "d"), "h"))
+    // spill-band tuning knobs (dev/bench experiments — see BENCH_NOTES
+    // "q71 spill band"): GRAFT_SPAN_GRAM_STORAGE overrides the gram
+    // table's storage level (StorageLevel.fromString names), and
+    // GRAFT_SPAN_GRAM_ROWS_PER_PART the per-partition gram-row target
+    // of the sized exchanges. Defaults = production behavior.
+    val gramLevel = sys.env.get("GRAFT_SPAN_GRAM_STORAGE")
+      .map(org.apache.spark.storage.StorageLevel.fromString)
+      .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = scope.persist(sized(positionalGramHashes(toks, k, "d"), "h"), gramLevel)
     // cross-doc df: per-doc occurrences collapse map-side (distinct) so
     // a gram looping inside ONE doc cannot fake cross-doc evidence
     val hot = grams.select(col("h"), col("doc_id")).distinct()

@@ -265,8 +265,11 @@ object Streaming {
     * earlier attempt's higher-id entries) also means a late arrival
     * with an id below its already-admitted near-duplicate passes the
     * probe, and the store then holds BOTH near-copies. An admitted doc
-    * is never retroactively evicted either way; feed monotone ids to
-    * get the exact batch semantics.
+    * is never evicted by a TRIGGER either way; feed monotone ids to
+    * get the exact batch semantics per trigger, or run the
+    * [[compactCuratedStore]] maintenance pass to retro-canonicalize
+    * the accumulated store (one compact converges an out-of-order
+    * corpus's admissions to the batch answer).
     *
     * Corpus-trained stages (`repeatedLineMinDf`, `maxRarity`,
     * `budgetPerSource`) are REJECTED here by construction: their
@@ -386,6 +389,62 @@ object Streaming {
       Sinks.upsertParquetPartitioned(s, curated, curatedPath,
         Seq("doc_id"), orderCol = None, numBuckets = numBuckets)
     } finally exactKept.unpersist(false)
+  }
+
+  /** Maintenance compact for [[incrementalCurationSink]]'s stores: the
+    * batch near-dup rule re-run over the ACCUMULATED seen store, with
+    * the losers deleted from the curated store — the compensator for
+    * the sink's one documented out-of-order semantic edge (see the
+    * equivalence contract above: a late arrival with an id BELOW its
+    * already-admitted near-duplicate passes the store probe, because
+    * the probe's `doc_b < doc_a` guard is what crash-replay safety
+    * requires, and the curated store then holds both near-copies).
+    *
+    * The pass computes the banded est_sim >= 0.5 pairs over every
+    * stored signature (exactly the batch pipeline's near-dup stage over
+    * the union corpus — the seen store IS the union's exact-dedup
+    * survivor set) and deletes each pair's higher doc_id from the
+    * curated store. Streamed suppressions are a subset of the batch
+    * loser set (both probes drop the higher id of a qualifying pair),
+    * so after one compact the curated store equals the one-batch
+    * `curatedDocsOf` answer for every admitted document — StreamingSpec
+    * pins the convergence on an out-of-order corpus. The SEEN store is
+    * deliberately untouched: its contract is to hold every exact-dedup
+    * survivor ever observed, losers included, so future batches keep
+    * their full suppression evidence.
+    *
+    * Idempotent (a second compact finds the same pairs and deletes
+    * nothing) and incremental in cost: the pair join is the banded
+    * LSH join over the store — O(colliding candidates), never
+    * all-pairs — and the delete rewrites only the buckets holding
+    * victims ([[Sinks.deleteFromUpsertStore]]). Run it on a schedule
+    * (e.g. nightly) between triggers; it takes the stores' writer
+    * fences, so it cannot interleave with a live merge. Returns the
+    * number of curated-store rows removed. */
+  def compactCuratedStore(spark: SparkSession, curatedPath: String,
+                          sigPath: String): Long = {
+    val sigCols = (0 until 8).map(k => col(s"h$k"))
+    if (!Sinks.recoverUpsertStore(spark, sigPath) ||
+        !Sinks.recoverUpsertStore(spark, curatedPath)) 0L
+    else {
+      val storeSig = Sinks.readUpsertStore(spark, sigPath)
+        .where(col("h0").isNotNull)
+        .select(col("doc_id") +: sigCols: _*)
+      val losers = graft.queries.TextQueries.lshPairsOf(storeSig)
+        .select(col("doc_b").as("doc_id")).distinct()
+      // scope the delete to losers actually present in the curated
+      // store: the count is the caller's signal, and the delete then
+      // touches only buckets that truly change
+      val present = Sinks.readUpsertStore(spark, curatedPath)
+        .select(col("doc_id"))
+        .join(losers, Seq("doc_id"), "left_semi")
+        .persist()
+      try {
+        val n = present.count()
+        if (n > 0) Sinks.deleteFromUpsertStore(spark, curatedPath, present)
+        n
+      } finally { present.unpersist(false); () }
+    }
   }
 
   /** foreachBatch upsert sink: every micro-batch merges into the target

@@ -389,6 +389,77 @@ class StreamingSpec extends SparkSpec {
     assert(again == ids, s"idle re-run must be a no-op: $again")
   }
 
+  test("compact pass: out-of-order near-dup admissions converge to the batch answer") {
+    // the sink's ONE documented out-of-order edge: a late arrival with
+    // an id BELOW its already-admitted near-duplicate passes the store
+    // probe (whose doc_b < doc_a guard is what crash-replay safety
+    // requires), so the curated store holds both near-copies. One
+    // compactCuratedStore pass must converge the store to the batch
+    // answer, stay idempotent, and leave the SEEN store's suppression
+    // evidence intact for future triggers.
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val docA = "ancient mariners navigated treacherous waters using celestial " +
+      "observations and careful measurements of coastal landmarks during long voyages"
+    val docB = "granite peaks rise sharply above turquoise alpine lakes where " +
+      "marmots whistle across sunlit boulder fields under morning skies"
+    val docB1 = docB.replace("marmots", "ridges")
+    val docB2 = docB1.replace("turquoise", "emerald")
+    val docC = "quantum processors entangle photons through superconducting " +
+      "circuits enabling remarkable computational breakthroughs beyond classical limits"
+    def row(id: Long, min: Int, text: String): String =
+      f"""{"doc_id":$id%d,"ts":"2025-12-11T00:$min%02d:00Z","text":"$text%s"}"""
+    val in = tmpDir("compact_in")
+    val ckpt = tmpDir("compact_ckpt").toString
+    val curated = tmpDir("compact_store").resolve("curated").toString
+    val sigs = tmpDir("compact_store").resolve("seen_sigs").toString
+    val stages = graft.queries.TextQueries.CurationStages(qualityFloor = 0.5)
+    def runOnce(): Unit = {
+      val stream = Streaming.jsonFileStream(spark, docSchema, in.toString + "/*.json", multiLine = false)
+      val q = Streaming.incrementalCurationSink(stream, curated, sigs, stages, numBuckets = 8)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination(120000)
+    }
+    // higher ids arrive FIRST...
+    writeBatch(in, "b1.json", Seq(row(20, 0, docB1), row(17, 1, docA)))
+    runOnce()
+    // ...then the lower-id near-dup of the admitted 20 (the edge)
+    writeBatch(in, "b2.json", Seq(row(15, 10, docB), row(18, 11, docC)))
+    runOnce()
+    val beforeIds = Sinks.readUpsertStore(spark, curated)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(beforeIds == Set(15L, 17L, 18L, 20L),
+      s"the edge must reproduce (both near-copies admitted): $beforeIds")
+    // one compact: the batch loser (higher id 20 of the 15-20 pair) goes
+    val n = Streaming.compactCuratedStore(spark, curated, sigs)
+    assert(n == 1L, s"compact should remove exactly doc 20, removed $n")
+    val union = spark.read.schema(docSchema).json(in.toString + "/*.json")
+    val want = graft.queries.TextQueries.curatedDocsOf(union, stages)
+      .select("doc_id", "ts", "text", "quality").orderBy("doc_id").collect()
+    val got = Sinks.readUpsertStore(spark, curated)
+      .select("doc_id", "ts", "text", "quality").orderBy("doc_id").collect()
+    assert(got.toSeq == want.toSeq,
+      s"compacted store must equal the batch answer:\n got ${got.mkString(";")}\nwant ${want.mkString(";")}")
+    assert(got.map(_.getLong(0)).toSeq == Seq(15L, 17L, 18L))
+    // idempotent: a second compact finds nothing to do
+    assert(Streaming.compactCuratedStore(spark, curated, sigs) == 0L)
+    // the seen store keeps EVERY signature, loser's included...
+    val sigIds = Sinks.readUpsertStore(spark, sigs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(15L, 17L, 18L, 20L),
+      s"compact must not touch the seen store: $sigIds")
+    // ...so post-compact triggers still suppress via the removed doc's
+    // signature (25 = docB2, a near-dup of the COMPACTED-AWAY 20)
+    writeBatch(in, "b3.json", Seq(row(25, 20, docB2)))
+    runOnce()
+    val after = Sinks.readUpsertStore(spark, curated)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == Set(15L, 17L, 18L),
+      s"the seen store's suppression evidence must survive the compact: $after")
+  }
+
   test("incremental curation rejects corpus-trained stages") {
     // rarity / budget / repeated-line statistics are functions of the
     // whole corpus: a new batch would re-score docs admitted long ago.
