@@ -26,7 +26,8 @@ object ScaleSoak {
     "q68_bigram_rarity", "q69_curation_stages",
     "q70_span_decontamination", "q71_span_dedup", "q72_semantic_dedup",
     "q73_importance_weights", "q74_rule_filters", "q75_kmeans_refine",
-    "q76_semantic_dedup_capped",
+    "q76_semantic_dedup_capped", "q77_semantic_dedup_refined",
+    "q78_semantic_curation_stages", "q79_repetition_signals",
     "q45_ann_bruteforce_topk", "q46_lsh_bucket_pairs", "q47_ivf_topk",
     "q48_embedding_neardup", "q43_capped_df64", "q42_capped_b64")
 

@@ -24,6 +24,9 @@ object Exprs {
   /** struct(total, rep) bigram repetition stats (null if < 2 tokens). */
   def repetitionStats(text: Column): Column = c(RepetitionStats(e(text)))
 
+  /** struct of the 13 Gopher repetition fractions (see [[TextHash.gopherRepetition]]). */
+  def gopherRepetition(text: Column): Column = c(GopherRepetition(e(text)))
+
   /** Kept token positions after k-token span-cover excision (array<int>,
     * 1-based; `starts` must be coalesced non-null by the caller). */
   def spanCoverKept(nTok: Column, starts: Column, k: Int): Column =
@@ -74,7 +77,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => QuantDotProduct(args.head, args(1))),
     (FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints", "winnow_fingerprints(text) - distinct 8-char-gram winnowing fingerprints (w=4) as array<bigint>"),
-      (args: Seq[Expression]) => WinnowFingerprints(args.head, 8, 4)))
+      (args: Seq[Expression]) => WinnowFingerprints(args.head, 8, 4)),
+    (FunctionIdentifier("gopher_repetition"),
+      info("gopher_repetition", "gopher_repetition(text) - struct of the 13 Gopher repetition fractions (Rae et al. Table A1)"),
+      (args: Seq[Expression]) => GopherRepetition(args.head)))
 
   /** Register the functions on a live session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

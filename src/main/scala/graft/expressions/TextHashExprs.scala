@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Compiled kernels for the text-dedup hot loop.
@@ -119,6 +119,78 @@ object TextHash {
     val it = counts.values().iterator()
     while (it.hasNext) { val c = it.next(); if (c > 1) rep += c }
     new GenericInternalRow(Array[Any](toks.length - 1L, rep))
+  }
+
+  /** All thirteen Gopher repetition fractions (Rae et al.,
+    * arXiv:2112.11446 Table A1) of ONE document in one JVM pass — the
+    * [[repetition]] argument widened to the full battery: per-doc
+    * stats never need to leave the row, so the whole operator is a
+    * pure narrow map at any corpus scale instead of nine corpus-sized
+    * (doc, gram) shuffles. Field order matches
+    * CurationQueries.repetitionSignals' output columns:
+    * dup_line_frac, dup_line_char_frac, dup_para_frac,
+    * dup_para_char_frac, top2..4gram_frac, dup5..10gram_frac.
+    *
+    * Null when the doc has no tokens; an n with fewer than n tokens
+    * scores 0 (no evidence). Lengths count Unicode CODE POINTS (SQL
+    * length semantics, the winnow() precedent — Java String.length
+    * over-counts astral characters). Duplicate-unit rule: ALL
+    * occurrences of a unit occurring more than once count. Top-gram
+    * tie rule: max by (count, coverage) — the tied value is the same
+    * either way, so no string comparison is needed. Per-doc state is
+    * one hash map per unit family, bounded by the doc's own size and
+    * freed per row (a 1M-token doc holds ~9M entries transiently —
+    * the documented per-task bound). */
+  def gopherRepetition(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val toks = tokens(s)
+    if (toks.length == 0) return null
+    def cp(x: String): Long = x.codePointCount(0, x.length).toLong
+    def unitFracs(units: Array[String]): (Double, Double) = {
+      val counts = new java.util.HashMap[String, Int]()
+      var i = 0
+      while (i < units.length) { counts.merge(units(i), 1, (a, b) => a + b); i += 1 }
+      var n = 0L; var dup = 0L; var chars = 0L; var dupChars = 0L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next(); val c = e.getValue.toLong; val len = cp(e.getKey)
+        n += c; chars += c * len
+        if (c > 1) { dup += c; dupChars += c * len }
+      }
+      (dup.toDouble / n.toDouble, dupChars.toDouble / chars.toDouble)
+    }
+    val out = new Array[Any](13)
+    val (dlf, dlcf) = unitFracs(s.split("\n").filter(_.nonEmpty))
+    val (dpf, dpcf) = unitFracs(s.split("\n\n").filter(_.nonEmpty))
+    out(0) = dlf; out(1) = dlcf; out(2) = dpf; out(3) = dpcf
+    val sb = new java.lang.StringBuilder()
+    var n = 2
+    while (n <= 10) {
+      if (toks.length < n) out(n + 2) = 0.0
+      else {
+        val counts = new java.util.HashMap[String, Int]()
+        var i = 0
+        while (i + n <= toks.length) {
+          sb.setLength(0)
+          var k = 0
+          while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
+          counts.merge(sb.toString, 1, (a, b) => a + b)
+          i += 1
+        }
+        var tot = 0L; var dup = 0L; var bestC = 0L; var bestCov = 0L
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next(); val c = e.getValue.toLong; val cov = c * cp(e.getKey)
+          tot += cov
+          if (c > 1) dup += cov
+          if (c > bestC || (c == bestC && cov > bestCov)) { bestC = c; bestCov = cov }
+        }
+        out(n + 2) =
+          if (n <= 4) bestCov.toDouble / tot.toDouble else dup.toDouble / tot.toDouble
+      }
+      n += 1
+    }
+    new GenericInternalRow(out)
   }
 
   /** Kept (1-based) token positions after excising every k-token span
@@ -243,6 +315,25 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryEx
       s"""${ev.value} = graft.expressions.TextHash.winnow($c, $k, $w);
          |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+/** struct of the thirteen Gopher repetition fractions (null if the doc
+  * has no tokens) — see [[TextHash.gopherRepetition]]. */
+case class GopherRepetition(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(
+    (Seq("dup_line_frac", "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac")
+      ++ (2 to 4).map(n => s"top${n}gram_frac")
+      ++ (5 to 10).map(n => s"dup${n}gram_frac"))
+      .map(StructField(_, DoubleType, nullable = false)))
+  override def nullable: Boolean = true // null for docs with no tokens
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.gopherRepetition(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.expressions.TextHash.gopherRepetition($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): GopherRepetition =
     copy(child = newChild)
 }
 

@@ -101,6 +101,38 @@ object CurationQueries {
     * rare URL-token bigrams, so the ceiling separates the two
     * populations with wide margin at every scale. Budget 400: keeps a
     * strict, non-trivial per-source subset at sf0.01 (q64's device). */
+  /** q79 Gopher repetition ceilings (Rae et al., arXiv:2112.11446,
+    * Table A1): documents above any are dropped. */
+  private val dupLineMax = 0.30
+  private val dupParaMax = 0.30
+  private val dupLineCharMax = 0.20
+  private val dupParaCharMax = 0.20
+  private val topGramMax = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  private val dupGramMax = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13,
+    8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+  /** q79 injection tails (q74's device — the synthetic corpus has no
+    * within-doc repetition at any sf, so each doc_id % 6 residue
+    * plants one repetition class, zz-prefixed so injected vocabulary
+    * never collides with corpus words; sizes chosen against the
+    * 10..99-words/doc envelope so the designated gate trips even for
+    * the longest docs — a class may trip NEIGHBORING gates of the
+    * same family too (duplicated paragraphs duplicate their lines;
+    * a period-5 repeated span duplicates its 6..10-grams), which is
+    * the real behavior of the published battery, not a defect). */
+  private val dupLineTail =
+    "\nzzline repeated verbatim today\nzzline repeated verbatim today\nzzline repeated verbatim today"
+  private val dupParaTail =
+    "\n\nzzpara rights reserved worldwide notice\n\nzzpara rights reserved worldwide notice"
+  private val topGramTail = " " + Seq.fill(40)("zzclick zzhere").mkString(" ")
+  private val dupFiveTail = " " + Seq.fill(6)("zzaa zzbb zzcc zzdd zzee").mkString(" ")
+  private val dupTenTail =
+    " " + Seq.fill(4)("zzp zzq zzr zzs zzt zzu zzv zzw zzx zzy").mkString(" ")
+  /** Tail as a DuckDB string literal (newlines via chr(10) — a raw
+    * newline inside the interpolated oracle SQL would survive but
+    * reads as an accident; this states the byte). */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
   /** q78 semantic-stage cosine threshold. Lower than q72/q76/q77's
     * pure-embedding 0.45: the stage sees only TEXT-dedup survivors, so
     * the densest embedding near-dups (which co-occur with exact/near
@@ -913,8 +945,164 @@ object CurationQueries {
          |        AND symbol_ratio <= 0.1e0 AND bullet_frac < 0.9e0
          |        AND dots_line_frac <= 0.3e0 AND alpha_frac >= 0.8e0
          |        AND stop_kinds >= 1 AND r_lorem AND r_brace) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin),
+
+    // Gopher repetition-signal battery ([[repetitionSignals]]): the
+    // within-document repetition half of the published quality suite,
+    // thirteen fractions + gates at the Table A1 ceilings. Injection
+    // (q74's device): doc_id % 6 plants one repetition class each —
+    // duplicated lines, duplicated paragraphs, a spammed 2-gram, a
+    // period-5 repeated span, a period-10 repeated span — so every
+    // gate family trips a pinned population at every sf; residue 0
+    // stays clean and keeps. All accounting is exact BIGINT counts
+    // and occurrence-weighted characters divided once at the end, so
+    // the oracle hash-pins all 13 fractions and 14 booleans.
+    "q79_repetition_signals" -> Q(
+      (s, d) => {
+        val c = col("doc_id") % 6
+        val dirty = Tables.documents(s, d).select(col("doc_id"),
+          when(c === 1, concat(col("text"), lit(dupLineTail)))
+            .when(c === 2, concat(col("text"), lit(dupParaTail)))
+            .when(c === 3, concat(col("text"), lit(topGramTail)))
+            .when(c === 4, concat(col("text"), lit(dupFiveTail)))
+            .when(c === 5, concat(col("text"), lit(dupTenTail)))
+            .otherwise(col("text")).as("text"))
+        repetitionSignals(dirty).orderBy(col("doc_id"))
+      },
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |         CASE doc_id % 6
+         |           WHEN 1 THEN text || ${sqlLit(dupLineTail)}
+         |           WHEN 2 THEN text || ${sqlLit(dupParaTail)}
+         |           WHEN 3 THEN text || ${sqlLit(topGramTail)}
+         |           WHEN 4 THEN text || ${sqlLit(dupFiveTail)}
+         |           WHEN 5 THEN text || ${sqlLit(dupTenTail)}
+         |           ELSE text END AS t
+         |  FROM documents),
+         |base AS (SELECT * FROM (
+         |    SELECT doc_id, t, ${TextOps.sqlTokens("t")} AS w FROM inj) z
+         |  WHERE len(w) > 0),
+         |lns AS (SELECT doc_id, unnest(list_filter(string_split(t, chr(10)), x -> x <> '')) AS u FROM base),
+         |lcc AS (SELECT doc_id, u, COUNT(*) AS c FROM lns GROUP BY 1, 2),
+         |lst AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS ln_n,
+         |               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS ln_dup,
+         |               CAST(SUM(c * length(u)) AS BIGINT) AS ln_chars,
+         |               CAST(SUM(CASE WHEN c > 1 THEN c * length(u) ELSE 0 END) AS BIGINT) AS ln_dup_chars
+         |        FROM lcc GROUP BY 1),
+         |pas AS (SELECT doc_id, unnest(list_filter(string_split(t, chr(10) || chr(10)), x -> x <> '')) AS u FROM base),
+         |pcc AS (SELECT doc_id, u, COUNT(*) AS c FROM pas GROUP BY 1, 2),
+         |pst AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS pa_n,
+         |               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS pa_dup,
+         |               CAST(SUM(c * length(u)) AS BIGINT) AS pa_chars,
+         |               CAST(SUM(CASE WHEN c > 1 THEN c * length(u) ELSE 0 END) AS BIGINT) AS pa_dup_chars
+         |        FROM pcc GROUP BY 1),
+         |gx AS (SELECT doc_id, nn.n AS n,
+         |              unnest(list_transform(range(1, len(w) - nn.n + 2),
+         |                i -> array_to_string(w[CAST(i AS INTEGER):CAST(i + nn.n - 1 AS INTEGER)], ' '))) AS g
+         |       FROM base, (SELECT unnest(range(2, 11)) AS n) nn
+         |       WHERE len(w) >= nn.n),
+         |gcc AS (SELECT doc_id, n, g, COUNT(*) AS c FROM gx GROUP BY 1, 2, 3),
+         |gss AS (SELECT doc_id, n,
+         |               CAST(SUM(c * length(g)) AS BIGINT) AS tot,
+         |               MAX({'c': CAST(c AS BIGINT), 'cov': CAST(c * length(g) AS BIGINT)}) AS top,
+         |               CAST(SUM(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS BIGINT) AS dup
+         |        FROM gcc GROUP BY 1, 2),
+         |gw AS (SELECT doc_id,
+         |${(2 to 4).map(n => s"         COALESCE(MAX(CASE WHEN n = $n THEN struct_extract(top, 'cov') / tot END), 0e0) AS top${n}gram_frac").mkString(",\n")},
+         |${(5 to 10).map(n => s"         COALESCE(MAX(CASE WHEN n = $n THEN dup / tot END), 0e0) AS dup${n}gram_frac").mkString(",\n")}
+         |       FROM gss GROUP BY 1),
+         |f AS (SELECT b.doc_id,
+         |             ln_dup / ln_n AS dup_line_frac,
+         |             ln_dup_chars / ln_chars AS dup_line_char_frac,
+         |             pa_dup / pa_n AS dup_para_frac,
+         |             pa_dup_chars / pa_chars AS dup_para_char_frac,
+         |${((2 to 4).map(n => s"             COALESCE(top${n}gram_frac, 0e0) AS top${n}gram_frac") ++
+            (5 to 10).map(n => s"             COALESCE(dup${n}gram_frac, 0e0) AS dup${n}gram_frac")).mkString(",\n")}
+         |      FROM base b JOIN lst USING (doc_id) JOIN pst USING (doc_id)
+         |      LEFT JOIN gw USING (doc_id))
+         |SELECT doc_id,
+         |       dup_line_frac, dup_line_char_frac, dup_para_frac, dup_para_char_frac,
+         |       top2gram_frac, top3gram_frac, top4gram_frac,
+         |       dup5gram_frac, dup6gram_frac, dup7gram_frac, dup8gram_frac,
+         |       dup9gram_frac, dup10gram_frac,
+         |       (dup_line_frac <= $dupLineMax) AS r_dup_line,
+         |       (dup_line_char_frac <= $dupLineCharMax) AS r_dup_line_char,
+         |       (dup_para_frac <= $dupParaMax) AS r_dup_para,
+         |       (dup_para_char_frac <= $dupParaCharMax) AS r_dup_para_char,
+         |${(2 to 4).map(n => s"       (top${n}gram_frac <= ${topGramMax(n)}) AS r_top$n").mkString(",\n")},
+         |${(5 to 10).map(n => s"       (dup${n}gram_frac <= ${dupGramMax(n)}) AS r_dup$n").mkString(",\n")},
+         |       (dup_line_frac <= $dupLineMax AND dup_line_char_frac <= $dupLineCharMax
+         |        AND dup_para_frac <= $dupParaMax AND dup_para_char_frac <= $dupParaCharMax
+         |        AND ${(2 to 4).map(n => s"top${n}gram_frac <= ${topGramMax(n)}").mkString(" AND ")}
+         |        AND ${(5 to 10).map(n => s"dup${n}gram_frac <= ${dupGramMax(n)}").mkString(" AND ")}) AS keep
          |FROM f ORDER BY doc_id""".stripMargin)
   )
+
+  /** Gopher repetition-signal battery (Rae et al., arXiv:2112.11446,
+    * Table A1 — the WITHIN-document repetition half of the quality
+    * suite; [[ruleFilters]] carries the format gates, q55 the
+    * duplicate-bigram rate): per document,
+    *
+    *  - duplicate line / paragraph fraction: the fraction of units
+    *    (lines split on `\n`, paragraphs on `\n\n`, empties dropped)
+    *    belonging to any group that occurs more than once — ALL
+    *    members of a duplicated group count, the published inventory's
+    *    reading ("fraction of lines that are duplicates");
+    *  - duplicate line / paragraph CHARACTER fraction: the same rule
+    *    weighted by unit length;
+    *  - top n-gram character fraction (n = 2..4): the most frequent
+    *    word n-gram's occurrences x gram length, over the total
+    *    occurrence-weighted n-gram characters (ties on count resolve
+    *    by larger coverage — the tie value is then the same either
+    *    way, so no string comparison crosses engines);
+    *  - duplicate n-gram character fraction (n = 5..10): occurrence-
+    *    weighted characters of all n-grams occurring more than once,
+    *    over the same total.
+    *
+    * (DeepMind's exact character accounting is unpublished; these
+    * denominators make every fraction a well-defined [0,1] ratio of
+    * exact BIGINTs, so the oracle pins them bit-for-bit.) Gates apply
+    * the published Table A1 ceilings; `keep` = all thirteen pass. A
+    * document with fewer than n tokens has no n-gram evidence and
+    * scores 0 for that n.
+    *
+    * Scale shape: a PURE NARROW MAP — every fraction is a per-document
+    * statistic, so none of it ever needs to leave the row. The
+    * compiled [[graft.expressions.GopherRepetition]] kernel computes
+    * all thirteen in one JVM pass per document (q55's repetition()
+    * argument widened to the full battery; the declarative
+    * explode-and-aggregate form pays nine corpus-sized (doc, gram)
+    * shuffles and interpreted per-gram HOF dispatch — measured 5x
+    * slower at sf0.1 and needless at any scale). Zero joins, zero
+    * aggregates; per-task memory is bounded by the largest single
+    * document (see the kernel's scaladoc). */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val fracs = Seq("dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+      "dup_para_char_frac") ++ (2 to 4).map(n => s"top${n}gram_frac") ++
+      (5 to 10).map(n => s"dup${n}gram_frac")
+    docs
+      .withColumn("rs", graft.expressions.Exprs.gopherRepetition(col("text")))
+      .where(col("rs").isNotNull) // zero-token docs carry no signals
+      .select(col("doc_id") +: fracs.map(f => col(s"rs.$f").as(f)): _*)
+      .withColumn("r_dup_line", col("dup_line_frac") <= dupLineMax)
+      .withColumn("r_dup_line_char", col("dup_line_char_frac") <= dupLineCharMax)
+      .withColumn("r_dup_para", col("dup_para_frac") <= dupParaMax)
+      .withColumn("r_dup_para_char", col("dup_para_char_frac") <= dupParaCharMax)
+      .withColumn("r_top2", col("top2gram_frac") <= topGramMax(2))
+      .withColumn("r_top3", col("top3gram_frac") <= topGramMax(3))
+      .withColumn("r_top4", col("top4gram_frac") <= topGramMax(4))
+      .withColumn("r_dup5", col("dup5gram_frac") <= dupGramMax(5))
+      .withColumn("r_dup6", col("dup6gram_frac") <= dupGramMax(6))
+      .withColumn("r_dup7", col("dup7gram_frac") <= dupGramMax(7))
+      .withColumn("r_dup8", col("dup8gram_frac") <= dupGramMax(8))
+      .withColumn("r_dup9", col("dup9gram_frac") <= dupGramMax(9))
+      .withColumn("r_dup10", col("dup10gram_frac") <= dupGramMax(10))
+      .withColumn("keep",
+        col("r_dup_line") && col("r_dup_line_char") && col("r_dup_para")
+          && col("r_dup_para_char") && col("r_top2") && col("r_top3")
+          && col("r_top4") && col("r_dup5") && col("r_dup6") && col("r_dup7")
+          && col("r_dup8") && col("r_dup9") && col("r_dup10"))
+  }
 
   /** URL/domain blocklist annotation: appends `urls` (every extracted
     * URL host), `n_urls`, `blocked_hosts` (those matching `blocked` —

@@ -676,6 +676,49 @@ class CleaningSpec extends SparkSpec {
     }
   }
 
+  test("q79 repetition signals: each class trips its designated gate; exact fractions; no-evidence docs keep") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> (1 to 60).map(i => s"w$i").mkString(" "),          // clean
+      2L -> "la lb lc\nld le\nld le\nld le",                   // 3 of 4 lines duplicated
+      3L -> "pa pb\n\npc pd\n\npc pd",                         // 2 of 3 paragraphs duplicated
+      4L -> ("t1 t2 t3 " + Seq.fill(10)("sp am").mkString(" ")), // one spammed 2-gram
+      5L -> ((1 to 20).map(i => s"u$i").mkString(" ") + " " +
+        Seq.fill(4)("f1 f2 f3 f4 f5").mkString(" ")),          // period-5 repeated span
+      6L -> ((1 to 20).map(i => s"v$i").mkString(" ") + " " +
+        Seq.fill(3)("g1 g2 g3 g4 g5 g6 g7 g8 g9 g10").mkString(" ")), // period-10 span
+      7L -> "solo"                                             // single token: no gram evidence
+    ).toDF("doc_id", "text")
+    val out = graft.queries.CurationQueries.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, name: String): Boolean =
+      out(id).getBoolean(out(id).fieldIndex(name))
+    def frac(id: Long, name: String): Double =
+      out(id).getDouble(out(id).fieldIndex(name))
+    val gates = Seq("r_dup_line", "r_dup_line_char", "r_dup_para", "r_dup_para_char",
+      "r_top2", "r_top3", "r_top4", "r_dup5", "r_dup6", "r_dup7", "r_dup8",
+      "r_dup9", "r_dup10")
+    // clean doc: every gate passes, zero duplicate evidence
+    assert(gates.forall(flag(1L, _)) && flag(1L, "keep"))
+    assert(frac(1L, "dup_line_frac") == 0.0 && frac(1L, "dup5gram_frac") == 0.0)
+    // exact-integer accounting on the constructed corpora
+    assert(frac(2L, "dup_line_frac") == 3.0 / 4.0)
+    assert(frac(2L, "dup_line_char_frac") == 15.0 / 23.0) // 3 x "ld le" over 8+15 line chars
+    assert(frac(3L, "dup_para_frac") == 2.0 / 3.0)
+    // each class fails its DESIGNATED gate (family neighbors may fail
+    // too — duplicated paragraphs duplicate their lines, a period-5
+    // span duplicates its 6..10-grams; that is the battery's real
+    // behavior, so only the designated gate is pinned)
+    Seq(2L -> "r_dup_line", 3L -> "r_dup_para", 4L -> "r_top2",
+      5L -> "r_dup5", 6L -> "r_dup10").foreach { case (id, g) =>
+      assert(!flag(id, g), s"doc $id must fail $g")
+      assert(!flag(id, "keep"), s"doc $id must not keep")
+    }
+    // a doc too short for any n-gram scores 0 everywhere and keeps
+    assert(gates.forall(flag(7L, _)) && flag(7L, "keep"))
+    assert(frac(7L, "top2gram_frac") == 0.0 && frac(7L, "dup10gram_frac") == 0.0)
+  }
+
   test("q73 importance weights: target-profile docs score > 1, anti-target < gibberish < target") {
     import spark.implicits._
     // constructed corpus: 6 TARGET docs (en, quality 1.0 — 100 8-char

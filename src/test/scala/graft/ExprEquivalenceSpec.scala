@@ -110,6 +110,50 @@ class ExprEquivalenceSpec extends SparkSpec {
     assert(neu.exceptAll(old).count() == 0 && old.exceptAll(neu).count() == 0)
   }
 
+  test("GopherRepetition == driver-side model on real docs and edge corpora") {
+    import spark.implicits._
+    // independent restatement of the battery in plain collections code
+    def model(text: String): Option[Seq[Double]] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) return None
+      def cp(x: String): Long = x.codePointCount(0, x.length).toLong
+      def unit(units: Seq[String]): Seq[Double] = {
+        val g = units.groupBy(identity).values.map(v => (v.size.toLong, cp(v.head))).toSeq
+        val n = g.map(_._1).sum; val ch = g.map(x => x._1 * x._2).sum
+        val d = g.filter(_._1 > 1)
+        Seq(d.map(_._1).sum.toDouble / n, d.map(x => x._1 * x._2).sum.toDouble / ch)
+      }
+      val lines = unit(text.split("\n").filter(_.nonEmpty).toSeq)
+      val paras = unit(text.split("\n\n").filter(_.nonEmpty).toSeq)
+      val grams = (2 to 10).map { n =>
+        if (toks.length < n) 0.0
+        else {
+          val gs = toks.sliding(n).map(_.mkString(" ")).toSeq
+            .groupBy(identity).values.map(v => (v.size.toLong, v.size.toLong * cp(v.head))).toSeq
+          val tot = gs.map(_._2).sum
+          if (n <= 4) gs.max._2.toDouble / tot
+          else gs.filter(_._1 > 1).map(_._2).sum.toDouble / tot
+        }
+      }
+      Some(lines ++ paras ++ grams.take(3) ++ grams.drop(3))
+    }
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++ Seq(
+      (9001L, "aa bb\naa bb\naa bb\ncc"),            // duplicated lines
+      (9002L, "p q\n\np q\n\nr s"),                  // duplicated paragraphs
+      (9003L, Seq.fill(7)("x1 x2 x3 x4 x5").mkString(" ")), // period-5 span
+      (9004L, "a😀b c😀d a😀b c😀d a😀b c😀d"),      // astral chars in duplicated grams
+      (9005L, "solo"),                               // no gram evidence
+      (9006L, " \n \nword\n\n\nword"))               // blank lines/paragraph edges
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.expressions.Exprs.gopherRepetition(col("text")).as("rs"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getStruct(1)).map(st => (0 until 13).map(st.getDouble))).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) == model(text), s"doc $id: kernel ${got(id)} vs model ${model(text)}")
+    }
+  }
+
   test("QuantDotProduct == zip_with/aggregate floor fold") {
     def oldQDot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => floor(x * y * lit(1e12) + lit(0.5e0))),

@@ -348,6 +348,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 1, s"only the output sort may exchange, got $exchanges")
   }
 
+  test("q79 repetition signals: narrow map — per-doc stats never leave the row, only the output sort exchanges") {
+    val p = plan("q79_repetition_signals")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "every fraction is computed in the compiled per-doc kernel — nothing may join or aggregate")
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1, s"only the output sort may exchange, got $exchanges")
+    assert(!p.contains("Generate"), "no explode — the kernel replaces the (doc, gram) fan-out")
+  }
+
   test("q66 url filter: narrow map — no join, no aggregate, only the output sort exchanges") {
     val p = plan("q66_url_filter")
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
