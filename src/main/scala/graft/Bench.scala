@@ -47,6 +47,7 @@ object Bench {
       "q71_span_dedup", // corpus-wide positional-gram df — q63-class cost
       "q72_semantic_dedup", // in-cell pair join, ~1.8 s cold (r13) — shielded like its peers
       "q73_importance_weights", // full gram explode + 2 doc aggs, ~3.2 s cold (r13)
+      "q79_repetition_signals", // compiled per-doc battery, ~2.4 s cold (r14)
       "q75_kmeans_refine", // 3 fused-assignment passes + 2 centroid aggs (r13)
       "q77_semantic_dedup_refined", // q75's sweeps + q76's capped pair join composed (r14)
       "q21_top_revenue_orders",

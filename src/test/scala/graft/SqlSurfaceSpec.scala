@@ -85,6 +85,14 @@ class SqlSurfaceSpec extends SparkSpec {
          |WHERE size(filter(split(text, '\\\\s+'), t -> t != '')) >= 3
          |ORDER BY doc_id""".stripMargin)
     assertSame(sigSql, SparkEntry.queries("q41_minhash_signatures")(spark, sf))
+    // the repetition battery's kernel too: SQL struct access == facade
+    val repSql = spark.sql(
+      "SELECT doc_id, gopher_repetition(text).dup_line_frac AS dlf, " +
+        "gopher_repetition(text).dup5gram_frac AS d5 FROM documents")
+    val repDf = Tables.documents(spark, sf).select(col("doc_id"),
+      Exprs.gopherRepetition(col("text")).getField("dup_line_frac").as("dlf"),
+      Exprs.gopherRepetition(col("text")).getField("dup5gram_frac").as("d5"))
+    assertSame(repSql, repDf)
   }
 
   test("removeRepeatedLines runs as a plain SQL string over a registered view") {
