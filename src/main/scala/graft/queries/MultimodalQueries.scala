@@ -59,6 +59,47 @@ object MultimodalQueries {
            |       CAST(len % 16 + 1 AS INTEGER) AS n_frames,
            |${(0 until Multimodal.StubDecoder.featureDim).map(f).mkString(",\n")}
            |FROM b ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Frame-sample stage under the oracle: the video -> frames fan-out
+    // (one input row -> ceil(n_frames / stride) rows) with every
+    // emitted frame's BYTES pinned as hex — the oracle rebuilds the
+    // same fixed-width byte windows by slicing the payload's hex
+    // string (DuckDB 1.0 has no blob substring/md5), so the kernel's
+    // slicing (not just its row counts) must agree byte-for-byte.
+    // Narrow map + explode-shaped fan-out; no shuffle before the
+    // output sort.
+    "q80_frame_sample" -> Q(
+      (s, d) => Multimodal.sampleFrames(s,
+          Multimodal.mediaTable(Tables.documents(s, d)), frameBytes = 16, stride = 2)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), hex(col("frame")).as("frame_hex"))
+        .orderBy(col("doc_id"), col("frame_idx")),
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |                  octet_length(encode(text)) AS blen
+        |           FROM documents),
+        |f AS (SELECT doc_id,
+        |             CAST(unnest(range(0, blen // 16, 2)) AS INTEGER) AS frame_idx,
+        |             hx
+        |      FROM m)
+        |SELECT doc_id, frame_idx,
+        |       substr(hx, frame_idx * 32 + 1, 32) AS frame_hex
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin),
+
+    // Resize stage under the oracle: fixed-dimension payload caps, the
+    // truncated payload hash-pinned (copyOf must never zero-pad — the
+    // min() keeps short payloads byte-identical).
+    "q81_resize_stage" -> Q(
+      (s, d) => Multimodal.resize(s,
+          Multimodal.mediaTable(Tables.documents(s, d)), w = 8, h = 4)
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          octet_length(col("media")).cast("long").as("out_len"),
+          hex(col("media")).as("payload_hex"))
+        .orderBy(col("doc_id")),
+      """SELECT doc_id, 8 AS width, 4 AS height,
+        |       CAST(LEAST(octet_length(encode(text)), 32) AS BIGINT) AS out_len,
+        |       substr(hex(encode(text)), 1, CAST(LEAST(octet_length(encode(text)), 32) * 2 AS INTEGER)) AS payload_hex
+        |FROM documents ORDER BY doc_id""".stripMargin)
   )
 }

@@ -357,6 +357,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Generate"), "no explode — the kernel replaces the (doc, gram) fan-out")
   }
 
+  test("q80/q81 multimodal stages: per-partition batch map — no join/aggregate, only the output sort exchanges") {
+    Seq("q80_frame_sample", "q81_resize_stage").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("HashAggregate"),
+        s"$q is a mapPartitions batch stage — nothing may join or aggregate")
+      val exchanges = "Exchange ".r.findAllIn(p).length
+      assert(exchanges == 1, s"$q: only the output sort may exchange, got $exchanges")
+    }
+  }
+
   test("q66 url filter: narrow map — no join, no aggregate, only the output sort exchanges") {
     val p = plan("q66_url_filter")
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
