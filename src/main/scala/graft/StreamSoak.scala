@@ -22,8 +22,16 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * scanned), and the final trigger costs far less than the full-union
   * recuration the sink's scaladoc tells corpus-trained stages to use.
   *
-  * Usage: runMain graft.StreamSoak [srcSfDir] [workDir] [nBatches]
-  * Dev harness — not part of the driver contract surface.
+  * Usage: runMain graft.StreamSoak [srcSfDir] [workDir] [nBatches] [ooo]
+  * With the optional 4th arg `ooo`, batches land with DECREASING id
+  * offsets — every later batch is a lower-id near-copy of everything
+  * already admitted, the sink's documented out-of-order edge at full
+  * corpus scale: the curated store accumulates all B near-copies, and
+  * the post-run [[graft.streaming.Streaming.compactCuratedStore]] must
+  * (measured) collapse it to the one-batch answer in one pass. In the
+  * default monotone mode the same compact is the 0-deletion
+  * maintenance-scan floor. Dev harness — not part of the driver
+  * contract surface.
   */
 object StreamSoak {
 
@@ -34,6 +42,7 @@ object StreamSoak {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_streamsoak"
     val nBatches = if (args.length > 2) args(2).toInt else 12
+    val ooo = args.length > 3 && args(3) == "ooo"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -61,8 +70,9 @@ object StreamSoak {
       // replicas become near-replicas, shifting their whole load onto
       // the banded stages (the harder path). d<id> reuses the SOURCE
       // id, so a base doc's b replicas stay band-colliding near-dups.
+      val off = (if (ooo) (nBatches - b).toLong else b.toLong) * 10000000L
       val batch = docs.select(
-        (col("doc_id") + lit(b * 10000000L)).as("doc_id"),
+        (col("doc_id") + lit(off)).as("doc_id"),
         concat(lit(s"s$b d"), col("doc_id"), lit(" "), col("text")).as("text"))
       val stage = s"$work/stage_b$b"
       batch.coalesce(4).write.mode("overwrite").parquet(stage)
@@ -109,9 +119,26 @@ object StreamSoak {
     val batchChk = full.agg(count(lit(1)), sum(col("doc_id"))).collect().head
     spark.catalog.clearCache()
     println(f"STREAMSOAK recuration-control dur $fullS%7.2f s over ${nBatches} batches")
-    println(s"STREAMSOAK equivalence streamed=(${streamedChk.mkString(",")}) batch=(${batchChk.mkString(",")})")
+    println(s"STREAMSOAK equivalence streamed=(${streamedChk.mkString(",")}) batch=(${batchChk.mkString(",")})" +
+      (if (ooo) " [pre-compact: EXPECTED to differ in ooo mode]" else ""))
+    // the compact pass, measured: in ooo mode it must collapse the
+    // accumulated out-of-order near-copies to the batch answer in one
+    // pass; in monotone mode it is the 0-deletion maintenance floor.
+    // Either way the second run pins idempotence at scale.
+    val c0 = System.nanoTime()
+    val nDel = graft.streaming.Streaming.compactCuratedStore(spark, curated, sigs)
+    val compactS = (System.nanoTime() - c0) / 1e9
+    spark.catalog.clearCache()
+    val c1 = System.nanoTime()
+    val nDel2 = graft.streaming.Streaming.compactCuratedStore(spark, curated, sigs)
+    val compact2S = (System.nanoTime() - c1) / 1e9
+    spark.catalog.clearCache()
+    val postChk = graft.engine.Sinks.readUpsertStore(spark, curated)
+      .agg(count(lit(1)), sum(col("doc_id"))).collect().head
+    println(f"STREAMSOAK compact dur $compactS%7.2f s deleted=$nDel%d; rerun dur $compact2S%7.2f s deleted=$nDel2%d")
+    println(s"STREAMSOAK post-compact streamed=(${postChk.mkString(",")}) batch=(${batchChk.mkString(",")})")
     println(f"STREAMSOAK summary first=${triggerS.head}%.2f last=${triggerS.last}%.2f " +
-      f"median=${triggerS.sorted.apply(triggerS.size / 2)}%.2f control=$fullS%.2f")
+      f"median=${triggerS.sorted.apply(triggerS.size / 2)}%.2f control=$fullS%.2f compact=$compactS%.2f")
     spark.stop()
   }
 }
