@@ -476,6 +476,16 @@ object Sinks {
           fs.delete(aside, true)
         }
         fs.delete(tmpRoot, true)
+        // a delete that empties EVERY bucket must not leave a meta-only
+        // store: zero data files wedge parquet schema inference for
+        // every later read and merge (the creation path refuses the
+        // same state — 'an empty batch must not create a zero-file
+        // store'). The emptied store becomes ABSENT instead:
+        // recoverUpsertStore then reads "no committed store", and the
+        // next merge recreates it from its batch.
+        val anyBucket = fs.exists(dst) && fs.listStatus(dst)
+          .exists(_.getPath.getName.startsWith(s"$BucketCol="))
+        if (!anyBucket) fs.delete(dst, true)
       }
     }
   }

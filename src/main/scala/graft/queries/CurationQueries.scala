@@ -636,13 +636,7 @@ object CurationQueries {
          |st3 AS (SELECT * FROM st2 WHERE doc_id IN (SELECT doc_id FROM canon)),
          |${TextQueries.sqlSigCtesFrom("st3")},
          |losers AS (
-         |  SELECT DISTINCT doc_b AS doc_id FROM (
-         |${Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (i, j) =>
-             s"""    SELECT b.doc_id AS doc_b,
-                |           ${(0 until 8).map(k => s"CAST(a.h$k = b.h$k AS INTEGER)").mkString(" + ")} AS matches
-                |    FROM sig a JOIN sig b ON a.h$i = b.h$i AND a.h$j = b.h$j AND a.doc_id < b.doc_id""".stripMargin
-           }.mkString("\n    UNION ALL\n")}
-         |  ) z WHERE matches / 8e0 >= 0.5),
+         |${TextQueries.sqlBandLosersFrom("sig")}),
          |st4 AS (SELECT * FROM st3 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
          |qd AS (${TextQueries.sqlQualityDocsFrom("st4")}),
          |st5 AS (SELECT * FROM qd WHERE quality >= $stageQualityFloor),
@@ -706,38 +700,13 @@ object CurationQueries {
          |canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
          |sigc AS (SELECT * FROM nsig WHERE doc_id IN (SELECT doc_id FROM canon)),
          |tlosers AS (
-         |  SELECT DISTINCT doc_b AS doc_id FROM (
-         |${Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (i, j) =>
-             s"""    SELECT b.doc_id AS doc_b,
-                |           ${(0 until 8).map(k => s"CAST(a.h$k = b.h$k AS INTEGER)").mkString(" + ")} AS matches
-                |    FROM sigc a JOIN sigc b ON a.h$i = b.h$i AND a.h$j = b.h$j AND a.doc_id < b.doc_id""".stripMargin
-           }.mkString("\n    UNION ALL\n")}
-         |  ) z WHERE matches / 8e0 >= 0.5),
+         |${TextQueries.sqlBandLosersFrom("sigc")}),
          |st2 AS (SELECT doc_id FROM canon
          |        WHERE doc_id NOT IN (SELECT doc_id FROM tlosers)),
          |${EmbeddingQueries.sqlVecsQ},
-         |c0 AS (
-         |  SELECT vec_id AS cell, list_transform(v, y -> CAST(y AS DOUBLE)) AS cv, nrm AS cnrm
-         |  FROM vecs WHERE vec_id < ${EmbeddingQueries.nSeeds}),
-         |${(1 to EmbeddingQueries.kmeansIters).map(EmbeddingQueries.sqlKmeansIter).mkString(",\n")},
-         |assign AS (
-         |  SELECT vec_id, cell, ccos, v, nrm FROM (
-         |    SELECT x.vec_id, c.cell,
-         |           ${EmbeddingQueries.sqlQDot("x.v", "c.cv")} / (x.nrm * c.cnrm) AS ccos,
-         |           x.v, x.nrm,
-         |           row_number() OVER (PARTITION BY x.vec_id
-         |             ORDER BY ${EmbeddingQueries.sqlQDot("x.v", "c.cv")} / (x.nrm * c.cnrm) DESC, c.cell ASC) AS rn
-         |    FROM vecs x CROSS JOIN c${EmbeddingQueries.kmeansIters} c) z
-         |  WHERE rn = 1),
+         |${EmbeddingQueries.sqlKmeansAssignCtes},
          |asurv AS (SELECT * FROM assign WHERE vec_id IN (SELECT doc_id FROM st2)),
-         |core AS (
-         |  SELECT vec_id, cell, ccos, v, nrm
-         |  FROM (SELECT asurv.*, row_number() OVER (PARTITION BY cell ORDER BY ccos DESC, vec_id ASC) AS cr FROM asurv) z
-         |  WHERE cr <= ${EmbeddingQueries.semDedupCap}),
-         |slosers AS (
-         |  SELECT DISTINCT CASE WHEN a.ccos <= b.ccos THEN b.vec_id ELSE a.vec_id END AS vec_id
-         |  FROM core a JOIN core b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE ${EmbeddingQueries.sqlQDot("a.v", "b.v")} / (a.nrm * b.nrm) >= $semStageTau),
+         |${EmbeddingQueries.sqlSemanticCoreLosers("asurv", semStageTau, EmbeddingQueries.semDedupCap)},
          |st3 AS (SELECT doc_id FROM st2
          |        WHERE doc_id NOT IN (SELECT vec_id FROM slosers)),
          |qd AS (${TextQueries.sqlQualityDocsFrom("documents")}),

@@ -119,6 +119,42 @@ object EmbeddingQueries {
        |    LEFT JOIN m$i m USING (cell) LEFT JOIN $prev p USING (cell)) q)"""
   }
 
+  /** The Lloyd-refined assignment as oracle CTEs — c0 (seeded), the
+    * [[kmeansIters]] sweeps, and `assign` carrying (vec_id, cell,
+    * ccos, v, nrm) under the final centroids; mirrors [[kmeansAssign]].
+    * Requires a `vecs` CTE in scope ([[sqlVecsQ]]); claims c0..cN, the
+    * per-sweep a/s/m CTEs, and `assign`. Stated ONCE for the composing
+    * oracles (q77/q78 — the sqlSigCtesFrom drift-prevention rule). */
+  private[queries] def sqlKmeansAssignCtes: String =
+    s"""c0 AS (
+       |  SELECT vec_id AS cell, list_transform(v, y -> CAST(y AS DOUBLE)) AS cv, nrm AS cnrm
+       |  FROM vecs WHERE vec_id < $nSeeds),
+       |${(1 to kmeansIters).map(sqlKmeansIter).mkString(",\n")},
+       |assign AS (
+       |  SELECT vec_id, cell, ccos, v, nrm FROM (
+       |    SELECT x.vec_id, c.cell,
+       |           ${sqlQDot("x.v", "c.cv")} / (x.nrm * c.cnrm) AS ccos,
+       |           x.v, x.nrm,
+       |           row_number() OVER (PARTITION BY x.vec_id
+       |             ORDER BY ${sqlQDot("x.v", "c.cv")} / (x.nrm * c.cnrm) DESC, c.cell ASC) AS rn
+       |    FROM vecs x CROSS JOIN c$kmeansIters c) z
+       |  WHERE rn = 1)""".stripMargin
+
+  /** The capped within-cell pair rule as oracle CTEs over an
+    * assignment-shaped relation: `core` (each cell's `cap`
+    * highest-ccos members) and `slosers` (the centroid-closer member
+    * of every core pair at cosine >= tau) — mirrors [[losersInCells]].
+    * Stated ONCE for q77/q78. */
+  private[queries] def sqlSemanticCoreLosers(assignRel: String, tau: Double, cap: Int): String =
+    s"""core AS (
+       |  SELECT vec_id, cell, ccos, v, nrm
+       |  FROM (SELECT $assignRel.*, row_number() OVER (PARTITION BY cell ORDER BY ccos DESC, vec_id ASC) AS cr FROM $assignRel) z
+       |  WHERE cr <= $cap),
+       |slosers AS (
+       |  SELECT DISTINCT CASE WHEN a.ccos <= b.ccos THEN b.vec_id ELSE a.vec_id END AS vec_id
+       |  FROM core a JOIN core b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${sqlQDot("a.v", "b.v")} / (a.nrm * b.nrm) >= $tau)""".stripMargin
+
   val defs: Map[String, Q] = Map(
 
     // Brute-force cosine top-k — the exact baseline every ANN variant is
@@ -406,30 +442,11 @@ object EmbeddingQueries {
       (s, d) => semanticDedupRefined(Tables.embeddings(s, d), nSeeds, kmeansIters,
         tau = 0.45, maxCellSize = Some(semDedupCap)),
       s"""WITH $sqlVecsQ,
-         |c0 AS (
-         |  SELECT vec_id AS cell, list_transform(v, y -> CAST(y AS DOUBLE)) AS cv, nrm AS cnrm
-         |  FROM vecs WHERE vec_id < $nSeeds),
-         |${(1 to kmeansIters).map(sqlKmeansIter).mkString(",\n")},
-         |assign AS (
-         |  SELECT vec_id, cell, ccos, v, nrm FROM (
-         |    SELECT x.vec_id, c.cell,
-         |           ${sqlQDot("x.v", "c.cv")} / (x.nrm * c.cnrm) AS ccos,
-         |           x.v, x.nrm,
-         |           row_number() OVER (PARTITION BY x.vec_id
-         |             ORDER BY ${sqlQDot("x.v", "c.cv")} / (x.nrm * c.cnrm) DESC, c.cell ASC) AS rn
-         |    FROM vecs x CROSS JOIN c$kmeansIters c) z
-         |  WHERE rn = 1),
-         |core AS (
-         |  SELECT vec_id, cell, ccos, v, nrm
-         |  FROM (SELECT assign.*, row_number() OVER (PARTITION BY cell ORDER BY ccos DESC, vec_id ASC) AS cr FROM assign) z
-         |  WHERE cr <= $semDedupCap),
-         |losers AS (
-         |  SELECT DISTINCT CASE WHEN a.ccos <= b.ccos THEN b.vec_id ELSE a.vec_id END AS vec_id
-         |  FROM core a JOIN core b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE ${sqlQDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.45),
+         |$sqlKmeansAssignCtes,
+         |${sqlSemanticCoreLosers("assign", 0.45, semDedupCap)},
          |kept AS (
          |  SELECT cell, COUNT(*) AS n_kept FROM assign
-         |  WHERE vec_id NOT IN (SELECT vec_id FROM losers) GROUP BY 1)
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM slosers) GROUP BY 1)
          |SELECT t.cell, t.n_vecs, COALESCE(k.n_kept, 0) AS n_kept,
          |       t.n_vecs - COALESCE(k.n_kept, 0) AS n_dropped
          |FROM (SELECT cell, COUNT(*) AS n_vecs FROM assign GROUP BY 1) t
@@ -733,7 +750,12 @@ object EmbeddingQueries {
   def semanticDedupRefined(emb: DataFrame, nSeeds: Int, iters: Int, tau: Double,
                            scope: CacheScope = CacheScope.untracked,
                            maxCellSize: Option[Int] = None): DataFrame =
-    semanticDedupInCells(kmeansAssign(emb, nSeeds, iters), tau, scope, maxCellSize)
+    semanticDedupInCells(
+      // iters = 0 IS the advertised degenerate case (q72's seeded
+      // one-pass cells) — route it to the seeded assignment rather
+      // than tripping kmeansAssign's sweep-count bound
+      if (iters == 0) seededAssign(emb, nSeeds) else kmeansAssign(emb, nSeeds, iters),
+      tau, scope, maxCellSize)
 
   /** IVF-style coarse-quantized top-k: assign every vector to its nearest
     * centroid (the first `nSeeds` vectors, deterministic), then answer

@@ -835,6 +835,21 @@ object TextQueries {
   /** DuckDB mirror of [[signatures]] (the documents-table form). */
   private val sqlSigCtes: String = sqlSigCtesFrom("documents")
 
+  /** Banded near-dup LOSER select over a sig-shaped relation (doc_id,
+    * h0..h7): the doc_b (higher id) of every aligned-band collision
+    * pair at est_sim >= 0.5 — the near-dup stage's drop set, stated
+    * ONCE for every composing oracle (q37/q69/q78 — the same
+    * drift-prevention rule as [[sqlSigCtesFrom]]). Callers wrap it in
+    * their own CTE name. */
+  private[queries] def sqlBandLosersFrom(sigRel: String): String =
+    s"""SELECT DISTINCT doc_b AS doc_id FROM (
+       |${Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (i, j) =>
+         s"""    SELECT b.doc_id AS doc_b,
+            |           ${(0 until nHashes).map(k => s"CAST(a.h$k = b.h$k AS INTEGER)").mkString(" + ")} AS matches
+            |    FROM $sigRel a JOIN $sigRel b ON a.h$i = b.h$i AND a.h$j = b.h$j AND a.doc_id < b.doc_id""".stripMargin
+       }.mkString("\n    UNION ALL\n")}
+       |  ) z WHERE matches / 8e0 >= 0.5""".stripMargin
+
   /** Shared oracle fragment for the doc-level clustering: band-join
     * candidates → est-sim ≥ 0.5 edge closure → recursive reachability →
     * `cl` (doc_id, cluster_id). Stated ONCE so q49 and q67 cannot
@@ -1158,13 +1173,7 @@ object TextQueries {
          |sigc AS (
          |  SELECT * FROM sig WHERE doc_id IN (SELECT doc_id FROM canonical)),
          |losers AS (
-         |  SELECT DISTINCT doc_b AS doc_id FROM (
-         |${Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (i, j) =>
-             s"""    SELECT b.doc_id AS doc_b,
-                |           ${(0 until nHashes).map(k => s"CAST(a.h$k = b.h$k AS INTEGER)").mkString(" + ")} AS matches
-                |    FROM sigc a JOIN sigc b ON a.h$i = b.h$i AND a.h$j = b.h$j AND a.doc_id < b.doc_id""".stripMargin
-           }.mkString("\n    UNION ALL\n")}
-         |  ) WHERE matches / 8e0 >= 0.5),
+         |${sqlBandLosersFrom("sigc")}),
          |scored AS (
          |  SELECT doc_id, lang, n_chars,
          |         LEAST(len(toks) / 100e0, 1e0) * 0.4e0

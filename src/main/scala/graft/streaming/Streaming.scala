@@ -403,24 +403,33 @@ object Streaming {
     * The pass computes the banded est_sim >= 0.5 pairs over every
     * stored signature (exactly the batch pipeline's near-dup stage over
     * the union corpus — the seen store IS the union's exact-dedup
-    * survivor set) and deletes each pair's higher doc_id from the
-    * curated store. Streamed suppressions are a subset of the batch
-    * loser set (both probes drop the higher id of a qualifying pair),
-    * so after one compact the curated store equals the one-batch
-    * `curatedDocsOf` answer for every admitted document — StreamingSpec
-    * pins the convergence on an out-of-order corpus. The SEEN store is
-    * deliberately untouched: its contract is to hold every exact-dedup
-    * survivor ever observed, losers included, so future batches keep
-    * their full suppression evidence.
+    * survivor set under the streamed first-arrival-wins rule) and
+    * deletes each pair's higher doc_id from the curated store.
+    * Streamed NEAR-DUP suppressions are a subset of the batch loser
+    * set (both probes drop the higher id of a qualifying pair), so one
+    * compact converges the near-dup canonicalization: the curated
+    * store then holds exactly the batch answer's members among the
+    * docs the EXACT stage admitted — StreamingSpec pins the full
+    * equality on an out-of-order near-dup corpus. What the compact
+    * cannot restore is the exact stage's own out-of-order divergence
+    * (documented above): a late lower-id EXACT copy was suppressed
+    * with its text never stored, so batch's min-id canonical may
+    * simply not exist in any store — the compact then canonicalizes
+    * among the ids that do. The SEEN store is deliberately untouched:
+    * its contract is to hold every exact-dedup survivor ever observed,
+    * losers included, so future batches keep their full suppression
+    * evidence.
     *
     * Idempotent (a second compact finds the same pairs and deletes
     * nothing) and incremental in cost: the pair join is the banded
     * LSH join over the store — O(colliding candidates), never
     * all-pairs — and the delete rewrites only the buckets holding
-    * victims ([[Sinks.deleteFromUpsertStore]]). Run it on a schedule
-    * (e.g. nightly) between triggers; it takes the stores' writer
-    * fences, so it cannot interleave with a live merge. Returns the
-    * number of curated-store rows removed. */
+    * victims ([[Sinks.deleteFromUpsertStore]]). Concurrency contract:
+    * only the DELETE itself runs under the stores' writer fences; the
+    * read/pair-join phase does not, so run the compact while the
+    * stream is quiescent (the sink is Trigger.AvailableNow micro-batch
+    * — between drains), not concurrently with a live trigger. Returns
+    * the number of curated-store rows removed. */
   def compactCuratedStore(spark: SparkSession, curatedPath: String,
                           sigPath: String): Long = {
     val sigCols = (0 until 8).map(k => col(s"h$k"))

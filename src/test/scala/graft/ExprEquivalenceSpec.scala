@@ -135,7 +135,7 @@ class ExprEquivalenceSpec extends SparkSpec {
           else gs.filter(_._1 > 1).map(_._2).sum.toDouble / tot
         }
       }
-      Some(lines ++ paras ++ grams.take(3) ++ grams.drop(3))
+      Some(lines ++ paras ++ grams)
     }
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++ Seq(

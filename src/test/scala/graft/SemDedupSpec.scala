@@ -68,6 +68,18 @@ class SemDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("semanticDedupRefined at zero sweeps degrades to the seeded one-pass semanticDedup") {
+    // the scaladoc's advertised degenerate case must actually run:
+    // iters = 0 routes to the seeded assignment, not kmeansAssign's
+    // sweep bound
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val seeded = EmbeddingQueries.semanticDedup(emb, nSeeds = 8, tau = 0.45).collect().toSeq
+    val zero = EmbeddingQueries.semanticDedupRefined(emb, nSeeds = 8, iters = 0, tau = 0.45)
+      .collect().toSeq
+    assert(zero == seeded, "iters = 0 must equal the seeded one-pass recipe")
+    spark.catalog.clearCache()
+  }
+
   test("tau outside (0, 1] is rejected") {
     val emb = corpus(Seq(0L -> Seq(1f, 0f)))
     intercept[IllegalArgumentException] {

@@ -460,6 +460,29 @@ class StreamingSpec extends SparkSpec {
       s"the seen store's suppression evidence must survive the compact: $after")
   }
 
+  test("deleteFromUpsertStore that empties the store leaves it ABSENT, not meta-only") {
+    import spark.implicits._
+    val path = tmpDir("del_all").resolve("store").toString
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "v")
+    Sinks.upsertParquetPartitioned(spark, rows, path, Seq("doc_id"), None, numBuckets = 4)
+    assert(Sinks.recoverUpsertStore(spark, path))
+    // a partial delete keeps the store readable...
+    Sinks.deleteFromUpsertStore(spark, path, Seq(1L).toDF("doc_id"))
+    assert(Sinks.readUpsertStore(spark, path).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // ...and deleting every remaining key must not strand a zero-data-
+    // file store (meta only — parquet schema inference would wedge
+    // every later read and merge); the store reads as ABSENT instead
+    Sinks.deleteFromUpsertStore(spark, path, Seq(2L, 3L).toDF("doc_id"))
+    assert(!Sinks.recoverUpsertStore(spark, path),
+      "an emptied store must read as absent")
+    // ...and the next merge simply recreates it
+    Sinks.upsertParquetPartitioned(spark, Seq((9L, "z")).toDF("doc_id", "v"),
+      path, Seq("doc_id"), None, numBuckets = 4)
+    assert(Sinks.readUpsertStore(spark, path).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("incremental curation rejects corpus-trained stages") {
     // rarity / budget / repeated-line statistics are functions of the
     // whole corpus: a new batch would re-score docs admitted long ago.
