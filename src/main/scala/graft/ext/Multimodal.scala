@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   * partition, so a real decoder would amortize codec/model init across
   * the whole batch instead of paying it per row.
   *
-  * The decode step itself is a STUB (no image/audio codecs in this
-  * container): [[StubDecoder]] produces deterministic fake features from
-  * the raw bytes. The Spark-side plumbing — schema, binary transport,
-  * partition-batch shape, feature vector output — is real and tested.
+  * One format decodes for REAL: 24-bit uncompressed BMP
+  * ([[BmpDecoder]], with [[encodeBmp]] as its inverse and
+  * [[resizePixels]] the nearest-neighbor resample over its pixels).
+  * Every other payload routes to [[StubDecoder]], a deterministic
+  * stand-in for the codecs this container lacks — so decode, resize,
+  * and frame-sample stay TOTAL over arbitrary binary columns. The
+  * Spark-side plumbing — schema, binary transport, partition-batch
+  * shape, feature vector output — is real and tested either way.
   */
 object Multimodal {
 
@@ -94,7 +98,11 @@ object Multimodal {
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
         ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
 
-    def tryDecode(docId: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+    /** The pixel-level decode: (width, height, pixels) with pixels in
+      * top-down row-major B,G,R byte order, padding stripped — the
+      * shared core of [[tryDecode]] (which folds stripe features over
+      * it) and the real resize kernel (which resamples it). */
+    def tryDecodePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
       if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) None
       else {
         val dataOff = i32(bytes, 10)
@@ -120,11 +128,78 @@ object Multimodal {
               pixels, r * rowBytes.toInt, rowBytes.toInt)
             r += 1
           }
-          Some(MediaFeatures(docId, bytes.length.toLong, w, h, 1,
-            StubDecoder.stripeFeatures(pixels)))
+          Some((w, h, pixels))
         }
       }
     }
+
+    def tryDecode(docId: Long, bytes: Array[Byte]): Option[MediaFeatures] =
+      tryDecodePixels(bytes).map { case (w, h, pixels) =>
+        MediaFeatures(docId, bytes.length.toLong, w, h, 1,
+          StubDecoder.stripeFeatures(pixels))
+      }
+  }
+
+  /** [[BmpDecoder]]'s inverse: encode a top-down row-major B,G,R pixel
+    * array (length 3·w·h) as a strictly-valid 24-bit BI_RGB BMP —
+    * classic 54-byte BITMAPFILEHEADER + BITMAPINFOHEADER, 4-byte-padded
+    * rows (zero padding), `bottomUp = true` for the positive-height
+    * last-row-first layout, false for the negative-height top-down one.
+    * Round-trip law (MultimodalSpec): `tryDecodePixels(encodeBmp(p, w,
+    * h, either)) == Some((w, h, p))` — both row orders decode back to
+    * the same pixels, which is what lets q82 pin the real decode path
+    * against an oracle that never needs to model padding or row order. */
+  def encodeBmp(pixels: Array[Byte], w: Int, h: Int, bottomUp: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0, s"dimensions must be positive, got ${w}x$h")
+    require(pixels.length == 3 * w * h,
+      s"pixel array must hold 3*$w*$h = ${3 * w * h} bytes, got ${pixels.length}")
+    val rowBytes = 3 * w
+    val stride = (rowBytes + 3) & ~3
+    val out = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h)
+      .putShort(0).putShort(0).putInt(54)                  // reserved, pixel-data offset
+    out.putInt(40).putInt(w).putInt(if (bottomUp) h else -h)
+      .putShort(1).putShort(24).putInt(0)                  // planes, bpp, BI_RGB
+      .putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var r = 0
+    while (r < h) {
+      val srcRow = if (bottomUp) h - 1 - r else r
+      out.put(pixels, srcRow * rowBytes, rowBytes)
+      var p = rowBytes
+      while (p < stride) { out.put(0.toByte); p += 1 }
+      r += 1
+    }
+    out.array()
+  }
+
+  /** Nearest-neighbor resample over a top-down row-major B,G,R pixel
+    * array: target pixel (tx, ty) copies source pixel
+    * (⌊tx·srcW/dstW⌋, ⌊ty·srcH/dstH⌋) — the standard floor mapping, so
+    * an exact 2× downscale picks every other source pixel starting at
+    * (0, 0) (MultimodalSpec pins the exact byte selection). Pure
+    * per-pixel integer arithmetic: deterministic, engine-replayable,
+    * and O(dst) regardless of scale direction. */
+  def resizePixels(pixels: Array[Byte], srcW: Int, srcH: Int,
+                   dstW: Int, dstH: Int): Array[Byte] = {
+    require(srcW > 0 && srcH > 0 && dstW > 0 && dstH > 0, "dimensions must be positive")
+    require(pixels.length == 3 * srcW * srcH,
+      s"pixel array must hold 3*$srcW*$srcH bytes, got ${pixels.length}")
+    val out = new Array[Byte](3 * dstW * dstH)
+    var ty = 0
+    while (ty < dstH) {
+      val sy = (ty.toLong * srcH / dstH).toInt
+      var tx = 0
+      while (tx < dstW) {
+        val sx = (tx.toLong * srcW / dstW).toInt
+        val src = (sy * srcW + sx) * 3
+        val dst = (ty * dstW + tx) * 3
+        out(dst) = pixels(src); out(dst + 1) = pixels(src + 1); out(dst + 2) = pixels(src + 2)
+        tx += 1
+      }
+      ty += 1
+    }
+    out
   }
 
   /** documents.text reinterpreted as an opaque media payload — the
@@ -153,15 +228,40 @@ object Multimodal {
   final case class ResizedRow(doc_id: Long, width: Int, height: Int, media: Array[Byte])
 
   /** Resize stage (STUB kernel, real plumbing): per-partition batch map
-    * producing fixed-dimension payloads. A real implementation swaps the
-    * byte-slicing for a codec resize; schema, batching, and partition
-    * shape are what the engine owns. */
+    * producing fixed-dimension payloads. The real kernel for the format
+    * the engine can decode is [[resizeDecoded]]; this byte-slicing stub
+    * stands in for codecs the container lacks (q81 pins its bytes). */
   def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[ResizedRow] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { batch =>
       batch.map { r =>
         val out = java.util.Arrays.copyOf(r.media, math.min(r.media.length, w * h))
         ResizedRow(r.doc_id, w, h, out)
+      }
+    }
+  }
+
+  /** REAL resize stage over decodable payloads: a strictly-valid 24-bit
+    * BMP decodes ([[BmpDecoder.tryDecodePixels]]), resamples
+    * nearest-neighbor ([[resizePixels]]), and re-encodes as a top-down
+    * BMP at the target dimensions — so the stage's output is itself
+    * decodable and the resize composes with [[decodeFeatures]].
+    * Everything else falls back to [[resize]]'s byte-slicing stub
+    * (same totality contract as the decode dispatch: one total
+    * function over arbitrary binary columns). Same scale shape as the
+    * stub stage: a narrow per-partition batch map, no shuffle. */
+  def resizeDecoded(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[ResizedRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      batch.map { r =>
+        BmpDecoder.tryDecodePixels(r.media) match {
+          case Some((sw, sh, px)) =>
+            ResizedRow(r.doc_id, w, h,
+              encodeBmp(resizePixels(px, sw, sh, w, h), w, h, bottomUp = false))
+          case None =>
+            val out = java.util.Arrays.copyOf(r.media, math.min(r.media.length, w * h))
+            ResizedRow(r.doc_id, w, h, out)
+        }
       }
     }
   }

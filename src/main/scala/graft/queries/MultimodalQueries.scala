@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.engine.Tables
@@ -7,9 +8,66 @@ import graft.ext.Multimodal
 
 /** Multimodal-column operators (see graft.ext.Multimodal). q50's metadata
   * is arithmetic over the payload length; q51 exercises the
-  * mapPartitions batch-decode path. Both carry full oracles — the stub
-  * decoder's decimal-folded stripe averages are replayable in SQL. */
+  * mapPartitions batch-decode path — both over the text-as-media corpus,
+  * which always routes to the stub decoder. q82/q83 put the REAL format
+  * path under the oracle: a deterministic 24-bit BMP corpus built from
+  * the same document bytes, decoded ([[Multimodal.BmpDecoder]]) and
+  * nearest-neighbor-resized ([[Multimodal.resizeDecoded]]) for real,
+  * with header-truth dims and every decoded/resampled byte restated in
+  * SQL. All four carry full oracles. */
 object MultimodalQueries {
+
+  /** Deterministic mixed corpus for the real-decode queries: documents
+    * with >= 48 text bytes (and doc_id % 5 != 0) become strictly-valid
+    * 24-bit BMPs whose DECODED pixels are exactly the first 12·w text
+    * bytes — width 2 (padded 8-byte stride) or 4 (pad-free) by
+    * doc_id % 4, height 4, alternating bottom-up/top-down row order by
+    * doc_id parity. Because [[Multimodal.encodeBmp]] and
+    * [[Multimodal.BmpDecoder]] are inverses, the oracle never models
+    * padding or row order: a correct decode ALWAYS recovers the text
+    * prefix, and any slip (pad bytes leaking, rows unreversed, header
+    * misread) shifts the stripe fold and fails the hash. Every fifth
+    * document — and any too-short one — gets a payload prefixed with a
+    * 0x00 byte instead: provably not a BMP (the magic check fails), so
+    * those rows PIN THE STUB FALLBACK branch of the dispatch. */
+  private def bmpCorpus(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    Multimodal.mediaTable(docs).as[Multimodal.MediaRow].mapPartitions { it =>
+      it.map { r =>
+        if (r.media.length >= 48 && r.doc_id % 5 != 0) {
+          val w = if (r.doc_id % 4 < 2) 2 else 4
+          Multimodal.MediaRow(r.doc_id,
+            Multimodal.encodeBmp(java.util.Arrays.copyOf(r.media, 12 * w),
+              w, 4, bottomUp = r.doc_id % 2 == 0))
+        } else Multimodal.MediaRow(r.doc_id, 0.toByte +: r.media)
+      }
+    }.toDF()
+  }
+
+  /** Shared oracle head for the BMP-corpus queries: per doc, the text
+    * hex, byte length, the real-vs-stub routing predicate, and the
+    * constructed image width — the corpus rules of [[bmpCorpus]]
+    * restated once. */
+  private val sqlBmpBase =
+    """b AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS len,
+      |         (octet_length(encode(text)) >= 48 AND doc_id % 5 <> 0) AS isbmp,
+      |         CASE WHEN doc_id % 4 < 2 THEN 2 ELSE 4 END AS w
+      |  FROM documents)""".stripMargin
+
+  /** Independent restatement of [[Multimodal.encodeBmp]]'s 54-byte
+    * header as an uppercase hex literal, assembled field-by-field from
+    * the public BMP layout — embedded in q83's oracle so DuckDB pins
+    * the re-encoded header bytes without running the engine's encoder. */
+  private def bmpHeaderHex(w: Int, h: Int, topDown: Boolean): String = {
+    val stride = (3 * w + 3) & ~3
+    def le4(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X${(v >> 16) & 0xff}%02X${(v >>> 24) & 0xff}%02X"
+    def le2(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
+    "424D" + le4(54 + stride * h) + "00000000" + le4(54) +
+      le4(40) + le4(w) + le4(if (topDown) -h else h) + le2(1) + le2(24) + le4(0) +
+      le4(stride * h) + le4(2835) + le4(2835) + le4(0) + le4(0)
+  }
 
   val defs: Map[String, Q] = Map(
 
@@ -100,6 +158,90 @@ object MultimodalQueries {
       """SELECT doc_id, 8 AS width, 4 AS height,
         |       CAST(LEAST(octet_length(encode(text)), 32) AS BIGINT) AS out_len,
         |       substr(hex(encode(text)), 1, CAST(LEAST(octet_length(encode(text)), 32) * 2 AS INTEGER)) AS payload_hex
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // The REAL decode path under the oracle: the constructed-BMP corpus
+    // (see bmpCorpus) through the same decodeFeatures dispatch q51 uses.
+    // BMP rows pin header TRUTH (width = 2 or 4, height = 4,
+    // n_frames = 1, byte_len = 54 + stride·4 — values the stub's length
+    // arithmetic can never produce: its width is always >= 64) plus the
+    // stripe fold over the DECODED pixels, which a correct decode makes
+    // exactly the text prefix — padding stripped, bottom-up and
+    // top-down rows normalized. Every-fifth/too-short rows pin the stub
+    // fallback over the 0x00-prefixed payload. Narrow map end to end:
+    // two mapPartitions batches, no shuffle before the output sort.
+    "q82_bmp_decode" -> Q(
+      (s, d) => {
+        val feats = Multimodal.decodeFeatures(s,
+          bmpCorpus(s, Tables.documents(s, d)))
+        val fCols = (0 until Multimodal.StubDecoder.featureDim)
+          .map(k => element_at(col("features"), k + 1).as(s"f$k"))
+        feats.toDF()
+          .select(Seq(col("doc_id"), col("byte_len"), col("width"),
+            col("height"), col("n_frames")) ++ fCols: _*)
+          .orderBy(col("doc_id"))
+      }, {
+        // BMP branch: stripe mean over the decoded pixel bytes = the
+        // first 12·w text bytes (the encode/decode round trip law).
+        // Stub branch: q51's fold shifted one position right — payload
+        // byte 0 is the 0x00 router (lut 0, but it COUNTS in stripe 0).
+        def f(k: Int) =
+          s"""CASE WHEN isbmp THEN
+             |  CAST(list_sum(list_transform(range(${k + 1}, 12*w + 1, 8),
+             |    i -> CAST(('0x' || substr(hx, CAST(2*i-1 AS INTEGER), 2))::INTEGER / 255.0 AS DECIMAL(27,12))))
+             |  AS DOUBLE) / ((12*w - $k + 7) // 8)
+             |ELSE
+             |  COALESCE(CAST(list_sum(list_transform(range(${if (k == 0) 8 else k}, len + 1, 8),
+             |    i -> CAST(('0x' || substr(hx, CAST(2*i-1 AS INTEGER), 2))::INTEGER / 255.0 AS DECIMAL(27,12))))
+             |  AS DOUBLE) / ((len + 1 - $k + 7) // 8), 0e0)
+             |END AS f$k""".stripMargin
+        s"""WITH $sqlBmpBase
+           |SELECT doc_id,
+           |  CAST(CASE WHEN isbmp THEN 54 + 4 * ((w*3 + 3) // 4) * 4 ELSE len + 1 END AS BIGINT) AS byte_len,
+           |  CAST(CASE WHEN isbmp THEN w ELSE (len + 1) % 640 + 64 END AS INTEGER) AS width,
+           |  CAST(CASE WHEN isbmp THEN 4 ELSE ((len + 1) * 7) % 480 + 48 END AS INTEGER) AS height,
+           |  CAST(CASE WHEN isbmp THEN 1 ELSE (len + 1) % 16 + 1 END AS INTEGER) AS n_frames,
+           |${(0 until Multimodal.StubDecoder.featureDim).map(f).mkString(",\n")}
+           |FROM b ORDER BY doc_id""".stripMargin
+      }),
+
+    // The REAL resize kernel under the oracle: the BMP corpus through
+    // resizeDecoded — decode, nearest-neighbor resample to 2x2,
+    // re-encode top-down — with EVERY output byte hex-pinned: the
+    // 54-byte header as an independently-assembled literal, each
+    // resampled pixel byte as the exact text-hex position the floor
+    // mapping (sx = tx·srcW/2, sy = 2·ty) selects, row padding as
+    // literal zeros. Stub-fallback rows pin the byte-slice path over
+    // the 0x00-prefixed payload. Narrow map, no shuffle.
+    "q83_bmp_resize" -> Q(
+      (s, d) => Multimodal.resizeDecoded(s,
+          bmpCorpus(s, Tables.documents(s, d)), w = 2, h = 2)
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          octet_length(col("media")).cast("long").as("out_len"),
+          hex(col("media")).as("payload_hex"))
+        .orderBy(col("doc_id")),
+      {
+        // output byte m of the 12 resampled pixel bytes -> source text
+        // byte index under the floor mapping (decoded pixels ARE the
+        // text prefix, so the source index addresses the text hex)
+        def srcIdx(m: Int, srcW: Int): Int = {
+          val tpix = m / 3; val c = m % 3
+          val tx = tpix % 2; val ty = tpix / 2
+          val sx = tx * srcW / 2; val sy = ty * 4 / 2
+          (sy * srcW + sx) * 3 + c
+        }
+        def pix(m: Int) =
+          s"CASE WHEN w = 2 THEN substr(hx, ${2 * srcIdx(m, 2) + 1}, 2) ELSE substr(hx, ${2 * srcIdx(m, 4) + 1}, 2) END"
+        val body = (0 until 6).map(pix).mkString(" || ") +
+          " || '0000' || " + (6 until 12).map(pix).mkString(" || ") + " || '0000'"
+        s"""WITH $sqlBmpBase
+           |SELECT doc_id,
+           |  2 AS width, 2 AS height,
+           |  CAST(CASE WHEN isbmp THEN 70 ELSE LEAST(len + 1, 4) END AS BIGINT) AS out_len,
+           |  CASE WHEN isbmp THEN '${bmpHeaderHex(2, 2, topDown = true)}' || $body
+           |       ELSE '00' || substr(hx, 1, CAST(LEAST(len, 3) * 2 AS INTEGER)) END AS payload_hex
+           |FROM b ORDER BY doc_id""".stripMargin
+      })
   )
 }

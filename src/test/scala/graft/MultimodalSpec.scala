@@ -17,30 +17,13 @@ class MultimodalSpec extends SparkSpec {
     assert(f.byte_len > 0 && f.width >= 64 && f.height >= 48 && f.n_frames >= 1)
   }
 
-  /** Minimal 24-bit BI_RGB BMP encoder for the real-decode tests:
-    * `pixels(r)(c)` = (red, green, blue) in TOP-DOWN row order;
-    * `bottomUp = true` writes the classic positive-height layout
-    * (rows stored last-first), false the top-down negative-height one. */
-  private def encodeBmp(pixels: Array[Array[(Int, Int, Int)]], bottomUp: Boolean): Array[Byte] = {
-    val h = pixels.length
-    val w = pixels(0).length
-    val stride = (w * 3 + 3) & ~3
-    val out = java.nio.ByteBuffer.allocate(54 + stride * h)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    out.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h)
-      .putShort(0).putShort(0).putInt(54)                  // reserved, data offset
-    out.putInt(40).putInt(w).putInt(if (bottomUp) h else -h)
-      .putShort(1).putShort(24).putInt(0)                  // planes, bpp, BI_RGB
-      .putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
-    val rows = if (bottomUp) pixels.reverse else pixels
-    rows.foreach { row =>
-      row.foreach { case (r, g, b) =>                      // stored B,G,R
-        out.put(b.toByte).put(g.toByte).put(r.toByte)
-      }
-      (w * 3 until stride).foreach(_ => out.put(0.toByte)) // row padding
-    }
-    out.array()
-  }
+  /** (red, green, blue) pixel rows (top-down) -> the stored B,G,R byte
+    * array [[Multimodal.encodeBmp]] takes. */
+  private def bgrBytes(pixels: Array[Array[(Int, Int, Int)]]): Array[Byte] =
+    pixels.flatMap(_.flatMap { case (r, g, b) => Seq(b.toByte, g.toByte, r.toByte) })
+
+  private def encodeBmp(pixels: Array[Array[(Int, Int, Int)]], bottomUp: Boolean): Array[Byte] =
+    Multimodal.encodeBmp(bgrBytes(pixels), pixels(0).length, pixels.length, bottomUp)
 
   test("real BMP decode: header truth, padding stripped, row order normalized") {
     import spark.implicits._
@@ -81,6 +64,57 @@ class MultimodalSpec extends SparkSpec {
     val tf = Multimodal.decodeFeatures(spark,
       Seq(4L -> truncated).toDF("doc_id", "media")).head()
     assert(tf.width == Multimodal.StubDecoder.decode(4L, truncated).width)
+  }
+
+  test("encode/decode round trip: both row orders recover exact pixels") {
+    // 3x2 with a padded stride (3*3=9 -> 12): padding must vanish
+    val px = Array.tabulate(18)(i => (i * 37 + 11).toByte)
+    for (bottomUp <- Seq(true, false)) {
+      val bmp = Multimodal.encodeBmp(px, 3, 2, bottomUp)
+      assert(Multimodal.BmpDecoder.tryDecodePixels(bmp).exists {
+        case (w, h, p) => w == 3 && h == 2 && p.toSeq == px.toSeq
+      }, s"round trip failed for bottomUp=$bottomUp")
+    }
+  }
+
+  test("resizePixels: 2x downscale picks the exact floor-mapped source pixels") {
+    // 4x4 source, every byte unique; 2x2 target must pick source pixels
+    // (0,0), (2,0), (0,2), (2,2) — the floor mapping sx=2tx, sy=2ty
+    val src = Array.tabulate(48)(i => i.toByte)
+    val out = Multimodal.resizePixels(src, 4, 4, 2, 2)
+    def pixel(x: Int, y: Int) = (0 until 3).map(c => src((y * 4 + x) * 3 + c))
+    assert(out.toSeq == Seq((0, 0), (2, 0), (0, 2), (2, 2)).flatMap {
+      case (x, y) => pixel(x, y) })
+    // upscale: every target pixel replicates its floor-mapped source
+    val up = Multimodal.resizePixels(src, 4, 4, 8, 4)
+    assert(up.length == 3 * 8 * 4)
+    assert((0 until 8).forall { tx =>
+      (0 until 3).forall(c => up(tx * 3 + c) == src((tx / 2) * 3 + c)) })
+  }
+
+  test("resizeDecoded: real resample for BMPs, re-encoded decodable; stub otherwise") {
+    import spark.implicits._
+    val img = Array(
+      Array((255, 0, 0), (0, 255, 0), (10, 20, 30), (40, 50, 60)),
+      Array((1, 2, 3), (4, 5, 6), (7, 8, 9), (11, 12, 13)),
+      Array((90, 91, 92), (93, 94, 95), (96, 97, 98), (99, 100, 101)),
+      Array((200, 0, 50), (60, 70, 80), (110, 120, 130), (140, 150, 160)))
+    val bmp = encodeBmp(img, bottomUp = true)
+    val text = "plainly not a bitmap".getBytes("UTF-8")
+    val in = Seq(1L -> bmp, 2L -> text).toDF("doc_id", "media")
+    val got = Multimodal.resizeDecoded(spark, in, w = 2, h = 2).collect()
+      .map(r => r.doc_id -> r).toMap
+    // the BMP output is itself a valid top-down 2x2 BMP whose pixels are
+    // the floor-mapped source pixels (0,0),(2,0),(0,2),(2,2)
+    val decoded = Multimodal.BmpDecoder.tryDecodePixels(got(1L).media)
+    assert(decoded.isDefined, "resized BMP must re-decode")
+    val (w, h, px) = decoded.get
+    assert(w == 2 && h == 2)
+    val want = Seq((0, 0), (2, 0), (0, 2), (2, 2)).flatMap { case (x, y) =>
+      val (r, g, b) = img(y)(x); Seq(b.toByte, g.toByte, r.toByte) }
+    assert(px.toSeq == want)
+    // non-BMP payloads take the byte-slice stub path (q81's contract)
+    assert(got(2L).media.toSeq == text.take(4).toSeq)
   }
 
   test("resize: every output payload capped at w*h bytes with dims attached") {
