@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.Q
 import graft.engine.{CacheScope, Tables}
 
@@ -13,21 +12,26 @@ import graft.engine.{CacheScope, Tables}
   * scale paths.
   *
   * Numeric parity strategy: dot products and norms are FUSED array
-  * expressions — `zip_with` the two vectors, cast every elementwise
-  * double product to DECIMAL(27,12), and fold with decimal addition.
-  * Decimal addition is associative, so the fold order (Spark's
-  * left-to-right `aggregate` vs DuckDB's `list_sum`) cannot change the
-  * result, and the final decimal->double cast is deterministic — the
-  * same trick graft.engine.Parity uses across shuffle partitions, applied
-  * inside a single row. This keeps the whole dot product in one
-  * whole-stage-codegen'd projection: no explode, no position join, no
-  * per-pair shuffle — at corpus scale each candidate pair costs O(dim)
-  * in-register work instead of a 64-row join.
+  * expressions — every elementwise double product quantized onto the
+  * 1e-12 grid by the tie-free IEEE floor construction and summed as
+  * exact longs (see [[qdotCol]]). Long addition is associative, so the
+  * fold order (Spark's compiled kernel vs DuckDB's `list_sum`) cannot
+  * change the result, and every step is a correctly-rounded IEEE op no
+  * conforming engine can disagree on — the same partition-invariance
+  * goal as graft.engine.Parity's decimal sums, applied inside a single
+  * row. This keeps the whole dot product in one whole-stage-codegen'd
+  * projection: no explode, no position join, no per-pair shuffle — at
+  * corpus scale each candidate pair costs O(dim) in-register work
+  * instead of a 64-row join.
   *
-  * The search queries (q45–q48) quantize through the DECIMAL(27,12)
-  * cast; the dedup/k-means family (q72, q75–q77) RANKS on its cosines
-  * (loser direction, cap boundary, assignment), so it uses the tie-free
-  * IEEE-floor quantized kernel instead — see [[qdotCol]].
+  * EVERY embedding query here — search (q45–q48) and dedup/k-means
+  * (q72, q75–q77) alike — uses that one quantized kernel: all of them
+  * RANK on cosines (top-k order, bucket sign, loser direction, cap
+  * boundary, assignment), and the earlier DECIMAL(27,12)-cast kernel's
+  * half-quantum rounding ties (~1 in 1e6 products at sf0.01, engines
+  * disagreeing HALF_UP vs half-even) were a documented residual risk
+  * the floor construction simply does not have. One kernel, one SQL
+  * mirror ([[sqlQDot]]), uniform numeric contract.
   *
   * "Hyperplanes"/centroids are the first `nSeeds` vectors by vec_id —
   * deterministic stand-ins for seeded random projections, so both engines
@@ -38,7 +42,6 @@ object EmbeddingQueries {
   private[queries] val dim = 64
   private[queries] val nSeeds = 8
   private val nQueries = 10
-  private val D12 = DecimalType(27, 12)
   /** q75: Lloyd sweeps — 2 is the published SemDeDup-style recipe shape
     * (a few refinement passes, then one assignment); the plan unrolls
     * one aggregation round per sweep, so the count is deliberately
@@ -58,34 +61,16 @@ object EmbeddingQueries {
 
   // ---- Spark-side building blocks ----
 
-  /** Order-independent exact dot product of two double-array columns:
-    * elementwise products rounded to DECIMAL(27,12), folded with exact
-    * decimal addition (associative, so partition- and engine-order
-    * independent), cast back to double — computed by the compiled
-    * [[graft.expressions.DecimalDotProduct]] kernel (bit-equal to the
-    * zip_with/aggregate formulation per ExprEquivalenceSpec). */
-  private def dotCol(a: Column, b: Column): Column =
-    graft.expressions.Exprs.decimalDot(a, b)
-
   /** Base table with embedding as array<double> plus its norm — a narrow
     * map over the scan (no shuffle at all). */
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
+      .withColumn("nrm", sqrt(qdotCol(col("v"), col("v"))))
 
   // ---- DuckDB-side shared fragments ----
 
-  /** SQL mirror of [[dotCol]] over two FLOAT[]-typed columns. */
-  private def sqlDot(a: String, b: String): String =
-    s"CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> " +
-      s"CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(27,12)))) AS DOUBLE)"
-
-  private val sqlVecs =
-    s"vecs AS (SELECT vec_id, embedding AS v, sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings)"
-
-  /** [[sqlVecs]] under the tie-free quantized kernel (mirrors the
-    * Spark-side `qdotCol` norm the semantic-dedup family computes). */
+  /** Mirror of [[vecs]]: the corpus with its quantized-kernel norm. */
   private[queries] val sqlVecsQ =
     s"vecs AS (SELECT vec_id, embedding AS v, sqrt(${sqlQDot("embedding", "embedding")}) AS nrm FROM embeddings)"
 
@@ -168,16 +153,16 @@ object EmbeddingQueries {
           .where(col("query_id") < nQueries)
         val cand = base.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
         val cos = cand.join(broadcast(q), col("cand_id") =!= col("query_id"))
-          .withColumn("cosine", dotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .withColumn("cosine", qdotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
         val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id").asc)
         cos.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
           .select(col("query_id"), col("rank"), col("cand_id").as("neighbor_id"), col("cosine"))
           .orderBy(col("query_id"), col("rank"))
       },
-      s"""WITH $sqlVecs,
+      s"""WITH $sqlVecsQ,
          |cos AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         |         ${sqlDot("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+         |         ${sqlQDot("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
          |  FROM vecs q JOIN vecs c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id)
          |SELECT query_id, CAST(rn AS INTEGER) AS rank, cand_id AS neighbor_id, cosine
          |FROM (SELECT cos.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rn FROM cos) z
@@ -197,13 +182,13 @@ object EmbeddingQueries {
           .groupBy().agg(map_from_arrays(
             collect_list(col("seed_id")), collect_list(col("sv"))).as("seeds"))
         // Cached: both sides of the bucket self-join reuse ONE evaluation
-        // of the signature map (8 exact decimal dots per row is the
+        // of the signature map (8 fused quantized dots per row is the
         // expensive part; lambda-bearing subtrees defeat exchange-reuse
         // canonicalization, so an exchange alone would compute it twice).
         val sig = base.crossJoin(broadcast(seeds))
           .withColumn("bucket",
             (0 until nSeeds).map(k =>
-              when(dotCol(col("v"), element_at(col("seeds"), k.toLong)) > 0, lit(1L << k))
+              when(qdotCol(col("v"), element_at(col("seeds"), k.toLong)) > 0, lit(1L << k))
                 .otherwise(lit(0L))).reduce(_ + _))
           .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
           .persist()
@@ -211,14 +196,14 @@ object EmbeddingQueries {
         val b = sig.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
         a.join(b, Seq("bucket"))
           .where(col("doc_a") < col("doc_b"))
-          .withColumn("cosine", dotCol(col("va"), col("vb")) / (col("na") * col("nb")))
+          .withColumn("cosine", qdotCol(col("va"), col("vb")) / (col("na") * col("nb")))
           .select(col("doc_a"), col("doc_b"), col("bucket"), col("cosine"))
           .orderBy(col("cosine").desc, col("doc_a").asc, col("doc_b").asc)
           .limit(20)
       },
-      s"""WITH $sqlVecs,
+      s"""WITH $sqlVecsQ,
          |sd AS (
-         |  SELECT x.vec_id AS v_id, s.vec_id AS seed, ${sqlDot("x.v", "s.v")} AS dot
+         |  SELECT x.vec_id AS v_id, s.vec_id AS seed, ${sqlQDot("x.v", "s.v")} AS dot
          |  FROM vecs x JOIN vecs s ON s.vec_id < $nSeeds),
          |sigb AS (
          |  SELECT v_id, CAST(SUM(CASE WHEN dot > 0 THEN 1 << seed ELSE 0 END) AS BIGINT) AS bucket
@@ -227,7 +212,7 @@ object EmbeddingQueries {
          |  SELECT vec_id, v, nrm, bucket FROM vecs JOIN sigb ON sigb.v_id = vecs.vec_id),
          |pairs AS (
          |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, a.bucket,
-         |         ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+         |         ${sqlQDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
          |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT doc_a, doc_b, bucket, cosine FROM pairs
          |ORDER BY cosine DESC, doc_a ASC, doc_b ASC LIMIT 20""".stripMargin),
@@ -247,7 +232,7 @@ object EmbeddingQueries {
         val sig = base.crossJoin(broadcast(seeds))
           .withColumn("bucket",
             (0 until nSeeds).map(k =>
-              when(dotCol(col("v"), element_at(col("seeds"), k.toLong)) > 0, lit(1L << k))
+              when(qdotCol(col("v"), element_at(col("seeds"), k.toLong)) > 0, lit(1L << k))
                 .otherwise(lit(0L))).reduce(_ + _))
           .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
           .persist()
@@ -255,16 +240,16 @@ object EmbeddingQueries {
         val b = sig.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
         val losers = a.join(b, Seq("bucket"))
           .where(col("id_a") < col("id_b"))
-          .where(dotCol(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.99)
+          .where(qdotCol(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.99)
           .select(col("id_b").as("vec_id")).distinct()
         Tables.embeddings(s, d)
           .join(losers, Seq("vec_id"), "left_anti")
           .groupBy(col("label")).agg(count(lit(1)).as("n_kept"))
           .orderBy(col("label"))
       },
-      s"""WITH $sqlVecs,
+      s"""WITH $sqlVecsQ,
          |sd AS (
-         |  SELECT x.vec_id AS v_id, s.vec_id AS seed, ${sqlDot("x.v", "s.v")} AS dot
+         |  SELECT x.vec_id AS v_id, s.vec_id AS seed, ${sqlQDot("x.v", "s.v")} AS dot
          |  FROM vecs x JOIN vecs s ON s.vec_id < $nSeeds),
          |sigb AS (
          |  SELECT v_id, CAST(SUM(CASE WHEN dot > 0 THEN 1 << seed ELSE 0 END) AS BIGINT) AS bucket
@@ -274,7 +259,7 @@ object EmbeddingQueries {
          |losers AS (
          |  SELECT DISTINCT b.vec_id AS vec_id
          |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |  WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.99)
+         |  WHERE ${sqlQDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.99)
          |SELECT label, COUNT(*) AS n_kept
          |FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers)
          |GROUP BY 1 ORDER BY 1""".stripMargin),
@@ -385,10 +370,10 @@ object EmbeddingQueries {
     // cell-local candidate join and the final top-k shuffle.
     "q47_ivf_topk" -> Q(
       (s, d) => ivfTopK(Tables.embeddings(s, d), nQueries, nSeeds, k = 3, nprobe = 1),
-      s"""WITH $sqlVecs,
+      s"""WITH $sqlVecsQ,
          |ccos AS (
          |  SELECT x.vec_id AS v, c.vec_id AS cent,
-         |         ${sqlDot("x.v", "c.v")} / (x.nrm * c.nrm) AS ccos
+         |         ${sqlQDot("x.v", "c.v")} / (x.nrm * c.nrm) AS ccos
          |  FROM vecs x JOIN vecs c ON c.vec_id < $nSeeds),
          |assign AS (
          |  SELECT v AS vec_id, cell
@@ -396,7 +381,7 @@ object EmbeddingQueries {
          |  WHERE rn = 1),
          |cos AS (
          |  SELECT q.vec_id AS query_id, a.vec_id AS cand_id, q.cell,
-         |         ${sqlDot("qv.v", "cv.v")} / (qv.nrm * cv.nrm) AS cosine
+         |         ${sqlQDot("qv.v", "cv.v")} / (qv.nrm * cv.nrm) AS cosine
          |  FROM assign q
          |  JOIN assign a ON q.cell = a.cell AND q.vec_id < $nQueries AND a.vec_id <> q.vec_id
          |  JOIN vecs qv ON qv.vec_id = q.vec_id
@@ -409,7 +394,7 @@ object EmbeddingQueries {
     // clustering step the SemDeDup recipe assumes — 2 sweeps from the
     // deterministic seed centroids, empty cells keeping their previous
     // centroid, then the refined assignment. The oracle restates both
-    // sweeps as chained CTEs with the same decimal-fold accounting, so
+    // sweeps as chained CTEs with the same quantized-long-fold accounting, so
     // the hash compare pins every centroid coordinate transitively
     // through the output cosines.
     "q75_kmeans_refine" -> Q(
@@ -587,19 +572,19 @@ object EmbeddingQueries {
     losersInCells(scope.persist(assign0), tau, maxCellSize)
   }
 
-  /** q75's quantized dot product: every elementwise product is floored
-    * onto the 1e-12 grid with PURE IEEE double arithmetic
-    * (floor(x·y·1e12 + 0.5)) and summed as exact longs. Unlike the
-    * DECIMAL(27,12) cast the other embedding queries quantize through,
-    * this construction has NO engine-specific tie behavior: a decimal
-    * cast rounds the EXACT product value and engines disagree on
-    * half-quantum ties (Spark HALF_UP vs round-half-even — observed in
-    * the wild, one product in ~1M at sf0.01), while here every step
-    * (multiply, multiply, add, floor) is a correctly-rounded IEEE op
-    * computed identically by any conforming engine, and floor has no
-    * ties. Still partition-invariant: the quantization is row-local
-    * and long addition is associative. Overflow bound: |Σ q| ≤
-    * dim·1e12 ≪ 2^63. Computed by the compiled
+  /** THE quantized dot product every embedding query computes: each
+    * elementwise product is floored onto the 1e-12 grid with PURE IEEE
+    * double arithmetic (floor(x·y·1e12 + 0.5)) and summed as exact
+    * longs. Unlike a DECIMAL(27,12) cast — which rounds the EXACT
+    * product value, letting engines disagree on half-quantum ties
+    * (Spark HALF_UP vs round-half-even — observed in the wild, one
+    * product in ~1M at sf0.01, which is why q45–q48 migrated here in
+    * r15) — this construction has NO engine-specific tie behavior:
+    * every step (multiply, multiply, add, floor) is a correctly-rounded
+    * IEEE op computed identically by any conforming engine, and floor
+    * has no ties. Still partition-invariant: the quantization is
+    * row-local and long addition is associative. Overflow bound:
+    * |Σ q| ≤ dim·1e12 ≪ 2^63. Computed by the compiled
     * [[graft.expressions.QuantDotProduct]] kernel (bit-equal to the
     * zip_with/aggregate formulation per ExprEquivalenceSpec) — q75
     * evaluates nSeeds dots per row per sweep, so the interpreted
@@ -619,7 +604,8 @@ object EmbeddingQueries {
     * cosine, ties to the lowest cell id (hence the negated k) — and
     * whose reverse(array_sort(.)) is the same ordering all nSeeds deep
     * (the nprobe path). A single projection: nSeeds fused dots through
-    * the caller's kernel (`dotCol` decimal or `qdotCol` quantized), no
+    * the caller's kernel (always [[qdotCol]] since the r15 migration;
+    * the parameter keeps the chooser kernel-agnostic), no
     * row multiplication, no window. */
   private def scoredCells(nSeeds: Int, dot: (Column, Column) => Column): Column =
     array((0 until nSeeds).map(kk => struct(
@@ -765,7 +751,7 @@ object EmbeddingQueries {
     * IvfProbeSpec pins that equivalence against q45).
     *
     * Scale shape: the corpus side is untouched by nprobe — centroid
-    * assignment stays a narrow persisted map (8 fused decimal dots per
+    * assignment stays a narrow persisted map (8 fused quantized dots per
     * row against broadcast centroids, argmax via one array_max; no
     * scored-array column is ever cached). Only the query side widens:
     * it re-derives its centroid scores on the `vec_id < nQueries`
@@ -781,9 +767,9 @@ object EmbeddingQueries {
     require(nprobe >= 1 && nprobe <= nSeeds, s"nprobe must be in [1, $nSeeds]")
     val base = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
+      .withColumn("nrm", sqrt(qdotCol(col("v"), col("v"))))
     val cents = centsPack(base, nSeeds)
-    def scored = scoredCells(nSeeds, dotCol)
+    def scored = scoredCells(nSeeds, qdotCol)
     // cached: the corpus-sized candidate side reads ONE evaluation of
     // the (nSeeds dots per row) assignment map — narrow, cell only
     val assign = base.crossJoin(broadcast(cents))
@@ -802,7 +788,7 @@ object EmbeddingQueries {
         (-col("probe.negk")).cast("long").as("cell"))
     val cos = cands.join(broadcast(qs), Seq("cell"))
       .where(col("cand_id") =!= col("query_id"))
-      .withColumn("cosine", dotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cosine", qdotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id").asc)
     cos.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("cell"), col("rank"),
