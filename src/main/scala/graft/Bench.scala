@@ -115,16 +115,21 @@ object Bench {
     // Queries themselves are NOT warmed wholesale: running all ~60
     // untimed at sf0.001 was measured at ~30 s of extra wall (AQE picks
     // different join strategies at that scale, so even the codegen
-    // cache misses). Only the top-3 heavy dedup queries pre-run at
+    // cache misses). Only the heaviest dedup/span queries pre-run at
     // sf0.001 (~2 s total): they own the pass's first positions, and
     // their residual first-position cost is classloading (TextQueries +
     // kernel Expression classes) and C2-JIT of the prefix-expand /
     // posting-table codepaths — which only executing those functions
     // compiles. Data is sf0.001, results uncached (clearCache below),
-    // so nothing result-shaped leaks into timed readings.
+    // so nothing result-shaped leaks into timed readings. q71 joined
+    // the set in r15: its r14 driver reading (4.22 s) was 2.2x its own
+    // same-session canary (2.15 s) with ext_cpu 0 — pure first-execution
+    // cost of the positional-gram/span-reconstruction codepaths, which
+    // none of the other prewarmed queries touch.
     try {
       Seq("q69_curation_stages", "q60_capped_jaccard_pairs",
-        "q43_ngram_jaccard_pairs", "q49_dup_clusters").foreach { n =>
+        "q43_ngram_jaccard_pairs", "q49_dup_clusters",
+        "q71_span_dedup").foreach { n =>
         materialize(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
       }
     } catch {
