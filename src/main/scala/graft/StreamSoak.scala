@@ -24,10 +24,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *
   * Usage: runMain graft.StreamSoak [srcSfDir] [workDir] [nBatches] [ooo]
   * With the optional 4th arg `ooo`, batches land with DECREASING id
-  * offsets — every later batch is a lower-id near-copy of everything
-  * already admitted, the sink's documented out-of-order edge at full
-  * corpus scale: the curated store accumulates all B near-copies, and
-  * the post-run [[graft.streaming.Streaming.compactCuratedStore]] must
+  * offsets — every later batch is a LOWER-ID copy of everything
+  * already admitted, the sink's out-of-order edge at full corpus
+  * scale, in BOTH dedup flavors: docs with source id % 3 == 0 drop the
+  * batch-unique prefix so their B copies are EXACT cross-batch
+  * duplicates (each later one at a lower id — the r15 lower-id
+  * admission path), the rest stay near-replicas (the banded-probe
+  * path). The curated store accumulates copies of both kinds, and the
+  * post-run [[graft.streaming.Streaming.compactCuratedStore]] must
   * (measured) collapse it to the one-batch answer in one pass. In the
   * default monotone mode the same compact is the 0-deletion
   * maintenance-scan floor. Dev harness — not part of the driver
@@ -70,10 +74,19 @@ object StreamSoak {
       // replicas become near-replicas, shifting their whole load onto
       // the banded stages (the harder path). d<id> reuses the SOURCE
       // id, so a base doc's b replicas stay band-colliding near-dups.
+      // In ooo mode every third source doc DROPS the batch prefix: its
+      // B copies are exact cross-batch duplicates, each later one at a
+      // lower id — the exact-stage out-of-order path the lower-id
+      // admission rule + compact's text-hash pass must converge.
       val off = (if (ooo) (nBatches - b).toLong else b.toLong) * 10000000L
+      val batchText =
+        if (ooo)
+          when(col("doc_id") % 3 === 0,
+            concat(lit("d"), col("doc_id"), lit(" "), col("text")))
+            .otherwise(concat(lit(s"s$b d"), col("doc_id"), lit(" "), col("text")))
+        else concat(lit(s"s$b d"), col("doc_id"), lit(" "), col("text"))
       val batch = docs.select(
-        (col("doc_id") + lit(off)).as("doc_id"),
-        concat(lit(s"s$b d"), col("doc_id"), lit(" "), col("text")).as("text"))
+        (col("doc_id") + lit(off)).as("doc_id"), batchText.as("text"))
       val stage = s"$work/stage_b$b"
       batch.coalesce(4).write.mode("overwrite").parquet(stage)
       // file source sees files, not directories: move the parts in

@@ -203,8 +203,8 @@ object Sinks {
     * acquire — a phantom overlap on a legal sequential schedule. The
     * recorded interval therefore UNDERcovers the true hold, which is
     * the conservative direction for a no-overlap assertion. */
-  private def withWriterLock(fs: org.apache.hadoop.fs.FileSystem,
-                             path: String)(body: => Unit): Unit = {
+  private def withWriterLock[T](fs: org.apache.hadoop.fs.FileSystem,
+                                path: String)(body: => T): T = {
     val lock = acquireWriterLock(fs, path)
     val t0 = System.nanoTime()
     try body
@@ -220,6 +220,33 @@ object Sinks {
         while (fenceHolds.size > FenceHoldCap) fenceHolds.pollFirst()
       }
     }
+  }
+
+  /** Acquire the writer fences of SEVERAL stores at once (in sorted
+    * path order, so every multi-store caller attempts them in the same
+    * sequence), run `body`, release in reverse. For maintenance passes
+    * whose READ phase must also exclude concurrent writers — e.g.
+    * [[graft.streaming.Streaming.compactCuratedStore]], which computes
+    * a loser set from one store and deletes from another: without the
+    * fences a merge landing between its read and its delete would leave
+    * the compact acting on a stale loser set. Fences are
+    * create-exclusive, so contention FAILS loudly on either side (the
+    * concurrent merge, or this call) rather than blocking — no ordering
+    * deadlock is possible. Inside `body`, mutate the fenced stores only
+    * through the `...Locked` variants; the public entry points would
+    * re-acquire a fence this call already holds and throw. */
+  def withStoreFences[T](spark: SparkSession, paths: Seq[String])(body: => T): T = {
+    require(paths.nonEmpty, "withStoreFences needs at least one store path")
+    require(paths.distinct.size == paths.size,
+      s"duplicate store paths would self-deadlock the fence: $paths")
+    def nest(remaining: Seq[String]): T = remaining match {
+      case Seq() => body
+      case p +: rest =>
+        val dst = new org.apache.hadoop.fs.Path(p)
+        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        withWriterLock(fs, p)(nest(rest))
+    }
+    nest(paths.sorted)
   }
 
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
@@ -320,6 +347,21 @@ object Sinks {
         } else fs.delete(st.getPath, true)
       }
     }
+    // meta-only level (AFTER aside restore, which may have just revived
+    // the last bucket): a delete that emptied every bucket re-absents
+    // the whole store, but a crash between its last bucket swap and
+    // that final dir delete strands the exact zero-data-file state the
+    // re-absent rule exists to prevent — meta present, no gbucket=
+    // partitions, every read/merge wedged on parquet schema inference.
+    // Finish the crashed delete's intent: the store becomes absent.
+    // Unreachable from any other protocol: creation stamps the meta
+    // LAST (buckets exist first), and merges never remove buckets.
+    if (fs.exists(dst)) {
+      val entries = fs.listStatus(dst).map(_.getPath.getName)
+      if (entries.contains(MetaFile) &&
+          !entries.exists(_.startsWith(s"$BucketCol=")))
+        fs.delete(dst, true)
+    }
   }
 
   /** Run crash recovery for the partition-scoped store at `path` without
@@ -341,6 +383,16 @@ object Sinks {
     withWriterLock(fs, path) {
       recoverPartitionedLocked(fs, path, dst)
     }
+    fs.exists(new org.apache.hadoop.fs.Path(dst, MetaFile))
+  }
+
+  /** [[recoverUpsertStore]] for callers already holding this store's
+    * fence (via [[withStoreFences]]) — same recovery + committed-store
+    * check, no re-acquisition. */
+  private[graft] def recoverUpsertStoreLocked(spark: SparkSession, path: String): Boolean = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverPartitionedLocked(fs, path, dst)
     fs.exists(new org.apache.hadoop.fs.Path(dst, MetaFile))
   }
 
@@ -437,6 +489,19 @@ object Sinks {
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLock(fs, path) {
+      deleteFromUpsertStoreLocked(spark, path, victims)
+    }
+  }
+
+  /** [[deleteFromUpsertStore]] for callers already holding this store's
+    * fence (via [[withStoreFences]]) — the compact pass holds its
+    * fences across its READ phase too, so the whole read-compute-delete
+    * sequence excludes concurrent merges. */
+  private[graft] def deleteFromUpsertStoreLocked(spark: SparkSession, path: String,
+                                                 victims: DataFrame): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    locally {
       recoverPartitionedLocked(fs, path, dst)
       val meta = new org.apache.hadoop.fs.Path(dst, MetaFile)
       if (!fs.exists(meta))

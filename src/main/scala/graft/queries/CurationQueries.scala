@@ -1520,8 +1520,18 @@ object CurationQueries {
         val nGrams = toks
           .select(sum(greatest(col("n_tok") - (k - 1), lit(0))))
           .collect()(0).getLong(0)
-        val rowsPerPart = sys.env.get("GRAFT_SPAN_GRAM_ROWS_PER_PART")
-          .map(_.toLong).getOrElse(SpanGramRowsPerPartition)
+        // dev-only knob, but validated up front: a malformed or
+        // non-positive value would otherwise surface as a bare
+        // NumberFormatException / ArithmeticException deep inside plan
+        // construction with no hint of which env var caused it
+        val rowsPerPart = sys.env.get("GRAFT_SPAN_GRAM_ROWS_PER_PART").map { v =>
+          val n = try v.toLong catch {
+            case e: NumberFormatException => throw new IllegalArgumentException(
+              s"GRAFT_SPAN_GRAM_ROWS_PER_PART must be a positive long, got '$v'", e)
+          }
+          require(n > 0, s"GRAFT_SPAN_GRAM_ROWS_PER_PART must be > 0, got '$v'")
+          n
+        }.getOrElse(SpanGramRowsPerPartition)
         Some(math.max(sess.sparkContext.defaultParallelism,
           (nGrams / rowsPerPart + 1).toInt))
       }
@@ -1534,7 +1544,14 @@ object CurationQueries {
     // GRAFT_SPAN_GRAM_ROWS_PER_PART the per-partition gram-row target
     // of the sized exchanges. Defaults = production behavior.
     val gramLevel = sys.env.get("GRAFT_SPAN_GRAM_STORAGE")
-      .map(org.apache.spark.storage.StorageLevel.fromString)
+      .map { v =>
+        try org.apache.spark.storage.StorageLevel.fromString(v)
+        catch {
+          case e: IllegalArgumentException => throw new IllegalArgumentException(
+            s"GRAFT_SPAN_GRAM_STORAGE must be a StorageLevel name " +
+              s"(e.g. MEMORY_AND_DISK, MEMORY_ONLY, DISK_ONLY), got '$v'", e)
+        }
+      }
       .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = scope.persist(sized(positionalGramHashes(toks, k, "d"), "h"), gramLevel)
     // cross-doc df: per-doc occurrences collapse map-side (distinct) so

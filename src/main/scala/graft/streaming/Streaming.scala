@@ -234,7 +234,9 @@ object Streaming {
     *   3. exact dedup against the seen store: a batch doc whose text
     *      hash is stored under a LOWER doc_id is dropped (a same-id
     *      hit is this batch replaying after a crash — kept, so replays
-    *      are idempotent rather than self-suppressing);
+    *      are idempotent rather than self-suppressing; a higher-id hit
+    *      means THIS doc is the batch canonical — admitted, see the
+    *      out-of-order contract below);
     *   4. the batch's exact survivors upsert into the seen store —
     *      state lands BEFORE output, so a crash between the two
     *      writes replays into a seen store that already has this
@@ -255,21 +257,27 @@ object Streaming {
     * ids are assigned at ingest, as the reference's loop does — then
     * after any number of micro-batches the curated store is row-equal
     * to one batch `curatedDocsOf(union, stages)`. Out-of-order ids
-    * relax per stage: the EXACT-dup stage is first-arrival-wins (step
-    * 3 suppresses a batch doc whenever any other id holds its text
-    * hash — replay-safe, because a replayed batch finds only its own
-    * ids in the store and `=!=` keeps those), but NEAR-dup
-    * canonicalization cannot be promised for late LOWER-id arrivals:
-    * step 6's `doc_b < doc_a` guard (which crash-replay safety
-    * requires — a replayed batch must not be suppressed by its own
-    * earlier attempt's higher-id entries) also means a late arrival
-    * with an id below its already-admitted near-duplicate passes the
-    * probe, and the store then holds BOTH near-copies. An admitted doc
-    * is never evicted by a TRIGGER either way; feed monotone ids to
-    * get the exact batch semantics per trigger, or run the
+    * relax PER TRIGGER, uniformly across both dedup stages: every
+    * store-probe suppression is gated on a strictly LOWER stored id —
+    * step 3's `_sid < doc_id` and step 6's `doc_b < doc_a` — which is
+    * exactly what crash-replay safety requires (a replayed batch must
+    * not be suppressed by its own earlier attempt's entries), and
+    * which therefore lets a late arrival with an id BELOW its
+    * already-admitted duplicate (exact or near) pass the probe: the
+    * curated store then temporarily holds both copies. An admitted doc
+    * is never evicted by a TRIGGER either way. Feed monotone ids to
+    * get the exact batch semantics per trigger (under monotone ids a
+    * late copy always carries a HIGHER id, so the lower-id guards
+    * behave exactly like unconditional first-arrival-wins), or run the
     * [[compactCuratedStore]] maintenance pass to retro-canonicalize
-    * the accumulated store (one compact converges an out-of-order
-    * corpus's admissions to the batch answer).
+    * the accumulated store: because the lower-id admission rule keeps
+    * every batch-canonical (minimum-id) copy's row — text, columns,
+    * quality — in the stores, ONE compact converges an out-of-order
+    * corpus's admissions, exact and near-dup alike, to the batch
+    * answer. (Before r15, step 3 suppressed on ANY other stored id;
+    * the late lower-id exact copy's row was then never stored and the
+    * exact stage was documented uncompensatable — the lower-id guard
+    * is what closed that gap.)
     *
     * Corpus-trained stages (`repeatedLineMinDf`, `maxRarity`,
     * `budgetPerSource`) are REJECTED here by construction: their
@@ -338,14 +346,19 @@ object Streaming {
     // schema inference, the second silently skips one batch's
     // cross-batch suppression
     val seenExists = Sinks.recoverUpsertStore(s, sigPath)
-    // 3. exact dedup against the seen store: any OTHER id holding this
-    // text hash = a true earlier copy (first-arrival-wins, even for
-    // out-of-order lower ids); same-id = this batch replaying (kept)
+    // 3. exact dedup against the seen store: a LOWER stored id holding
+    // this text hash = the batch-canonical copy already exists — drop.
+    // Same-id = this batch replaying (kept); a HIGHER stored id means
+    // THIS doc is the batch canonical: admit it (its text/columns must
+    // reach the stores or no compact could ever restore the batch
+    // answer) and let compactCuratedStore retire the higher-id copy.
+    // Mirrors step 6's doc_b < doc_a guard — one admission rule for
+    // both dedup stages, replay-safe by the same argument.
     val exactKept = (if (seenExists) {
       val seenTh = Sinks.readUpsertStore(s, sigPath)
         .select(col("th").as("_sth"), col("doc_id").as("_sid"))
       batchExact.join(seenTh,
-        batchExact("th") === col("_sth") && col("_sid") =!= batchExact("doc_id"),
+        batchExact("th") === col("_sth") && col("_sid") < batchExact("doc_id"),
         "left_anti")
     } else batchExact).persist()
     // pin exactKept BEFORE step 4 mutates the store: its plan embeds a
@@ -392,69 +405,88 @@ object Streaming {
   }
 
   /** Maintenance compact for [[incrementalCurationSink]]'s stores: the
-    * batch near-dup rule re-run over the ACCUMULATED seen store, with
-    * the losers deleted from the curated store — the compensator for
-    * the sink's one documented out-of-order semantic edge (see the
+    * batch pipeline's BOTH dedup rules re-run over the ACCUMULATED seen
+    * store, with the losers deleted from the curated store — the
+    * compensator for the sink's out-of-order admissions (see the
     * equivalence contract above: a late arrival with an id BELOW its
-    * already-admitted near-duplicate passes the store probe, because
-    * the probe's `doc_b < doc_a` guard is what crash-replay safety
-    * requires, and the curated store then holds both near-copies).
+    * already-admitted duplicate — exact or near — passes the lower-id
+    * store guards, because those guards are what crash-replay safety
+    * requires, and the curated store then holds both copies).
     *
-    * The pass computes the banded est_sim >= 0.5 pairs over every
-    * stored signature (exactly the batch pipeline's near-dup stage over
-    * the union corpus — the seen store IS the union's exact-dedup
-    * survivor set under the streamed first-arrival-wins rule) and
-    * deletes each pair's higher doc_id from the curated store.
-    * Streamed NEAR-DUP suppressions are a subset of the batch loser
-    * set (both probes drop the higher id of a qualifying pair), so one
-    * compact converges the near-dup canonicalization: the curated
-    * store then holds exactly the batch answer's members among the
-    * docs the EXACT stage admitted — StreamingSpec pins the full
-    * equality on an out-of-order near-dup corpus. What the compact
-    * cannot restore is the exact stage's own out-of-order divergence
-    * (documented above): a late lower-id EXACT copy was suppressed
-    * with its text never stored, so batch's min-id canonical may
-    * simply not exist in any store — the compact then canonicalizes
-    * among the ids that do. The SEEN store is deliberately untouched:
-    * its contract is to hold every exact-dedup survivor ever observed,
-    * losers included, so future batches keep their full suppression
-    * evidence.
+    * Two loser sets, mirroring the batch stage order:
     *
-    * Idempotent (a second compact finds the same pairs and deletes
-    * nothing) and incremental in cost: the pair join is the banded
-    * LSH join over the store — O(colliding candidates), never
-    * all-pairs — and the delete rewrites only the buckets holding
-    * victims ([[Sinks.deleteFromUpsertStore]]). Concurrency contract:
-    * only the DELETE itself runs under the stores' writer fences; the
-    * read/pair-join phase does not, so run the compact while the
-    * stream is quiescent (the sink is Trigger.AvailableNow micro-batch
-    * — between drains), not concurrently with a live trigger. Returns
-    * the number of curated-store rows removed. */
+    *  - EXACT: within every text-hash group of the seen store, each
+    *    non-minimum doc_id (batch's exact stage keeps only the min).
+    *    Covers null-signature (sub-3-token) docs too — the group key
+    *    is the text hash, not the signature.
+    *  - NEAR-DUP: the banded est_sim >= 0.5 pairs over every stored
+    *    signature (exactly the batch near-dup stage over the union
+    *    corpus's exact survivors — identical-signature exact copies
+    *    collide at est_sim 1.0, so a pair involving any copy yields
+    *    the same loser decision as the pair with its canonical), each
+    *    pair's higher doc_id.
+    *
+    * Every streamed suppression is gated on a lower stored id, and the
+    * seen store holds every batch-canonical (min-id) row, so streamed
+    * admissions are a SUPERSET of the batch answer whose excess is
+    * exactly these loser sets: one compact converges the curated store
+    * to the batch answer, for exact and near-dup divergence alike —
+    * StreamingSpec pins both equalities, StreamSoak's ooo mode measures
+    * the combined pass at corpus scale. The SEEN store is deliberately
+    * untouched: its contract is to hold every exact-dedup survivor
+    * ever observed, losers included, so future batches keep their full
+    * suppression evidence.
+    *
+    * Idempotent (a second compact finds the same losers already gone)
+    * and incremental in cost: the exact pass is one map-side-combined
+    * aggregate on the text hash, the pair join is the banded LSH join
+    * over the store — O(colliding candidates), never all-pairs — and
+    * the delete rewrites only the buckets holding victims
+    * ([[Sinks.deleteFromUpsertStoreLocked]]). Concurrency contract:
+    * the ENTIRE pass — reads, loser computation, delete — runs under
+    * BOTH stores' writer fences ([[Sinks.withStoreFences]]), so a
+    * concurrent trigger's merge fails loudly on the fence instead of
+    * landing between the compact's read and its delete and leaving the
+    * delete acting on a stale loser set (and symmetrically, a compact
+    * started during a live trigger fails on the fence itself). Run it
+    * between drains (the sink is Trigger.AvailableNow micro-batch).
+    * Returns the number of curated-store rows removed. */
   def compactCuratedStore(spark: SparkSession, curatedPath: String,
-                          sigPath: String): Long = {
-    val sigCols = (0 until 8).map(k => col(s"h$k"))
-    if (!Sinks.recoverUpsertStore(spark, sigPath) ||
-        !Sinks.recoverUpsertStore(spark, curatedPath)) 0L
-    else {
-      val storeSig = Sinks.readUpsertStore(spark, sigPath)
-        .where(col("h0").isNotNull)
-        .select(col("doc_id") +: sigCols: _*)
-      val losers = graft.queries.TextQueries.lshPairsOf(storeSig)
-        .select(col("doc_b").as("doc_id")).distinct()
-      // scope the delete to losers actually present in the curated
-      // store: the count is the caller's signal, and the delete then
-      // touches only buckets that truly change
-      val present = Sinks.readUpsertStore(spark, curatedPath)
-        .select(col("doc_id"))
-        .join(losers, Seq("doc_id"), "left_semi")
-        .persist()
-      try {
-        val n = present.count()
-        if (n > 0) Sinks.deleteFromUpsertStore(spark, curatedPath, present)
-        n
-      } finally { present.unpersist(false); () }
+                          sigPath: String): Long =
+    Sinks.withStoreFences(spark, Seq(curatedPath, sigPath)) {
+      val sigCols = (0 until 8).map(k => col(s"h$k"))
+      if (!Sinks.recoverUpsertStoreLocked(spark, sigPath) ||
+          !Sinks.recoverUpsertStoreLocked(spark, curatedPath)) 0L
+      else {
+        val seen = Sinks.readUpsertStore(spark, sigPath)
+        // exact losers: non-minimum ids per text-hash group
+        val canon = seen.groupBy(col("th")).agg(min(col("doc_id")).as("_mn"))
+        val exactLosers = seen.select(col("th"), col("doc_id"))
+          .join(canon, Seq("th"))
+          .where(col("doc_id") > col("_mn"))
+          .select(col("doc_id"))
+        // near-dup losers: higher id of every banded est_sim >= 0.5 pair
+        val storeSig = seen.where(col("h0").isNotNull)
+          .select(col("doc_id") +: sigCols: _*)
+        val nearLosers = graft.queries.TextQueries.lshPairsOf(storeSig)
+          .select(col("doc_b").as("doc_id"))
+        val losers = exactLosers.unionByName(nearLosers).distinct()
+        // scope the delete to losers actually present in the curated
+        // store: the count is the caller's signal, and the delete then
+        // touches only buckets that truly change. persist + count
+        // materializes the victim set BEFORE the delete mutates the
+        // files its lineage reads.
+        val present = Sinks.readUpsertStore(spark, curatedPath)
+          .select(col("doc_id"))
+          .join(losers, Seq("doc_id"), "left_semi")
+          .persist()
+        try {
+          val n = present.count()
+          if (n > 0) Sinks.deleteFromUpsertStoreLocked(spark, curatedPath, present)
+          n
+        } finally { present.unpersist(false); () }
+      }
     }
-  }
 
   /** foreachBatch upsert sink: every micro-batch merges into the target
     * parquet with last-write-wins per key — the streaming form of the

@@ -460,6 +460,99 @@ class StreamingSpec extends SparkSpec {
       s"the seen store's suppression evidence must survive the compact: $after")
   }
 
+  test("compact pass: out-of-order EXACT admissions converge to the batch answer") {
+    // the gap the r15 lower-id admission rule closed: a late EXACT copy
+    // with an id below its already-admitted duplicate used to be
+    // suppressed with its row never stored, so batch's min-id canonical
+    // (whose COLUMNS differ from the stored higher-id copy's — here the
+    // ts) could not be restored by any compact. Under the lower-id
+    // guard the late canonical is admitted, both copies coexist per
+    // trigger, and one compact converges to the batch answer — columns
+    // included. A replayed batch must still be idempotent.
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val docA = "ancient mariners navigated treacherous waters using celestial " +
+      "observations and careful measurements of coastal landmarks during long voyages"
+    val docC = "quantum processors entangle photons through superconducting " +
+      "circuits enabling remarkable computational breakthroughs beyond classical limits"
+    val short = "wonderful landscapes" // sub-3-token: null signature, th-only dedup
+    def row(id: Long, min: Int, text: String): String =
+      f"""{"doc_id":$id%d,"ts":"2025-12-11T00:$min%02d:00Z","text":"$text%s"}"""
+    val in = tmpDir("compact_exact_in")
+    val ckpt = tmpDir("compact_exact_ckpt").toString
+    val curated = tmpDir("compact_exact_store").resolve("curated").toString
+    val sigs = tmpDir("compact_exact_store").resolve("seen_sigs").toString
+    val stages = graft.queries.TextQueries.CurationStages(qualityFloor = 0.5)
+    def runOnce(): Unit = {
+      val stream = Streaming.jsonFileStream(spark, docSchema, in.toString + "/*.json", multiLine = false)
+      val q = Streaming.incrementalCurationSink(stream, curated, sigs, stages, numBuckets = 8)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination(120000)
+    }
+    // higher ids arrive FIRST (both signature-bearing and null-sig texts)
+    writeBatch(in, "b1.json", Seq(row(30, 0, docA), row(40, 1, short), row(35, 2, docC)))
+    runOnce()
+    // ...then the lower-id EXACT copies (distinct ts — the batch answer
+    // must carry the canonicals' rows, not just their ids)
+    writeBatch(in, "b2.json", Seq(row(12, 10, docA), row(14, 11, short)))
+    runOnce()
+    val beforeIds = Sinks.readUpsertStore(spark, curated)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(beforeIds == Set(12L, 14L, 30L, 35L, 40L),
+      s"the lower-id canonicals must be ADMITTED per trigger: $beforeIds")
+    // one compact retires the higher-id exact copies (30 via the
+    // identical-signature pair, 40 via the null-sig text-hash group)
+    val n = Streaming.compactCuratedStore(spark, curated, sigs)
+    assert(n == 2L, s"compact should remove docs 30 and 40, removed $n")
+    val union = spark.read.schema(docSchema).json(in.toString + "/*.json")
+    val want = graft.queries.TextQueries.curatedDocsOf(union, stages)
+      .select("doc_id", "ts", "text", "quality").orderBy("doc_id").collect()
+    val got = Sinks.readUpsertStore(spark, curated)
+      .select("doc_id", "ts", "text", "quality").orderBy("doc_id").collect()
+    assert(got.toSeq == want.toSeq,
+      s"compacted store must equal the batch answer ROW-wise:\n got ${got.mkString(";")}\nwant ${want.mkString(";")}")
+    assert(got.map(_.getLong(0)).toSeq == Seq(12L, 14L, 35L))
+    // idempotent rerun; seen store keeps every survivor's evidence
+    assert(Streaming.compactCuratedStore(spark, curated, sigs) == 0L)
+    val sigIds = Sinks.readUpsertStore(spark, sigs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(12L, 14L, 30L, 35L, 40L),
+      s"compact must not touch the seen store: $sigIds")
+    // a crash-REPLAY of b2 after the compact must not re-admit losers
+    // or self-suppress: same ids find their own entries (not lower),
+    // and the curated upsert is idempotent on re-application
+    writeBatch(in, "b2replay.json", Seq(row(12, 10, docA), row(14, 11, short)))
+    runOnce()
+    val after = Sinks.readUpsertStore(spark, curated)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == Seq(12L, 14L, 35L), s"replay must be idempotent: $after")
+  }
+
+  test("recovery repairs a meta-only store stranded by a crashed emptying delete") {
+    import spark.implicits._
+    val path = tmpDir("meta_only").resolve("store").toString
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "v")
+    Sinks.upsertParquetPartitioned(spark, rows, path, Seq("doc_id"), None, numBuckets = 4)
+    // simulate the crash window: every bucket swapped away, the final
+    // store delete never ran — meta file present, zero data files
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dst).filter(_.getPath.getName.startsWith("gbucket="))
+      .foreach(st => fs.delete(st.getPath, true))
+    assert(fs.exists(dst), "precondition: the wedge state exists")
+    // recovery finishes the delete's intent: the store reads as absent
+    assert(!Sinks.recoverUpsertStore(spark, path),
+      "a meta-only store must recover to ABSENT, not wedge reads")
+    assert(!fs.exists(dst))
+    // and the next merge recreates it cleanly
+    Sinks.upsertParquetPartitioned(spark, Seq((9L, "z")).toDF("doc_id", "v"),
+      path, Seq("doc_id"), None, numBuckets = 4)
+    assert(Sinks.readUpsertStore(spark, path).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("deleteFromUpsertStore that empties the store leaves it ABSENT, not meta-only") {
     import spark.implicits._
     val path = tmpDir("del_all").resolve("store").toString
