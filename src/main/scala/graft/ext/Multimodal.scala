@@ -202,6 +202,52 @@ object Multimodal {
     out
   }
 
+  /** Perceptual difference hash (dHash, public recipe) over a decoded
+    * pixel array: nearest-neighbor resample to a 9x8 grid
+    * ([[resizePixels]] — NN commutes with per-pixel grayscale, so
+    * sampling then graying equals the classic gray-then-resize), gray
+    * each cell as the exact B+G+R byte sum (integer, no rounding), and
+    * emit 64 bits — bit (ty·8 + tx) set iff gray(tx, ty) >
+    * gray(tx+1, ty). Visually-near images differ in few bits, so
+    * Hamming-banded pairing (q84) finds near-duplicates without an
+    * all-pairs scan — the image-space member of the dedup family,
+    * same banded shape as the MinHash/SimHash text paths. */
+  def dHash(pixels: Array[Byte], w: Int, h: Int): Long = {
+    val rp = resizePixels(pixels, w, h, 9, 8)
+    def gray(tx: Int, ty: Int): Int = {
+      val i = (ty * 9 + tx) * 3
+      (rp(i) & 0xff) + (rp(i + 1) & 0xff) + (rp(i + 2) & 0xff)
+    }
+    var hsh = 0L
+    var k = 0
+    var ty = 0
+    while (ty < 8) {
+      var tx = 0
+      while (tx < 8) {
+        if (gray(tx, ty) > gray(tx + 1, ty)) hsh |= 1L << k
+        k += 1
+        tx += 1
+      }
+      ty += 1
+    }
+    hsh
+  }
+
+  /** Per-image perceptual hash row: null dhash = payload not decodable
+    * (only real decodes get a perceptual hash; there is nothing
+    * perceptual about stub bytes). */
+  final case class ImageHashRow(doc_id: Long, dhash: Option[Long])
+
+  /** Decode + perceptual-hash stage: one narrow per-partition batch
+    * map, same dispatch totality as [[decodeFeatures]]. */
+  def imageHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHashRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      batch.map(r => ImageHashRow(r.doc_id,
+        BmpDecoder.tryDecodePixels(r.media).map { case (w, h, px) => dHash(px, w, h) }))
+    }
+  }
+
   /** documents.text reinterpreted as an opaque media payload — the
     * binary-column transport shape (schema: doc_id BIGINT, media BINARY). */
   def mediaTable(docs: DataFrame): DataFrame =

@@ -242,6 +242,81 @@ object MultimodalQueries {
            |  CASE WHEN isbmp THEN '${bmpHeaderHex(2, 2, topDown = true)}' || $body
            |       ELSE '00' || substr(hx, 1, CAST(LEAST(len, 3) * 2 AS INTEGER)) END AS payload_hex
            |FROM b ORDER BY doc_id""".stripMargin
+      }),
+
+    // Perceptual-hash image near-dup — the multimodal<->dedup bridge:
+    // dHash over DECODED pixels (real decode path only; non-BMPs yield
+    // null and sit out), then Hamming-banded pairing exactly like the
+    // text-side LSH family — four 16-bit bands of the 64-bit hash key
+    // the candidate join, a per-bucket occupancy cap (q62's pattern)
+    // bounds the one quadratic unit (templated corpora collapse to few
+    // distinct perceptual hashes, so hot buckets are the NORM here,
+    // not a tail case), and the exact Hamming distance over the full
+    // hash filters candidates. Never all-pairs: pair volume is bounded
+    // at C(cap,2)·buckets by construction. The oracle restates the
+    // hash bit-by-bit from the text hex (only informative bits — cells
+    // whose floor-mapped source positions differ — are emitted; the
+    // rest are provably 0), the banding as shift/mask arithmetic, the
+    // cap as a window count, and the Hamming as bit_count(xor).
+    "q84_image_neardup_pairs" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hashes = Multimodal.imageHashes(s, bmpCorpus(s, Tables.documents(s, d)))
+          .toDF().where(col("dhash").isNotNull)
+        val bands = hashes.select(col("doc_id"), col("dhash"),
+            explode(array((0 until 4).map(j => struct(lit(j).as("band"),
+              shiftright(col("dhash"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("bk"))
+          .select(col("doc_id"), col("dhash"), col("bk.band"), col("bk.bkey"))
+        val capped = bands.withColumn("_n",
+            count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+          .where(col("_n") <= 8).drop("_n")
+        val a = capped.select(col("doc_id").as("doc_a"), col("dhash").as("ha"),
+          col("band"), col("bkey"))
+        val b = capped.select(col("doc_id").as("doc_b"), col("dhash").as("hb"),
+          col("band"), col("bkey"))
+        a.join(b, Seq("band", "bkey"))
+          .where(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+          .distinct()
+          .where(col("hamming") <= 4)
+          .orderBy(col("doc_a"), col("doc_b"))
+      }, {
+        // dHash bits whose two floor-mapped source cells actually
+        // differ, per constructed width (w=2: one transition per row,
+        // w=4: three) — every other bit compares a cell to itself and
+        // is 0 by construction, in the Spark kernel and here alike
+        def hashExpr(w: Int): String = {
+          def pos(tx: Int, ty: Int): Int = {
+            val sx = tx * w / 9; val sy = ty * 4 / 8; (sy * w + sx) * 3
+          }
+          def hb(p: Int) = s"('0x' || substr(hx, ${2 * p + 1}, 2))::INTEGER"
+          def g(p: Int) = s"(${hb(p)} + ${hb(p + 1)} + ${hb(p + 2)})"
+          val terms = for {
+            ty <- 0 until 8; tx <- 0 until 8
+            pa = pos(tx, ty); pb = pos(tx + 1, ty) if pa != pb
+          } yield s"CASE WHEN ${g(pa)} > ${g(pb)} THEN ${1L << (ty * 8 + tx)} ELSE 0 END"
+          terms.mkString("(", " + ", ")")
+        }
+        s"""WITH $sqlBmpBase,
+           |h AS (
+           |  SELECT doc_id,
+           |         CAST(CASE WHEN w = 2 THEN ${hashExpr(2)} ELSE ${hashExpr(4)} END AS BIGINT) AS dhash
+           |  FROM b WHERE isbmp),
+           |bk AS (
+           |  SELECT doc_id, dhash, CAST(j AS INTEGER) AS band,
+           |         (dhash >> CAST(16 * j AS INTEGER)) & 65535 AS bkey
+           |  FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS j) bands),
+           |capped AS (
+           |  SELECT doc_id, dhash, band, bkey FROM (
+           |    SELECT bk.*, count(*) OVER (PARTITION BY band, bkey) AS n FROM bk) z
+           |  WHERE n <= 8)
+           |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           |       CAST(bit_count(xor(a.dhash, c.dhash)) AS INTEGER) AS hamming
+           |FROM capped a JOIN capped c ON a.band = c.band AND a.bkey = c.bkey
+           |  AND a.doc_id < c.doc_id
+           |WHERE bit_count(xor(a.dhash, c.dhash)) <= 4
+           |ORDER BY doc_a, doc_b""".stripMargin
       })
   )
 }

@@ -117,6 +117,42 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L).media.toSeq == text.take(4).toSeq)
   }
 
+  test("dHash: gradient bits set exactly where the 9x8 grid brightens leftward") {
+    // 9x8 source (identity resample): per row, gray ramps UP with tx
+    // (tx*60 summed over channels) except one engineered zero at
+    // tx = D(ty) = (ty % 7) + 2 — so per row exactly ONE comparison
+    // gray(tx) > gray(tx+1) holds, at tx = D-1 (the cell before the
+    // drop; D >= 2 keeps its gray strictly positive)
+    val px = new Array[Byte](3 * 9 * 8)
+    for (ty <- 0 until 8; tx <- 0 until 9; c <- 0 until 3)
+      px((ty * 9 + tx) * 3 + c) = (if (tx == (ty % 7) + 2) 0 else tx * 20).toByte
+    val h = Multimodal.dHash(px, 9, 8)
+    val want = (0 until 8).map(ty => 1L << (ty * 8 + (ty % 7) + 1)).sum
+    assert(h == want,
+      s"expected one bit per row at the engineered drop: got ${h.toBinaryString} want ${want.toBinaryString}")
+    // a one-pixel change moves one bit (the perceptual property the
+    // Hamming banding exploits): row 3's drop is at D=5, so raising
+    // tx=2 (gray 120 -> 210) flips only the tx=2 vs tx=3 (gray 180)
+    // comparison; an identical image hashes identically
+    val px2 = px.clone()
+    px2((3 * 9 + 2) * 3) = (((px2((3 * 9 + 2) * 3) & 0xff) + 90) & 0xff).toByte
+    val d = java.lang.Long.bitCount(h ^ Multimodal.dHash(px2, 9, 8))
+    assert(d == 1, s"one-pixel perturbation must move exactly one bit here, moved $d")
+    assert(Multimodal.dHash(px.clone(), 9, 8) == h)
+  }
+
+  test("imageHashes: real decodes get a perceptual hash, stubs get null") {
+    import spark.implicits._
+    val img = Array.tabulate(2, 3)((r, c) => (r * 40 + c * 10, 0, 0))
+    val bmp = encodeBmp(img.map(_.toArray), bottomUp = true)
+    val text = "not an image".getBytes("UTF-8")
+    val got = Multimodal.imageHashes(spark,
+        Seq(1L -> bmp, 2L -> text).toDF("doc_id", "media"))
+      .collect().map(r => r.doc_id -> r.dhash).toMap
+    assert(got(1L).contains(Multimodal.dHash(bgrBytes(img.map(_.toArray)), 3, 2)))
+    assert(got(2L).isEmpty, "non-decodable payloads must carry a null hash")
+  }
+
   test("resize: every output payload capped at w*h bytes with dims attached") {
     val rows = Multimodal.resize(spark, media, w = 8, h = 4).collect()
     assert(rows.nonEmpty)

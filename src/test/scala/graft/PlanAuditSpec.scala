@@ -367,6 +367,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q82/q83 real BMP stages: same narrow batch-map shape as the stub stages") {
+    Seq("q82_bmp_decode", "q83_bmp_resize").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("HashAggregate"),
+        s"$q chains two mapPartitions batch stages — nothing may join or aggregate")
+      val exchanges = "Exchange ".r.findAllIn(p).length
+      assert(exchanges == 1, s"$q: only the output sort may exchange, got $exchanges")
+    }
+  }
+
+  test("q84 image near-dup: banded pair join only, occupancy as a window, never all-pairs") {
+    val p = plan("q84_image_neardup_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "never an all-pairs stage")
+    assert(p.contains("Window"), "bucket occupancy cap must be a window count (q62's shape)")
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(p).length
+    assert(joins == 1, s"the banded pair join must be the ONLY join, got $joins")
+  }
+
   test("q66 url filter: narrow map — no join, no aggregate, only the output sort exchanges") {
     val p = plan("q66_url_filter")
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
