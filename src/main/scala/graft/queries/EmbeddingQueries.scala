@@ -717,6 +717,97 @@ object EmbeddingQueries {
         (-col("best.negk")).cast("long").as("cell"), col("best.ccos").as("ccos"))
   }
 
+  /** Result of [[kmeansConverge]]: the assignment under the converged
+    * centroids, the number of Lloyd sweeps RUN (when converged before
+    * `maxIters`, the final sweep is the no-change confirmation), and
+    * the last sweep's largest centroid-coordinate movement (L∞ over
+    * every (cell, dim) — 0.0 at an exact fixpoint). */
+  final case class KmeansConverged(assign: DataFrame, iters: Int, delta: Double)
+
+  /** (cell -> (centroid, norm)) of a 1-row (cents, cnorms) map pack,
+    * materialized to the driver — centroid state is k·dim doubles, so
+    * it is ALWAYS driver-sized regardless of corpus scale. */
+  private def collectPack(pack: DataFrame): Map[Long, (Array[Double], Double)] = {
+    val row = pack.select(col("cents"), col("cnorms")).collect()(0)
+    val cents = row.getMap[Long, scala.collection.Seq[Double]](0)
+    val norms = row.getMap[Long, Double](1)
+    cents.map { case (k, v) => k -> (v.toArray, norms(k)) }.toMap
+  }
+
+  /** The inverse: rebuild the 1-row pack as LITERALS. This is the
+    * lineage truncation of the convergence loop — the values are the
+    * exact collected doubles (no re-quantization, no recomputation),
+    * and the resulting plan is one sweep deep no matter how many
+    * sweeps ran. Centroids are the one piece of k-means state small
+    * enough that the driver IS the right checkpoint medium; the
+    * corpus-scale frames never checkpoint at all (each sweep re-reads
+    * the persisted base). */
+  private def literalPack(s: SparkSession,
+                          pack: Map[Long, (Array[Double], Double)]): DataFrame = {
+    val keys = pack.keys.toSeq.sorted
+    s.range(1).select(
+      map_from_arrays(
+        array(keys.map(lit(_)): _*),
+        array(keys.map(k => array(pack(k)._1.map(lit(_)).toIndexedSeq: _*)): _*)).as("cents"),
+      map_from_arrays(
+        array(keys.map(lit(_)): _*),
+        array(keys.map(k => lit(pack(k)._2)): _*)).as("cnorms"))
+  }
+
+  /** Driver-loop Lloyd convergence — the production harness the
+    * unrolled [[kmeansAssign]] (plan-bounded at 4 sweeps) points to:
+    * run one [[refineOnce]] sweep at a time, materialize the centroid
+    * pack to the driver after each (k·dim doubles — see
+    * [[literalPack]] for why that IS the per-sweep checkpoint), and
+    * stop when the largest centroid-coordinate movement is <= `tol`
+    * (default 0.0: exact fixpoint — meaningful because every
+    * coordinate is a deterministic quantized-long mean, so a converged
+    * sweep reproduces bit-identical centroids) or at `maxIters`.
+    * Returns the assignment under the final centroids in
+    * [[kmeansAssign]]'s vector-carrying shape, so the SemDeDup recipe
+    * composes with it unchanged.
+    *
+    * Scale shape per sweep: identical to [[kmeansRefine]]'s (narrow
+    * fused assignment against broadcast literal centroids, map-side
+    * combined exact-long sums) plus one driver collect of the k·dim
+    * pack; the plan never deepens with the sweep count, so the loop
+    * runs to convergence on any corpus size. `emb` is scanned once per
+    * sweep — pass a tracking [[CacheScope]] to persist the projected
+    * base across sweeps and release it deterministically.
+    *
+    * Spec contract (SemDedupSpec): at an exact fixpoint the returned
+    * assignment equals `kmeansAssign(emb, nSeeds, iters)` for the
+    * returned sweep count — the loop and the unrolled plan are the
+    * same computation, differing only in where the centroid state
+    * lives between sweeps. */
+  def kmeansConverge(emb: DataFrame, nSeeds: Int = 8, maxIters: Int = 20,
+                     tol: Double = 0.0,
+                     scope: CacheScope = CacheScope.untracked): KmeansConverged = {
+    require(maxIters >= 1, s"need at least one sweep, got $maxIters")
+    require(tol >= 0, s"tol must be non-negative, got $tol")
+    val s = emb.sparkSession
+    val base = scope.persist(emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(qdotCol(col("v"), col("v")))))
+    var cur = collectPack(centsPack(base, nSeeds))
+    var iters = 0
+    var delta = Double.PositiveInfinity
+    while (iters < maxIters && delta > tol) {
+      val next = collectPack(refineOnce(base, literalPack(s, cur), nSeeds))
+      delta = next.map { case (k, (cv, _)) =>
+        val prev = cur(k)._1
+        cv.indices.map(i => math.abs(cv(i) - prev(i))).max
+      }.max
+      cur = next
+      iters += 1
+    }
+    val assign = base.crossJoin(broadcast(literalPack(s, cur)))
+      .withColumn("best", array_max(scoredCells(nSeeds, qdotCol)))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (-col("best.negk")).cast("long").as("cell"), col("best.ccos").as("ccos"))
+    KmeansConverged(assign, iters, delta)
+  }
+
   /** The published SemDeDup pipeline end-to-end (Abbas et al.,
     * arXiv:2303.09540): k-means-cluster the corpus ([[kmeansAssign]],
     * `iters` Lloyd sweeps from the deterministic seeds), then dedup

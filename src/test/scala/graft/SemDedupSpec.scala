@@ -68,6 +68,41 @@ class SemDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("kmeansConverge reaches an exact fixpoint equal to the unrolled kmeansAssign") {
+    // two tight clusters, both seeds planted near the diagonal so the
+    // FIRST sweep genuinely moves the centroids (delta > 0) before the
+    // loop settles: converged-in-few-sweeps by construction, so the
+    // driver loop is comparable against the (<= 4 sweep) unrolled plan
+    val emb = corpus(Seq(
+      0L -> Seq(1f, 0.8f, 0f, 0f),      // seed 0, leans cluster A
+      1L -> Seq(0.8f, 1f, 0f, 0f),      // seed 1, leans cluster B
+      2L -> Seq(1f, 0.05f, 0f, 0f),     // cluster A
+      3L -> Seq(1f, 0.08f, 0.02f, 0f),  // cluster A
+      4L -> Seq(1f, 0.02f, 0f, 0.03f),  // cluster A
+      5L -> Seq(0.06f, 1f, 0f, 0f),     // cluster B
+      6L -> Seq(0.01f, 1f, 0.04f, 0f),  // cluster B
+      7L -> Seq(0.03f, 1f, 0f, 0.05f))) // cluster B
+    val res = EmbeddingQueries.kmeansConverge(emb, nSeeds = 2, maxIters = 10, tol = 0.0)
+    assert(res.iters < 10, "must CONVERGE, not hit the sweep cap")
+    assert(res.delta == 0.0, "tol = 0 stop means a bit-identical centroid fixpoint")
+    assert(res.iters >= 2, "the confirmation sweep follows at least one real movement")
+    // the driver loop and the unrolled plan are the same computation:
+    // at the fixpoint, the same sweep count gives the same assignment
+    assert(res.iters <= 4, s"test corpus must converge within kmeansAssign's bound, took ${res.iters}")
+    val loop = res.assign.select("vec_id", "cell", "ccos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val unrolled = EmbeddingQueries.kmeansAssign(emb, nSeeds = 2, iters = res.iters)
+      .select("vec_id", "cell", "ccos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(loop == unrolled, s"fixpoint assignment must equal the unrolled plan:\n$loop\n$unrolled")
+    // and the clusters actually separated: seeds 0/2-4 vs 1/5-7
+    val cells = loop.map(t => t._1 -> t._2).toMap
+    assert(Seq(0L, 2L, 3L, 4L).map(cells).distinct.size == 1)
+    assert(Seq(1L, 5L, 6L, 7L).map(cells).distinct.size == 1)
+    assert(cells(0L) != cells(1L))
+    spark.catalog.clearCache()
+  }
+
   test("semanticDedupRefined at zero sweeps degrades to the seeded one-pass semanticDedup") {
     // the scaladoc's advertised degenerate case must actually run:
     // iters = 0 routes to the seeded assignment, not kmeansAssign's
