@@ -314,7 +314,10 @@ object Multimodal {
 
   /** Frame-sample stage (STUB): emits every `stride`-th fixed-size
     * "frame" of the payload as its own row — the video -> frames
-    * explode shape (one input row fans out to n_frames rows). */
+    * explode shape (one input row fans out to n_frames rows). The real
+    * kernel for the container the engine can decode is
+    * [[sampleFramesDecoded]]; this fixed-width byte slicing is ALSO the
+    * honest semantics for raw (headerless) frame streams. */
   final case class FrameRow(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
   def sampleFrames(spark: SparkSession, media: DataFrame,
@@ -326,6 +329,166 @@ object Multimodal {
         (0 until n by stride).iterator.map { i =>
           FrameRow(r.doc_id, i,
             java.util.Arrays.copyOfRange(r.media, i * frameBytes, (i + 1) * frameBytes))
+        }
+      }
+    }
+  }
+
+  /** REAL multi-frame container for the frame-sample path — the classic
+    * ICO layout (public format): a 6-byte ICONDIR (reserved 0, type 1,
+    * count), `count` 16-byte ICONDIRENTRYs (width/height bytes with the
+    * 0-means-256 rule, bytesInRes, imageOffset), each entry a
+    * BITMAPINFOHEADER DIB whose biHeight is DOUBLED (bottom-up 24-bit
+    * XOR pixel rows followed by a 1-bpp AND mask, both rows padded to
+    * 32 bits). [[IcoDecoder]] parses the strict 24-bit BI_RGB subset
+    * with full bounds validation — anything else returns None, same
+    * totality contract as [[BmpDecoder]]. */
+  object IcoDecoder {
+    private def u8(b: Array[Byte], o: Int): Int = b(o) & 0xff
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def i32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    /** Decoded frames in directory order: (width, height, pixels) with
+      * pixels top-down row-major B,G,R, XOR-image only, padding and
+      * AND mask stripped. None unless EVERY entry validates. */
+    def tryDecodeFrames(bytes: Array[Byte]): Option[Seq[(Int, Int, Array[Byte])]] = {
+      if (bytes.length < 6 || u16(bytes, 0) != 0 || u16(bytes, 2) != 1) None
+      else {
+        val count = u16(bytes, 4)
+        if (count < 1 || 6 + 16L * count > bytes.length) None
+        else {
+          val frames = Vector.newBuilder[(Int, Int, Array[Byte])]
+          var i = 0
+          var ok = true
+          while (ok && i < count) {
+            val e = 6 + 16 * i
+            val ew = { val v = u8(bytes, e); if (v == 0) 256 else v }
+            val eh = { val v = u8(bytes, e + 1); if (v == 0) 256 else v }
+            val size = i32(bytes, e + 8)
+            val off = i32(bytes, e + 12)
+            if (off < 6 + 16 * count || size < 40 ||
+                off.toLong + size > bytes.length) ok = false
+            else {
+              val dibSize = i32(bytes, off)
+              val w = i32(bytes, off + 4)
+              val h2 = i32(bytes, off + 8)
+              val planes = u16(bytes, off + 12)
+              val bpp = u16(bytes, off + 14)
+              val compression = i32(bytes, off + 16)
+              val h = h2 / 2
+              val stride = (3L * w + 3) & ~3L
+              val maskStride = ((w + 31) / 32) * 4L
+              if (dibSize < 40 || planes != 1 || bpp != 24 || compression != 0 ||
+                  w <= 0 || h2 <= 0 || h2 % 2 != 0 || w != ew || h != eh ||
+                  dibSize.toLong + (stride + maskStride) * h > size) ok = false
+              else {
+                val rowBytes = 3 * w
+                val pixels = new Array[Byte](rowBytes * h)
+                val dataOff = off + dibSize
+                var r = 0
+                while (r < h) {
+                  // XOR image rows are stored bottom-up, like a BMP
+                  System.arraycopy(bytes, dataOff + ((h - 1 - r) * stride).toInt,
+                    pixels, r * rowBytes, rowBytes)
+                  r += 1
+                }
+                frames += ((w, h, pixels))
+              }
+            }
+            i += 1
+          }
+          if (ok) Some(frames.result()) else None
+        }
+      }
+    }
+  }
+
+  /** [[IcoDecoder]]'s inverse: encode top-down B,G,R pixel frames as a
+    * strictly-valid 24-bit ICO (zeroed AND masks). Round-trip law
+    * (MultimodalSpec): `IcoDecoder.tryDecodeFrames(encodeIco(fs))`
+    * recovers every frame's exact dims and pixels. */
+  def encodeIco(frames: Seq[(Array[Byte], Int, Int)]): Array[Byte] = {
+    require(frames.nonEmpty && frames.size <= 0xffff, "1..65535 frames")
+    frames.foreach { case (px, w, h) =>
+      require(w > 0 && w <= 256 && h > 0 && h <= 256, s"ICO dims are 1..256, got ${w}x$h")
+      require(px.length == 3 * w * h,
+        s"frame must hold 3*$w*$h bytes, got ${px.length}")
+    }
+    val images = frames.map { case (px, w, h) =>
+      val rowBytes = 3 * w
+      val stride = (rowBytes + 3) & ~3
+      val maskStride = ((w + 31) / 32) * 4
+      val size = 40 + (stride + maskStride) * h
+      val img = java.nio.ByteBuffer.allocate(size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      img.putInt(40).putInt(w).putInt(2 * h)          // doubled height
+        .putShort(1).putShort(24).putInt(0)           // planes, bpp, BI_RGB
+        .putInt((stride + maskStride) * h).putInt(0).putInt(0).putInt(0).putInt(0)
+      var r = 0
+      while (r < h) {                                  // XOR rows, bottom-up
+        img.put(px, (h - 1 - r) * rowBytes, rowBytes)
+        var p = rowBytes
+        while (p < stride) { img.put(0.toByte); p += 1 }
+        r += 1
+      }
+      // AND mask: all-zero (fully opaque), h rows of maskStride
+      img.position(img.position() + maskStride * h)
+      img.array()
+    }
+    val headerLen = 6 + 16 * frames.size
+    val out = java.nio.ByteBuffer
+      .allocate(headerLen + images.map(_.length).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.putShort(0).putShort(1).putShort(frames.size.toShort)
+    var off = headerLen
+    frames.zip(images).foreach { case ((_, w, h), img) =>
+      out.put((if (w == 256) 0 else w).toByte).put((if (h == 256) 0 else h).toByte)
+        .put(0.toByte).put(0.toByte)                   // colors, reserved
+        .putShort(1).putShort(24)                      // planes, bpp
+        .putInt(img.length).putInt(off)
+      off += img.length
+    }
+    images.foreach(out.put)
+    out.array()
+  }
+
+  /** Decoded-frame row: real dims + decoded pixels for container
+    * payloads; the raw fixed-width slice (width = frameBytes,
+    * height = 1 — the headerless-stream convention) for everything
+    * else. */
+  final case class DecodedFrameRow(doc_id: Long, frame_idx: Int,
+                                   width: Int, height: Int, frame: Array[Byte])
+
+  /** REAL frame-sample stage: ICO payloads decode ([[IcoDecoder]]) and
+    * emit every `stride`-th FRAME with its directory-truth dims and
+    * decoded pixels; non-container payloads fall back to
+    * [[sampleFrames]]'s fixed-width raw slicing — one total function,
+    * same dispatch contract as [[decodeFeatures]]/[[resizeDecoded]].
+    * Narrow per-partition batch map with an explode-shaped fan-out;
+    * no shuffle. */
+  def sampleFramesDecoded(spark: SparkSession, media: DataFrame, stride: Int,
+                          stubFrameBytes: Int = 16): Dataset[DecodedFrameRow] = {
+    import spark.implicits._
+    require(stride >= 1, "stride must be >= 1")
+    require(stubFrameBytes >= 1, "stubFrameBytes must be >= 1")
+    media.as[MediaRow].mapPartitions { batch =>
+      batch.flatMap { r =>
+        IcoDecoder.tryDecodeFrames(r.media) match {
+          case Some(frames) =>
+            (0 until frames.size by stride).iterator.map { i =>
+              val (w, h, px) = frames(i)
+              DecodedFrameRow(r.doc_id, i, w, h, px)
+            }
+          case None =>
+            val n = r.media.length / stubFrameBytes
+            (0 until n by stride).iterator.map { i =>
+              DecodedFrameRow(r.doc_id, i, stubFrameBytes, 1,
+                java.util.Arrays.copyOfRange(r.media,
+                  i * stubFrameBytes, (i + 1) * stubFrameBytes))
+            }
         }
       }
     }

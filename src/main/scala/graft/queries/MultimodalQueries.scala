@@ -9,12 +9,15 @@ import graft.ext.Multimodal
 /** Multimodal-column operators (see graft.ext.Multimodal). q50's metadata
   * is arithmetic over the payload length; q51 exercises the
   * mapPartitions batch-decode path — both over the text-as-media corpus,
-  * which always routes to the stub decoder. q82/q83 put the REAL format
-  * path under the oracle: a deterministic 24-bit BMP corpus built from
-  * the same document bytes, decoded ([[Multimodal.BmpDecoder]]) and
-  * nearest-neighbor-resized ([[Multimodal.resizeDecoded]]) for real,
-  * with header-truth dims and every decoded/resampled byte restated in
-  * SQL. All four carry full oracles. */
+  * which always routes to the stub decoder. q82–q85 put the REAL format
+  * paths under the oracle: deterministic 24-bit BMP / three-frame ICO
+  * corpora built from the same document bytes, decoded
+  * ([[Multimodal.BmpDecoder]]/[[Multimodal.IcoDecoder]]),
+  * nearest-neighbor-resized ([[Multimodal.resizeDecoded]]), perceptual-
+  * hashed into the banded dedup family (q84), and frame-sampled
+  * ([[Multimodal.sampleFramesDecoded]]) for real — header/directory-
+  * truth dims and every decoded byte restated in SQL. All carry full
+  * oracles. */
 object MultimodalQueries {
 
   /** Deterministic mixed corpus for the real-decode queries: documents
@@ -39,6 +42,27 @@ object MultimodalQueries {
           Multimodal.MediaRow(r.doc_id,
             Multimodal.encodeBmp(java.util.Arrays.copyOf(r.media, 12 * w),
               w, 4, bottomUp = r.doc_id % 2 == 0))
+        } else Multimodal.MediaRow(r.doc_id, 0.toByte +: r.media)
+      }
+    }.toDF()
+  }
+
+  /** Deterministic multi-frame corpus for the real frame-sample query
+    * (q85): the same routing rule as [[bmpCorpus]], but decodable docs
+    * become strictly-valid three-frame ICOs whose frames' DECODED
+    * pixels are consecutive 12-byte text slices at three DISTINCT
+    * dims (2x2, 4x1, 1x4 — so per-frame directory dims are pinned,
+    * not just payload bytes); the rest get the same provably-invalid
+    * 0x00-prefixed payload (ICONDIR.reserved != 0 for any non-NUL
+    * text byte), pinning the raw-slice fallback. */
+  private def icoCorpus(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    Multimodal.mediaTable(docs).as[Multimodal.MediaRow].mapPartitions { it =>
+      it.map { r =>
+        if (r.media.length >= 48 && r.doc_id % 5 != 0) {
+          def slice(a: Int, b: Int) = java.util.Arrays.copyOfRange(r.media, a, b)
+          Multimodal.MediaRow(r.doc_id, Multimodal.encodeIco(Seq(
+            (slice(0, 12), 2, 2), (slice(12, 24), 4, 1), (slice(24, 36), 1, 4))))
         } else Multimodal.MediaRow(r.doc_id, 0.toByte +: r.media)
       }
     }.toDF()
@@ -317,6 +341,39 @@ object MultimodalQueries {
            |  AND a.doc_id < c.doc_id
            |WHERE bit_count(xor(a.dhash, c.dhash)) <= 4
            |ORDER BY doc_a, doc_b""".stripMargin
-      })
+      }),
+
+    // The REAL frame-sample path under the oracle: three-frame ICO
+    // containers (see icoCorpus) through sampleFramesDecoded — parse
+    // the directory, decode every stride-th frame's 24-bit DIB
+    // (doubled-height XOR image, bottom-up rows normalized, padding
+    // and AND mask stripped) — with per-frame DIRECTORY-TRUTH dims
+    // (three distinct shapes across the container) and every decoded
+    // pixel byte hex-pinned as the exact text slice the encode/decode
+    // round trip must recover. Undecodable rows pin the raw
+    // fixed-width-slice fallback over the 0x00-prefixed payload.
+    // Narrow batch map with the explode-shaped fan-out; no shuffle
+    // before the output sort.
+    "q85_frame_decode" -> Q(
+      (s, d) => Multimodal.sampleFramesDecoded(s,
+          icoCorpus(s, Tables.documents(s, d)), stride = 2)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          hex(col("frame")).as("frame_hex"))
+        .orderBy(col("doc_id"), col("frame_idx")),
+      s"""WITH $sqlBmpBase,
+         |ico AS (
+         |  SELECT doc_id, f.fi AS frame_idx, f.fw AS width, f.fh AS height,
+         |         substr(hx, f.fp, 24) AS frame_hex
+         |  FROM b CROSS JOIN (VALUES (0, 2, 2, 1), (2, 1, 4, 49)) AS f(fi, fw, fh, fp)
+         |  WHERE isbmp),
+         |stub AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, 16 AS width, 1 AS height,
+         |         CASE WHEN i = 0 THEN '00' || substr(hx, 1, 30)
+         |              ELSE substr(hx, CAST(32*i - 1 AS INTEGER), 32) END AS frame_hex
+         |  FROM (SELECT doc_id, hx, unnest(range(0, (len + 1) // 16, 2)) AS i
+         |        FROM b WHERE NOT isbmp) u)
+         |SELECT * FROM ico UNION ALL SELECT * FROM stub
+         |ORDER BY doc_id, frame_idx""".stripMargin)
   )
 }

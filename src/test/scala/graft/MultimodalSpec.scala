@@ -159,6 +159,46 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.media.length <= 32 && r.width == 8 && r.height == 4))
   }
 
+  test("ICO encode/decode round trip: every frame's dims and pixels recovered") {
+    // three frames at distinct dims, including padded XOR strides
+    // (4x1: 12->12, 1x4: 3->4) and sub-word mask rows
+    val f0 = Array.tabulate(12)(i => (i * 7 + 3).toByte)   // 2x2
+    val f1 = Array.tabulate(12)(i => (i * 11 + 5).toByte)  // 4x1
+    val f2 = Array.tabulate(12)(i => (i * 13 + 1).toByte)  // 1x4
+    val ico = Multimodal.encodeIco(Seq((f0, 2, 2), (f1, 4, 1), (f2, 1, 4)))
+    val got = Multimodal.IcoDecoder.tryDecodeFrames(ico)
+    assert(got.isDefined, "strict ICO must decode")
+    val fs = got.get
+    assert(fs.map(f => (f._1, f._2)) == Seq((2, 2), (4, 1), (1, 4)))
+    assert(fs(0)._3.toSeq == f0.toSeq && fs(1)._3.toSeq == f1.toSeq
+      && fs(2)._3.toSeq == f2.toSeq, "XOR rows must un-reverse and strip padding")
+    // truncation anywhere = invalid, never a partial decode
+    assert(Multimodal.IcoDecoder.tryDecodeFrames(ico.take(ico.length - 3)).isEmpty)
+    assert(Multimodal.IcoDecoder.tryDecodeFrames("random text".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("sampleFramesDecoded: real per-frame decode for ICOs, raw slices otherwise") {
+    import spark.implicits._
+    val frames = (0 until 5).map(k => (Array.tabulate(12)(i => (k * 50 + i).toByte), 2, 2))
+    val ico = Multimodal.encodeIco(frames)
+    val text = "0123456789abcdef0123456789abcdef0123456789abcdefXYZ".getBytes("UTF-8")
+    val in = Seq(1L -> ico, 2L -> text).toDF("doc_id", "media")
+    val got = Multimodal.sampleFramesDecoded(spark, in, stride = 2).collect()
+      .groupBy(_.doc_id)
+    // ICO: frames 0, 2, 4 with decoded pixels
+    val icoRows = got(1L).sortBy(_.frame_idx)
+    assert(icoRows.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(icoRows.forall(r => r.width == 2 && r.height == 2))
+    assert(icoRows.map(_.frame.toSeq).toSeq ==
+      Seq(0, 2, 4).map(k => frames(k)._1.toSeq))
+    // non-container: q80's fixed-width slices, dims (frameBytes, 1)
+    val stubRows = got(2L).sortBy(_.frame_idx)
+    assert(stubRows.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(stubRows.forall(r => r.width == 16 && r.height == 1))
+    assert(stubRows(0).frame.toSeq == text.slice(0, 16).toSeq)
+    assert(stubRows(1).frame.toSeq == text.slice(32, 48).toSeq)
+  }
+
   test("frame-sample: fan-out rows follow length/frameBytes and stride") {
     val one = media.orderBy(col("doc_id")).limit(1)
     val payloadLen = one.select(octet_length(col("media"))).collect()(0).getInt(0)
