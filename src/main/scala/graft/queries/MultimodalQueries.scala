@@ -68,6 +68,27 @@ object MultimodalQueries {
     }.toDF()
   }
 
+  /** Deterministic audio corpus for the real WAV-decode query (q86):
+    * same routing rule as [[bmpCorpus]]; decodable docs become
+    * strictly-canonical PCM WAVs whose 12 interleaved signed 16-bit
+    * samples are the first 24 text bytes read little-endian, at 1 or 2
+    * channels by doc_id parity (so frame count and per-channel stats
+    * both depend on real header truth); the rest get the provably-
+    * invalid 0x00-prefixed payload ('R' != 0x00). */
+  private def wavCorpus(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    Multimodal.mediaTable(docs).as[Multimodal.MediaRow].mapPartitions { it =>
+      it.map { r =>
+        if (r.media.length >= 48 && r.doc_id % 5 != 0) {
+          val ch = 1 + (r.doc_id % 2).toInt
+          val samples = Array.tabulate(12)(i =>
+            ((r.media(2 * i) & 0xff) | ((r.media(2 * i + 1) & 0xff) << 8)).toShort)
+          Multimodal.MediaRow(r.doc_id, Multimodal.encodeWav(samples, ch, 8000))
+        } else Multimodal.MediaRow(r.doc_id, 0.toByte +: r.media)
+      }
+    }.toDF()
+  }
+
   /** Shared oracle head for the BMP-corpus queries: per doc, the text
     * hex, byte length, the real-vs-stub routing predicate, and the
     * constructed image width — the corpus rules of [[bmpCorpus]]
@@ -374,6 +395,53 @@ object MultimodalQueries {
          |  FROM (SELECT doc_id, hx, unnest(range(0, (len + 1) // 16, 2)) AS i
          |        FROM b WHERE NOT isbmp) u)
          |SELECT * FROM ico UNION ALL SELECT * FROM stub
-         |ORDER BY doc_id, frame_idx""".stripMargin)
+         |ORDER BY doc_id, frame_idx""".stripMargin),
+
+    // The REAL audio path under the oracle: canonical PCM WAVs (see
+    // wavCorpus) through decodeAudio — strict RIFF/fmt/data parse,
+    // header-truth channel count and sample rate, and EXACT per-channel
+    // integer stats (sum/min/max of the SIGNED 16-bit samples) that the
+    // oracle recomputes from the text hex with explicit two's-
+    // complement arithmetic — so the decoder's sample signedness,
+    // little-endian order, and channel interleave are all pinned, per
+    // channel. Stub-fallback rows pin the length-arithmetic branch
+    // with NULL stats. Narrow batch map; no shuffle before the sort.
+    "q86_wav_decode" -> Q(
+      (s, d) => Multimodal.decodeAudio(s, wavCorpus(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("byte_len"), col("n_channels"),
+          col("sample_rate"), col("n_frames"),
+          try_element_at(col("ch_sums"), lit(1)).as("c0_sum"),
+          try_element_at(col("ch_mins"), lit(1)).as("c0_min"),
+          try_element_at(col("ch_maxs"), lit(1)).as("c0_max"),
+          try_element_at(col("ch_sums"), lit(2)).as("c1_sum"),
+          try_element_at(col("ch_mins"), lit(2)).as("c1_min"),
+          try_element_at(col("ch_maxs"), lit(2)).as("c1_max"))
+        .orderBy(col("doc_id")),
+      {
+        // signed 16-bit LE sample i from the text hex (bytes 2i, 2i+1)
+        val sval = "(CASE WHEN raw < 32768 THEN raw ELSE raw - 65536 END)"
+        def svals(start: String, step: String) =
+          s"""list_transform(list_transform(range($start, 12, $step),
+             |    i -> ('0x' || substr(hx, CAST(4*i+1 AS INTEGER), 2))::INTEGER
+             |         + 256 * ('0x' || substr(hx, CAST(4*i+3 AS INTEGER), 2))::INTEGER),
+             |  raw -> $sval)""".stripMargin
+        def stat(fn: String, start: String, step: String, cast: String) =
+          s"CAST($fn(${svals(start, step)}) AS $cast)"
+        s"""WITH $sqlBmpBase,
+           |w2 AS (SELECT b.*, CAST(doc_id % 2 + 1 AS INTEGER) AS ch FROM b)
+           |SELECT doc_id,
+           |  CAST(CASE WHEN isbmp THEN 68 ELSE len + 1 END AS BIGINT) AS byte_len,
+           |  CAST(CASE WHEN isbmp THEN ch ELSE (len + 1) % 2 + 1 END AS INTEGER) AS n_channels,
+           |  CAST(CASE WHEN isbmp THEN 8000 ELSE (len + 1) % 32000 + 8000 END AS INTEGER) AS sample_rate,
+           |  CAST(CASE WHEN isbmp THEN 12 // ch ELSE (len + 1) // 2 END AS BIGINT) AS n_frames,
+           |  CASE WHEN isbmp THEN ${stat("list_sum", "0", "ch", "BIGINT")} END AS c0_sum,
+           |  CASE WHEN isbmp THEN ${stat("list_min", "0", "ch", "INTEGER")} END AS c0_min,
+           |  CASE WHEN isbmp THEN ${stat("list_max", "0", "ch", "INTEGER")} END AS c0_max,
+           |  CASE WHEN isbmp AND ch = 2 THEN ${stat("list_sum", "1", "2", "BIGINT")} END AS c1_sum,
+           |  CASE WHEN isbmp AND ch = 2 THEN ${stat("list_min", "1", "2", "INTEGER")} END AS c1_min,
+           |  CASE WHEN isbmp AND ch = 2 THEN ${stat("list_max", "1", "2", "INTEGER")} END AS c1_max
+           |FROM w2 ORDER BY doc_id""".stripMargin
+      })
   )
 }

@@ -199,6 +199,39 @@ class MultimodalSpec extends SparkSpec {
     assert(stubRows(1).frame.toSeq == text.slice(32, 48).toSeq)
   }
 
+  test("WAV encode/decode round trip: channels, rate, and signed samples exact") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 1000, -999, 12345)
+    val wav = Multimodal.encodeWav(samples, channels = 2, sampleRate = 44100)
+    val got = Multimodal.WavDecoder.tryDecode(wav)
+    assert(got.isDefined)
+    val (ch, rate, s) = got.get
+    assert(ch == 2 && rate == 44100 && s.toSeq == samples.toSeq,
+      "sign, endianness, and interleave must survive the round trip")
+    // truncation / corruption = invalid, never a partial decode
+    assert(Multimodal.WavDecoder.tryDecode(wav.take(wav.length - 1)).isEmpty)
+    val bad = wav.clone(); bad(20) = 3 // audioFormat != PCM
+    assert(Multimodal.WavDecoder.tryDecode(bad).isEmpty)
+    assert(Multimodal.WavDecoder.tryDecode("not audio".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("decodeAudio: per-channel stats over signed samples; stub rows carry no stats") {
+    import spark.implicits._
+    // stereo: ch0 = {100, -300, 5}, ch1 = {-200, 400, -6}
+    val samples = Array[Short](100, -200, -300, 400, 5, -6)
+    val wav = Multimodal.encodeWav(samples, channels = 2, sampleRate = 8000)
+    val text = "definitely not audio data".getBytes("UTF-8")
+    val got = Multimodal.decodeAudio(spark,
+        Seq(1L -> wav, 2L -> text).toDF("doc_id", "media"))
+      .collect().map(f => f.doc_id -> f).toMap
+    val a = got(1L)
+    assert(a.n_channels == 2 && a.sample_rate == 8000 && a.n_frames == 3)
+    assert(a.ch_sums.toSeq == Seq(-195L, 194L))
+    assert(a.ch_mins.toSeq == Seq(-300, -200) && a.ch_maxs.toSeq == Seq(100, 400))
+    val b = got(2L)
+    assert(b.ch_sums.isEmpty && b.n_frames == text.length / 2,
+      "undecodable payloads take the length-arithmetic stub with no stats")
+  }
+
   test("frame-sample: fan-out rows follow length/frameBytes and stride") {
     val one = media.orderBy(col("doc_id")).limit(1)
     val payloadLen = one.select(octet_length(col("media"))).collect()(0).getInt(0)

@@ -367,8 +367,9 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q82/q83/q85 real decode stages: same narrow batch-map shape as the stub stages") {
-    Seq("q82_bmp_decode", "q83_bmp_resize", "q85_frame_decode").foreach { q =>
+  test("q82/q83/q85/q86 real decode stages: same narrow batch-map shape as the stub stages") {
+    Seq("q82_bmp_decode", "q83_bmp_resize", "q85_frame_decode",
+        "q86_wav_decode").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Join") && !p.contains("HashAggregate"),
         s"$q chains two mapPartitions batch stages — nothing may join or aggregate")
