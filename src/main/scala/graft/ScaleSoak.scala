@@ -29,7 +29,7 @@ object ScaleSoak {
     "q76_semantic_dedup_capped", "q77_semantic_dedup_refined",
     "q78_semantic_curation_stages", "q79_repetition_signals",
     "q45_ann_bruteforce_topk", "q46_lsh_bucket_pairs", "q47_ivf_topk",
-    "q48_embedding_neardup", "q82_bmp_decode", "q83_bmp_resize",
+    "q48_embedding_neardup", "q87_pq_topk", "q82_bmp_decode", "q83_bmp_resize",
     "q84_image_neardup_pairs", "q85_frame_decode", "q86_wav_decode",
     "q43_capped_df64", "q42_capped_b64")
 

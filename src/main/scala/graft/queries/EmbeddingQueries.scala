@@ -58,6 +58,14 @@ object EmbeddingQueries {
     * embedding coordinates up to ~9M members per cell; past that, shard
     * cells or lower the quantum. */
   private val QScale = 1000000000000L
+  /** q87 product-quantization geometry: M subspaces of dim/M
+    * coordinates, K codewords per subspace (the first K corpus vectors'
+    * sub-slices — the same deterministic seeding convention as the cell
+    * centroids). 8×8 dims at K=4 compresses a 64-double vector to 8
+    * small codes, the memory ratio that makes billion-vector ANN fit
+    * executor RAM at 100 TB. */
+  private[queries] val pqM = 8
+  private[queries] val pqK = 4
 
   // ---- Spark-side building blocks ----
 
@@ -436,7 +444,51 @@ object EmbeddingQueries {
          |       t.n_vecs - COALESCE(k.n_kept, 0) AS n_dropped
          |FROM (SELECT cell, COUNT(*) AS n_vecs FROM assign GROUP BY 1) t
          |LEFT JOIN kept k ON k.cell = t.cell
-         |ORDER BY t.cell""".stripMargin)
+         |ORDER BY t.cell""".stripMargin),
+
+    // Product-quantization ADC top-k (see [[pqTopK]]): the compression
+    // leg of the ANN family — encode every vector as pqM nearest-codeword
+    // indices, score query→candidate as the sum of the query's
+    // precomputed per-(subspace, codeword) quantized dot-product longs.
+    // The oracle restates the codebook, the ‖c‖²−2·x·c argmin encoding
+    // (ties to the lowest code via key ASC), the exact-BIGINT ADC table,
+    // and the per-query ranking — every double on both sides comes out
+    // of the same tie-free quantized construction, so code assignments,
+    // scores, and ranks are engine-identical.
+    "q87_pq_topk" -> Q(
+      (s, d) => pqTopK(Tables.embeddings(s, d), nQueries),
+      {
+        val sub = dim / pqM
+        val qd = (a: String, b: String) => sqlQDotN(a, b, sub)
+        s"""WITH vecs AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |mm AS (SELECT unnest(range(0, $pqM)) AS m),
+           |cw AS (
+           |  SELECT m.m * $pqK + s.vec_id AS key,
+           |         list_slice(s.v, m.m * $sub + 1, (m.m + 1) * $sub) AS c
+           |  FROM (SELECT vec_id, v FROM vecs WHERE vec_id < $pqK) s CROSS JOIN mm m),
+           |enc AS (
+           |  SELECT vec_id, m, key % $pqK AS code FROM (
+           |    SELECT x.vec_id, m.m, w.key,
+           |           row_number() OVER (PARTITION BY x.vec_id, m.m
+           |             ORDER BY (${qd("w.c", "w.c")}
+           |                       - 2e0 * ${qd(s"list_slice(x.v, m.m * $sub + 1, (m.m + 1) * $sub)", "w.c")}) ASC,
+           |                      w.key ASC) AS rn
+           |    FROM vecs x CROSS JOIN mm m JOIN cw w ON w.key // $pqK = m.m) z
+           |  WHERE rn = 1),
+           |tab AS (
+           |  SELECT q.vec_id AS query_id, w.key,
+           |         CAST(floor(${qd(s"list_slice(q.v, (w.key // $pqK) * $sub + 1, ((w.key // $pqK) + 1) * $sub)", "w.c")} * 1e12 + 0.5) AS BIGINT) AS tq
+           |  FROM vecs q CROSS JOIN cw w WHERE q.vec_id < $nQueries),
+           |sc AS (
+           |  SELECT t.query_id, e.vec_id AS cand_id, SUM(t.tq) AS sq
+           |  FROM enc e JOIN tab t ON t.key = e.m * $pqK + e.code AND e.vec_id <> t.query_id
+           |  GROUP BY 1, 2)
+           |SELECT query_id, rank, cand_id AS neighbor_id, CAST(sq AS DOUBLE) / 1e12 AS approx_dot
+           |FROM (SELECT query_id, cand_id, sq,
+           |             row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, cand_id ASC) AS rank
+           |      FROM sc) z
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      })
   )
 
   /** SemDeDup-style semantic dedup over an embeddings table (vec_id,
@@ -594,7 +646,12 @@ object EmbeddingQueries {
 
   /** SQL mirror of [[qdotCol]] over two DOUBLE[]/FLOAT[] columns. */
   private[queries] def sqlQDot(a: String, b: String): String =
-    s"(CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> " +
+    sqlQDotN(a, b, dim)
+
+  /** [[sqlQDot]] generalized to length-`n` arrays — the PQ oracle works
+    * in `dim / pqM`-element subspaces, not full vectors. */
+  private[queries] def sqlQDotN(a: String, b: String, n: Int): String =
+    s"(CAST(list_sum(list_transform(range(1, ${n + 1}), i -> " +
       s"CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT))) AS DOUBLE) / 1e12)"
 
   /** The fused nearest-centroid chooser shared by [[semanticDedup]],
@@ -884,6 +941,97 @@ object EmbeddingQueries {
     cos.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("cell"), col("rank"),
         col("cand_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The 1-row broadcastable PQ codebook pack: key m·ks+j → the j-th
+    * seed vector's m-th `dim/m`-coordinate sub-slice. M·ks tiny arrays —
+    * always broadcast-sized, independent of corpus scale. */
+  private def pqCodebook(base: DataFrame, m: Int, ks: Int): DataFrame = {
+    val sub = dim / m
+    base.where(col("vec_id") < ks)
+      .select(col("vec_id").as("j"),
+        explode(array((0 until m).map(i => lit(i)): _*)).as("mm"), col("v"))
+      .select((col("mm").cast("long") * ks + col("j")).as("key"),
+        slice(col("v"), col("mm") * sub + 1, lit(sub)).as("cwv"))
+      .groupBy().agg(map_from_arrays(
+        collect_list(col("key")), collect_list(col("cwv"))).as("cw"))
+  }
+
+  /** Product-quantization ADC top-k (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1), 2011 —
+    * public): split every vector into `m` subspaces, encode each
+    * subspace as the index of its nearest codeword (L2, from a
+    * `ks`-codeword seeded codebook), and answer each query's top-`k` by
+    * ASYMMETRIC distance — the query precomputes its m·ks dot-product
+    * table once, and every candidate is scored with m table lookups
+    * instead of a `dim`-wide dot. This is the compression leg of the ANN
+    * family: q45 scans raw vectors (exact), q47 prunes candidates by
+    * coarse cell (IVF), q87 shrinks the per-candidate bytes and
+    * per-pair work by dim/m — at 100 TB the encoded corpus (m small
+    * codes per vector) is what fits in executor memory when raw vectors
+    * no longer do, and the scored join moves only (vec_id, codes).
+    *
+    * Encoding minimizes per-subspace reconstruction error; since
+    * ‖x_m‖² is constant across a subspace's codewords, the argmin is
+    * taken over the expanded form ‖c‖² − 2·x_m·c — the standard ADC
+    * identity (paper §II) — with BOTH engines evaluating that exact
+    * expression, so ties collapse identically (to the lowest code).
+    * Ranking is by approximate inner product Σ_m table[m][code_m],
+    * accumulated as exact 1e-12-quantized longs (each table entry
+    * recovers its quantized dot's integer numerator — |q| ≤ sub·1e12 ≪
+    * 2^52, so floor(x·1e12+0.5) is exact), making the score
+    * partition-order independent and engine-identical; ties rank the
+    * lower cand_id first.
+    *
+    * Scale shape: codebook is a 1-row broadcast pack (m·ks tiny
+    * arrays); encoding is a narrow fused projection (m·ks quantized
+    * sub-dots per row, argmin via array_max — no row multiplication,
+    * no shuffle); the query side is a pushdown-pruned tiny scan whose
+    * ADC tables broadcast; the only corpus-scale exchange is the final
+    * per-query top-k window. */
+  def pqTopK(emb: DataFrame, nQueries: Int, m: Int = pqM, ks: Int = pqK,
+             k: Int = 5): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m must divide dim=$dim, got $m")
+    require(ks >= 1, s"need at least one codeword per subspace, got $ks")
+    val sub = dim / m
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cb = pqCodebook(base, m, ks)
+    // candidate encoding: for each subspace the (−distance, −code) struct
+    // array's max is the nearest codeword, ties to the lowest code
+    val enc = base.crossJoin(broadcast(cb))
+      .withColumn("codes", array((0 until m).map { mm =>
+        val subv = slice(col("v"), mm * sub + 1, sub)
+        val scored = array((0 until ks).map { j =>
+          val c = element_at(col("cw"), lit((mm.toLong * ks) + j))
+          struct((-(qdotCol(c, c) - lit(2.0) * qdotCol(subv, c))).as("nd"),
+            lit(-j).as("nj"))
+        }: _*)
+        (-array_max(scored).getField("nj")).cast("long")
+      }: _*))
+      .select(col("vec_id"), col("codes"))
+    // query ADC tables: the quantized sub-dot's exact long numerator per
+    // (subspace, codeword) — summable in any order
+    val keys = for (mm <- 0 until m; j <- 0 until ks) yield mm.toLong * ks + j
+    val qs = base.where(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id").as("query_id"),
+        map_from_arrays(
+          array(keys.map(lit(_)): _*),
+          array(keys.map { key =>
+            val mm = (key / ks).toInt
+            floor(qdotCol(slice(col("v"), mm * sub + 1, sub),
+              element_at(col("cw"), lit(key))) * lit(1e12) + lit(0.5)).cast("long")
+          }: _*)).as("tabq"))
+    val sq = (0 until m).map(mm =>
+      element_at(col("tabq"), element_at(col("codes"), mm + 1) + lit(mm.toLong * ks)))
+      .reduce(_ + _)
+    val scoredPairs = enc.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .withColumn("sq", sq)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sq").desc, col("vec_id").asc)
+    scoredPairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        (col("sq").cast("double") / lit(1e12)).as("approx_dot"))
       .orderBy(col("query_id"), col("rank"))
   }
 }

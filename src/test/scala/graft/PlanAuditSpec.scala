@@ -405,6 +405,20 @@ class PlanAuditSpec extends SparkSpec {
       "line-df aggregation must have a partial (map-side) phase")
   }
 
+  test("q87 pq top-k: codebook and ADC tables broadcast; the corpus never shuffles for a join") {
+    val p = plan("q87_pq_topk")
+    assert(!p.contains("CartesianProduct"), "never an unbroadcast all-pairs stage")
+    // both tiny sides — the 1-row codebook pack (against the corpus for
+    // encoding, and against the query scan for the ADC tables) and the
+    // nQueries-row table pack — must ride broadcasts; a corpus-scale
+    // shuffle join would defeat the point of the code compression
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no corpus-scale shuffle joins in the ADC path")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length >= 2,
+      "codebook and query-table packs must broadcast")
+    assert(p.contains("Window"), "per-query top-k is a window rank")
+  }
+
   test("lshProbe (streaming ingest): ONE banded join, never an all-pairs stage") {
     // the store side of the ingest probe is corpus-sized; the probe must
     // stay a single equi-join over the exploded (band,k1,k2) keys — the
