@@ -22,7 +22,7 @@ object ScaleSoak {
     "q41_minhash_signatures", "q42_minhash_lsh_pairs", "q43_ngram_jaccard_pairs",
     "q49_dup_clusters", "q53_packing_plan", "q54_decontamination",
     "q55_repetition_stats", "q57_containment_pairs", "q63_repeated_line_removal",
-    "q64_budget_select", "q65_chunk_windows", "q66_url_filter", "q67_cluster_reps",
+    "q64_budget_select", "q88_domain_mixture", "q65_chunk_windows", "q66_url_filter", "q67_cluster_reps",
     "q68_bigram_rarity", "q69_curation_stages",
     "q70_span_decontamination", "q71_span_dedup", "q72_semantic_dedup",
     "q73_importance_weights", "q74_rule_filters", "q75_kmeans_refine",

@@ -24,6 +24,11 @@ object CurationQueries {
   /** Per-source token budget for the mixture selection (q64) — sized so
     * the sf0.01 oracle keeps a strict, non-trivial subset per source. */
   private val tokenBudget = 600L
+  /** GLOBAL token budget for the temperature-smoothed domain mixture
+    * (q88) — ~45% of the sf0.01 corpus, so every source's allocation
+    * cuts a real quality tail and the largest-remainder +1s are
+    * exercised. */
+  private val mixBudget = 12000L
   /** Sliding-window chunking (q65): window length / stride in tokens —
     * sized to the synthetic docs (~50 tokens) so most docs emit several
     * overlapping windows; a production caller would use e.g. 2048/1536. */
@@ -404,6 +409,55 @@ object CurationQueries {
          |SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
          |       MIN(quality) AS cutoff_quality
          |FROM c WHERE end_tok <= $tokenBudget
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Temperature-smoothed domain mixture (see [[mixtureSelect]]): q64
+    // fills a FIXED per-source budget; this apportions ONE global budget
+    // across sources by α = 0.5 exponentiated shares (⌊√tokens⌋ weights,
+    // the published multilingual smoothing) with exact largest-remainder
+    // rounding, then fills each allocation by the same greedy rule. The
+    // oracle restates the whole chain — totals, isqrt weights, integer
+    // div/mod apportionment, remainder ranking, prefix-sum cut — so the
+    // per-source targets and kept sets are pinned bit-exactly. A source
+    // whose allocation selects no docs would drop out of both sides
+    // identically (cannot happen at sf0.01: every allocation exceeds the
+    // largest single doc).
+    "q88_domain_mixture" -> Q(
+      (s, d) => mixtureSelect(Tables.documents(s, d), mixBudget)
+        .groupBy(col("source")).agg(
+          min(col("weight")).as("weight"),
+          min(col("target_tokens")).as("target_tokens"),
+          count(lit(1)).as("n_kept"),
+          sum(col("n_tok")).as("tokens_kept"),
+          min(col("quality")).as("cutoff_quality"))
+        .orderBy(col("source")),
+      s"""WITH pd AS (${TextQueries.sqlQualityDocs}),
+         |tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tot FROM pd GROUP BY 1),
+         |wts AS (SELECT source, CAST(floor(sqrt(CAST(tot AS DOUBLE))) AS BIGINT) AS w FROM tot),
+         |app AS (
+         |  SELECT source, w,
+         |         ($mixBudget * w) // (SUM(w) OVER ()) AS base,
+         |         ($mixBudget * w) % (SUM(w) OVER ()) AS rem
+         |  FROM wts),
+         |rk AS (
+         |  SELECT app.*, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+         |         $mixBudget - SUM(base) OVER () AS xtra
+         |  FROM app),
+         |alloc AS (
+         |  -- the window SUMs promote to HUGEINT (still exact integers);
+         |  -- cast back so the result schema is int64 like the engine's
+         |  SELECT source, w,
+         |         CAST(base + (CASE WHEN rk <= xtra THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+         |  FROM rk),
+         |c AS (
+         |  SELECT p.source, p.n_tok, p.quality, a.w, a.alloc,
+         |         SUM(p.n_tok) OVER (PARTITION BY p.source ORDER BY p.quality DESC, p.doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+         |  FROM pd p JOIN alloc a USING (source))
+         |SELECT source, MIN(w) AS weight, MIN(alloc) AS target_tokens,
+         |       COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
+         |       MIN(quality) AS cutoff_quality
+         |FROM c WHERE end_tok <= alloc
          |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Fixed-stride sliding-window chunking: each doc becomes
@@ -1151,6 +1205,79 @@ object CurationQueries {
       .withColumn("end_tok", col("local_end") + col("offset"))
       .where(col("end_tok") <= budgetPerSource)
       .select(col("source"), col("doc_id"), col("n_tok"), col("quality"), col("end_tok"))
+  }
+
+  /** Temperature-smoothed domain-mixture selection (q88): apportion ONE
+    * global token budget across sources by exponentiated-share weights
+    * at α = 0.5 — w_s = ⌊√(source's total tokens)⌋, the published
+    * smoothing that upweights rare domains relative to their natural
+    * share (Conneau & Lample, "Cross-lingual Language Model
+    * Pretraining", NeurIPS 2019 §3.1; the same α-sampling XLM-R and
+    * multilingual BERT document) — then fill each source's allocation
+    * greedily by (quality DESC, doc_id), the q64 rule.
+    *
+    * The apportionment is EXACT integer arithmetic end-to-end
+    * (largest-remainder / Hamilton rounding): base_s = (B·w_s) div W,
+    * and the (B − Σ base_s) leftover tokens go +1 each to the largest
+    * (B·w_s) mod W remainders, ties to the lexicographically first
+    * source — so Σ target_s = B identically and both engines agree bit
+    * for bit. The only double in the weight is √tot computed on an
+    * exactly-represented long (IEEE sqrt is correctly rounded, floor is
+    * exact; tot must stay under 2^52 ≈ 4.5e15 tokens per source — a
+    * comfortable bound even at 100 TB). Overflow bound: B·w_s must stay
+    * under 2^63.
+    *
+    * Scale shape: the per-source totals are one map-side-combined
+    * aggregate; the apportionment runs on the SOURCES-row frame (the
+    * single-partition windows there move k rows, k = #domains, by
+    * definition small); the selection is [[budgetSelect]]'s sharded
+    * distributed prefix-sum with the per-source cap joined from the
+    * broadcast allocation table — no global sort, no partition larger
+    * than corpus/#shards.
+    *
+    * Returns the selected docs carrying (source, doc_id, n_tok,
+    * quality, end_tok, weight, target_tokens). */
+  def mixtureSelect(docs: org.apache.spark.sql.DataFrame,
+                    totalBudget: Long,
+                    scope: CacheScope = CacheScope.untracked): org.apache.spark.sql.DataFrame = {
+    val nShards = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // persisted before the range exchange for budgetSelect's reason: the
+    // range partitioner's sampling pass would re-run the scoring pipeline
+    val scored0 = scope.persist(TextQueries.withQuality(docs)
+      .select(col("source"), col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        col("quality")))
+    // ---- apportionment on the k-row per-source frame
+    val wAll = Window.partitionBy(lit(1))
+    val alloc = scored0.groupBy(col("source")).agg(sum(col("n_tok")).as("tot"))
+      .select(col("source"), floor(sqrt(col("tot").cast("double"))).cast("long").as("w"))
+      .withColumn("wsum", sum(col("w")).over(wAll))
+      .withColumn("base", expr(s"($totalBudget * w) div wsum"))
+      .withColumn("rem", expr(s"($totalBudget * w) % wsum"))
+      .withColumn("xtra", lit(totalBudget) - sum(col("base")).over(wAll))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("source").asc)))
+      .select(col("source"), col("w").as("weight"),
+        (col("base") + when(col("rk") <= col("xtra"), 1L).otherwise(0L))
+          .as("target_tokens"))
+    // ---- budgetSelect's sharded prefix-sum, cap joined per source
+    val scored = scored0
+      .repartitionByRange(nShards, col("source"), col("quality").desc, col("doc_id"))
+      .withColumn("shard", spark_partition_id())
+    val wLoc = Window.partitionBy(col("shard"), col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val local = scope.persist(scored.withColumn("local_end", sum(col("n_tok")).over(wLoc)))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("shard"), col("source"))
+      .agg(max(col("local_end")).as("shard_tok"))
+      .withColumn("offset", coalesce(sum(col("shard_tok")).over(wOff), lit(0L)))
+      .select(col("shard"), col("source"), col("offset"))
+    local.join(broadcast(offsets), Seq("shard", "source"))
+      .withColumn("end_tok", col("local_end") + col("offset"))
+      .join(broadcast(alloc), Seq("source"))
+      .where(col("end_tok") <= col("target_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("quality"),
+        col("end_tok"), col("weight"), col("target_tokens"))
   }
 
   /** q53's body as a library function: each doc's [end_tok - n_tok,

@@ -905,6 +905,63 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("mixtureSelect: sqrt-smoothed largest-remainder apportionment matches a driver-side reference; targets sum to B exactly") {
+    import spark.implicits._
+    val B = 12000L // ~45% of the corpus: every source keeps some and cuts some
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.queries.CurationQueries.mixtureSelect(docs, B).collect()
+    val got = out.map(r => (r.getString(0), r.getLong(1))).toSet
+    val gotAlloc = out.map(r => (r.getString(0), r.getLong(6))).toMap
+
+    // independent model over the same oracle-proven per-doc scores
+    val scored = graft.queries.TextQueries.withQuality(docs)
+      .select("source", "doc_id", "n_tok", "quality")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong, r.getDouble(3)))
+    val tots = scored.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._3).sum }
+    val w = tots.map { case (s, t) => s -> math.floor(math.sqrt(t.toDouble)).toLong }
+    val bigW = w.values.sum
+    val base = w.map { case (s, x) => s -> (B * x) / bigW }
+    val rem = w.map { case (s, x) => s -> (B * x) % bigW }
+    val xtra = B - base.values.sum
+    val rank = rem.toSeq.sortBy { case (s, r) => (-r, s) }.map(_._1).zipWithIndex.toMap
+    val alloc = base.map { case (s, b) => s -> (b + (if (rank(s) < xtra) 1L else 0L)) }
+    assert(alloc.values.sum == B, "largest remainder must apportion B exactly")
+    assert(gotAlloc.forall { case (s, a) => alloc(s) == a },
+      s"per-source targets must match the reference: $gotAlloc vs $alloc")
+
+    val want = scored.groupBy(_._1).toSeq.flatMap { case (s, rows) =>
+      var cum = 0L
+      rows.toSeq.sortBy(r => (-r._4, r._2)).flatMap { r =>
+        cum += r._3; if (cum <= alloc(s)) Some((s, r._2)) else None
+      }
+    }.toSet
+    assert(got == want, s"kept-set mismatch: extra=${got -- want} missing=${want -- got}")
+    assert(got.nonEmpty && got.size < scored.length, "the budget must bite but keep something")
+    spark.catalog.clearCache()
+  }
+
+  test("mixtureSelect: a remainder tie gives the +1 to the lexicographically first source") {
+    import spark.implicits._
+    // engineered totals: s1 16 tok, s2 16 tok, s3 4 tok -> weights 4/4/2,
+    // W = 10; B = 17 -> bases 6/6/3 (sum 15), remainders 8/8/4, two +1s —
+    // the 8-vs-8 tie must order s1 before s2, so allocs are 7/7/3
+    // 1-token docs so the greedy prefix can observe every allocation
+    // (the cut is a PREFIX rule — an over-budget head blocks its source)
+    val synth = ((0 until 16).map(i => (100L + i, "w", "s1")) ++
+      (0 until 16).map(i => (200L + i, "w", "s2")) ++
+      (0 until 4).map(i => (300L + i, "w", "s3")))
+      .toDF("doc_id", "text", "source")
+    val out = graft.queries.CurationQueries.mixtureSelect(synth, 17L).collect()
+    val alloc = out.map(r => (r.getString(0), (r.getLong(5), r.getLong(6)))).distinct
+      .toMap
+    assert(alloc == Map("s1" -> (4L, 7L), "s2" -> (4L, 7L), "s3" -> (2L, 3L)),
+      s"tie must resolve lexicographically (allocs 7/7/3): $alloc")
+    val keptPerSource = out.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(keptPerSource == Map("s1" -> 7, "s2" -> 7, "s3" -> 3),
+      s"greedy fill of 1-token docs must hit the target exactly: $keptPerSource")
+    spark.catalog.clearCache()
+  }
+
   test("ORC round-trip preserves the documents schema and values") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/documents.orc"

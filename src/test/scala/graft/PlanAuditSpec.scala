@@ -263,6 +263,23 @@ class PlanAuditSpec extends SparkSpec {
       "the (shard, source) offset table must broadcast back")
   }
 
+  test("q88 domain mixture: q64's sharded prefix-sum; apportionment windows touch only the k-row alloc frame") {
+    val p = plan("q88_domain_mixture")
+    // same killer check as q64: every window ordering DOC rows must be
+    // shard-partitioned — the only permissible non-sharded windows are
+    // the apportionment's, which run on the per-source aggregate (k
+    // rows) and order by rem/shard, never doc_id
+    val docWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("doc_id")).toList
+    assert(docWindows.nonEmpty, "expect the shard-local cumsum window")
+    assert(docWindows.forall(_.contains("shard")),
+      s"doc-level windows must be shard-partitioned:\n${docWindows.mkString("\n")}")
+    assert(p.contains("rangepartitioning"),
+      "sharding must be an order-respecting range repartition")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"offset AND allocation tables must broadcast back, got $bhj")
+  }
+
   test("q65 chunk windows: narrow map + explode — no shuffle before the output sort") {
     val p = plan("q65_chunk_windows")
     assert(p.contains("Generate"), "expect the window-id explode")
