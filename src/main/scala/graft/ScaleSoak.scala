@@ -19,7 +19,8 @@ object ScaleSoak {
   private val soakQueries = Seq(
     "q20_pricing_summary", "q21_top_revenue_orders", "q22_region_revenue",
     "q36_winnow_fingerprints", "q37_curation_pipeline",
-    "q41_minhash_signatures", "q42_minhash_lsh_pairs", "q43_ngram_jaccard_pairs",
+    "q41_minhash_signatures", "q42_minhash_lsh_pairs", "q89_edit_verified_pairs",
+    "q43_ngram_jaccard_pairs",
     "q49_dup_clusters", "q53_packing_plan", "q54_decontamination",
     "q55_repetition_stats", "q57_containment_pairs", "q63_repeated_line_removal",
     "q64_budget_select", "q88_domain_mixture", "q65_chunk_windows", "q66_url_filter", "q67_cluster_reps",

@@ -275,6 +275,62 @@ object TextQueries {
       .where(col("est_sim") >= 0.5)
   }
 
+  /** Verification window (chars) for [[editVerifiedPairs]]: the exact
+    * edit distance is computed over the first `editWindow` characters of
+    * each document — the bounded-prefix approximation that keeps the
+    * per-pair verification cost CONSTANT (O(window·band) with the banded
+    * algorithm below) instead of quadratic in document length. At 100 TB
+    * a full-text Levenshtein over two 100 KB documents is ~1e10 cell
+    * updates per pair; the published near-dup verifiers all bound the
+    * comparison (prefix, sketch, or matched-span) for exactly this
+    * reason. */
+  private val editWindow = 512
+
+  /** Largest edit distance any relative-threshold decision can need:
+    * verified requires dist·5 ≤ max prefix length ≤ editWindow, so
+    * distances beyond editWindow/5 are reported as the band sentinel -1
+    * (never individually, only "too far"). Feeding this to Spark's
+    * threshold form of `levenshtein` switches the kernel to the banded
+    * O(len·band) algorithm with early exit — the decision is exact, only
+    * the reported magnitude saturates. */
+  private val editBand = editWindow / 5
+
+  /** Two-stage near-duplicate detection with EXACT edit-distance
+    * verification (q89): MinHash-LSH generates candidates (banded,
+    * never all-pairs — [[lshPairsOf]]), then each candidate pair is
+    * verified by character-level Levenshtein over bounded prefixes at
+    * edit similarity ≥ 0.8 (dist·5 ≤ max prefix length — the token-edit
+    * analogue of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499 §4.1). This is the
+    * candidate→verify shape every production dedup pipeline runs: the
+    * cheap sketch join bounds the candidate volume, and the expensive
+    * exact comparison touches ONLY candidates.
+    *
+    * Output: one row per candidate pair with est_sim (from the full
+    * signature), edit_dist (exact within the decision band, -1 beyond
+    * it), and the verified decision — so callers can keep, reject, or
+    * audit. Scale shape: the two text joins are shuffled hash joins of
+    * the (small) pair table against the corpus on doc_id — AQE
+    * broadcasts the pair side when it is small; the prefix projection
+    * means only `editWindow` chars per doc travel the exchange, not
+    * full documents. */
+  def editVerifiedPairs(docs: DataFrame): DataFrame = {
+    val pairs = lshPairsOf(signaturesOf(docs).persist())
+    val tx = docs.select(col("doc_id"),
+      substring(col("text"), 1, editWindow).as("pf"),
+      least(length(col("text")), lit(editWindow)).as("plen"))
+    pairs
+      .join(tx.select(col("doc_id").as("doc_a"), col("pf").as("pa"),
+        col("plen").as("la")), Seq("doc_a"))
+      .join(tx.select(col("doc_id").as("doc_b"), col("pf").as("pb"),
+        col("plen").as("lb")), Seq("doc_b"))
+      .withColumn("edit_dist", levenshtein(col("pa"), col("pb"), editBand).cast("long"))
+      .withColumn("verified",
+        col("edit_dist") >= 0 && col("edit_dist") * 5 <= greatest(col("la"), col("lb")))
+      .select(col("doc_a"), col("doc_b"), col("est_sim"),
+        col("edit_dist"), col("verified"))
+  }
+
   /** Asymmetric banded probe — the ingest-time form of the q42 join:
     * (probe doc, stored doc) pairs that collide in at least one band
     * and estimate similar, self-pairs (same doc_id, the crash-replay
@@ -1439,6 +1495,66 @@ object TextQueries {
          |        FROM pr JOIN sig sa ON sa.doc_id = pr.doc_a
          |                JOIN sig sb ON sb.doc_id = pr.doc_b)
          |SELECT doc_a, doc_b, est_sim FROM est WHERE est_sim >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Two-stage near-dup with exact edit-distance verification (see
+    // [[editVerifiedPairs]]): LSH candidates -> banded Levenshtein over
+    // bounded prefixes at edit similarity >= 0.8. The synthetic corpus
+    // is augmented (the q61/q62 injection pattern) so the verifier
+    // provably exercises every outcome class: every 7th doc gains a
+    // 3-char-suffix replica (candidate, ACCEPTED: dist 3), every 11th a
+    // token-halves-swapped replica (shingle set ≈ preserved so LSH
+    // still pairs it, but char-level distance ≈ half the doc —
+    // REJECTED, mostly via the -1 band sentinel). Organic corpus pairs
+    // land in both classes. The oracle restates the augmentation, the
+    // signature pipeline, the band join, and the banded distance (CASE
+    // over DuckDB's unbanded levenshtein) declaratively.
+    "q89_edit_verified_pairs" -> Q(
+      (s, d) => {
+        val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val near = base.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+            concat(col("text"), lit(" zq")).as("text"))
+        val tk = tokens(col("text"))
+        val mid = floor(size(tk) / 2).cast("int")
+        val swapped = base.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + lit(4000000L)).as("doc_id"),
+            concat_ws(" ", concat(
+              slice(tk, mid + 1, size(tk) - mid), slice(tk, lit(1), mid))).as("text"))
+        editVerifiedPairs(base.unionAll(near).unionAll(swapped))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      s"""WITH docs2 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, text || ' zq' AS text
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 4000000 AS doc_id,
+         |         array_to_string(list_concat(tk[mid+1:], tk[1:mid]), ' ') AS text
+         |  FROM (SELECT doc_id, $sqlToks AS tk, len($sqlToks) // 2 AS mid
+         |        FROM documents)
+         |  WHERE doc_id % 11 = 0),
+         |${sqlSigCtesFrom("docs2")},
+         |cand AS (
+         |${Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (i, j) =>
+           s"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |         ${(0 until nHashes).map(k => s"CAST(a.h$k = b.h$k AS INTEGER)").mkString(" + ")} AS matches
+              |  FROM sig a JOIN sig b ON a.h$i = b.h$i AND a.h$j = b.h$j AND a.doc_id < b.doc_id""".stripMargin
+         }.mkString("\n  UNION\n")}
+         |),
+         |pairs AS (SELECT doc_a, doc_b, matches / 8e0 AS est_sim FROM cand
+         |          WHERE matches / 8e0 >= 0.5),
+         |tx AS (SELECT doc_id, substr(text, 1, 512) AS pf,
+         |              least(length(text), 512) AS plen FROM docs2),
+         |lv AS (
+         |  SELECT p.doc_a, p.doc_b, p.est_sim, ta.plen AS la, tb.plen AS lb,
+         |         levenshtein(ta.pf, tb.pf) AS raw
+         |  FROM pairs p JOIN tx ta ON ta.doc_id = p.doc_a
+         |               JOIN tx tb ON tb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, est_sim,
+         |       CAST(CASE WHEN raw <= 102 THEN raw ELSE -1 END AS BIGINT) AS edit_dist,
+         |       (raw <= 102 AND raw * 5 <= GREATEST(la, lb)) AS verified
+         |FROM lv ORDER BY doc_a, doc_b""".stripMargin)
   )
 }

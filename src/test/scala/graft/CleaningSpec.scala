@@ -554,6 +554,44 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("editVerifiedPairs: small edits verify, block moves reject — in-band and via the -1 sentinel") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{levenshtein, lit}
+    // A: 15 distinct tokens (~92 chars). A+' zq' is a 3-char edit -> LSH
+    // candidate AND verified (3*5 <= 95). swap(A) (token halves swapped)
+    // keeps the shingle set ≈ intact (candidate) but costs ~76 char
+    // edits -> IN-BAND reject (76 <= 102, 76*5 > 92). C: 60 gibberish
+    // tokens (~420 chars); swap(C) is ~300 edits -> the -1 band
+    // sentinel (computation early-exits past editWindow/5).
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar"
+    val at = a.split(" ")
+    val swapA = (at.drop(at.length / 2) ++ at.take(at.length / 2)).mkString(" ")
+    val ct = (0 until 60).map(i => f"${(i + 1) * 0x9E3779B97F4A7C15L >>> 34}%x")
+    assert(ct.distinct.size == 60)
+    val c = ct.mkString(" ")
+    val swapC = (ct.drop(30) ++ ct.take(30)).mkString(" ")
+    val docs = Seq((1L, a), (2L, a + " zq"), (3L, swapA), (5L, c), (6L, swapC))
+      .toDF("doc_id", "text")
+    val out = graft.queries.TextQueries.editVerifiedPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out((1L, 2L)) == ((3L, true)), s"suffix edit must verify at dist 3: $out")
+    val (dA, vA) = out((1L, 3L))
+    assert(!vA && dA > 0 && dA <= 102,
+      s"short-doc swap must reject with an exact in-band distance: $out")
+    val (dC, vC) = out((5L, 6L))
+    assert(!vC && dC == -1L,
+      s"long-doc swap must reject via the band sentinel: $out")
+    // the banded-kernel contract the oracle's CASE mirrors: exact at the
+    // band edge, -1 one past it
+    val Array(row) = spark.range(1).select(
+      levenshtein(lit("a" * 102), lit(""), 102),
+      levenshtein(lit("a" * 103), lit(""), 102)).collect()
+    assert((row.getInt(0), row.getInt(1)) == ((102, -1)),
+      "Spark threshold-levenshtein must return the distance at the band edge and -1 beyond")
+    spark.catalog.clearCache()
+  }
+
   test("dupClusters cap: clusters reachable only through hot buckets fragment exactly as documented") {
     import spark.implicits._
     // The scaladoc'd recall trade of dupClusters(maxBucket): a cluster

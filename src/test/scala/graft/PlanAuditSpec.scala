@@ -230,6 +230,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins == 1, s"the banded pair join must be the ONLY join, got $joins")
   }
 
+  test("q89 edit-verified pairs: levenshtein runs only above the banded candidate join; prefixes bound the exchange") {
+    val p = plan("q89_edit_verified_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "never an all-pairs stage — verification touches only LSH candidates")
+    // the verifier must see the banded self-join plus exactly the two
+    // text-lookup joins (doc_a, doc_b) — nothing that could expand pairs
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(p).length
+    assert(joins == 3, s"banded join + two text joins expected, got $joins")
+    assert(p.contains("levenshtein"), "expect the banded edit-distance kernel")
+    assert("substring\\(text#\\d+, 1, 512\\)".r.findFirstIn(p).isDefined,
+      "only the bounded prefix may travel to the verify join")
+  }
+
   test("q67 cluster reps: rep choice is a partial struct-max, not a per-cluster window sort") {
     val p = plan("q67_cluster_reps")
     // a row_number window over members would make one giant cluster a
