@@ -331,6 +331,37 @@ object TextQueries {
         col("edit_dist"), col("verified"))
   }
 
+  /** BPE merge-step statistic (q90): adjacent-symbol pair counts over
+    * the word-frequency table — the inner loop of byte-pair-encoding
+    * tokenizer training (Sennrich et al., "Neural Machine Translation
+    * of Rare Words with Subword Units", arXiv:1508.07909 §3.2:
+    * `get_stats` counts every adjacent symbol pair per vocabulary word,
+    * weighted by word frequency; overlapping occurrences like "aaa" →
+    * ("aa", 2) count per position, exactly as the reference
+    * implementation does). The end-of-word marker is omitted — adding
+    * it is a symbol-alphabet change, not a shape change.
+    *
+    * Scale shape — the reason BPE training is feasible at 100 TB: the
+    * corpus collapses to its VOCABULARY first (one map-side-combined
+    * count shuffle of single-token keys), and the quadratic-ish pair
+    * expansion runs over distinct words only — vocabulary-sized, not
+    * corpus-sized. The pair aggregation is a second map-side-combined
+    * shuffle of 2-char keys, and the top-k is a TakeOrdered, never a
+    * global sort. (count DESC, pair ASC) is a total order, so the k-cut
+    * is deterministic on both engines. */
+  def bpePairCounts(docs: DataFrame, k: Int): DataFrame = {
+    val words = docs.select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+      .where(length(col("word")) > 1)
+    words
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"), col("wn"))
+      .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Asymmetric banded probe — the ingest-time form of the q42 join:
     * (probe doc, stored doc) pairs that collide in at least one band
     * and estimate similar, self-pairs (same doc_id, the crash-replay
@@ -1555,6 +1586,22 @@ object TextQueries {
          |SELECT doc_a, doc_b, est_sim,
          |       CAST(CASE WHEN raw <= 102 THEN raw ELSE -1 END AS BIGINT) AS edit_dist,
          |       (raw <= 102 AND raw * 5 <= GREATEST(la, lb)) AS verified
-         |FROM lv ORDER BY doc_a, doc_b""".stripMargin)
+         |FROM lv ORDER BY doc_a, doc_b""".stripMargin),
+
+    // BPE tokenizer-training merge statistic (see [[bpePairCounts]]):
+    // the top-20 adjacent character pairs over the word-frequency
+    // table, each occurrence weighted by word frequency. The ordering
+    // (n DESC, pair ASC) totally orders rows, so the 20-cut is pinned.
+    "q90_bpe_merge_pairs" -> Q(
+      (s, d) => bpePairCounts(Tables.documents(s, d), 20),
+      s"""WITH wf AS (
+         |  SELECT w AS word, COUNT(*) AS wn
+         |  FROM (SELECT unnest($sqlToks) AS w FROM documents) GROUP BY 1),
+         |pr AS (
+         |  SELECT unnest(list_transform(range(1, length(word)),
+         |                i -> substr(word, i, 2))) AS pair, wn
+         |  FROM wf WHERE length(word) > 1)
+         |SELECT pair, CAST(SUM(wn) AS BIGINT) AS n FROM pr
+         |GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin)
   )
 }

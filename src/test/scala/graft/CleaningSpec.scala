@@ -592,6 +592,24 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("bpePairCounts: overlap-per-position counting, frequency weighting, 1-char filter, deterministic k-cut") {
+    import spark.implicits._
+    // vocab: aaa(freq 2), bb(1), cc(1), x(1). "aaa" contributes TWO
+    // "aa" occurrences per word (positions 1,2 — the Sennrich get_stats
+    // overlap rule), weighted by freq 2 -> n=4. "x" has no pairs. The
+    // bb-vs-cc tie at n=1 must cut to "bb" (pair ASC) at k=2.
+    val docs = Seq((1L, "aaa bb x"), (2L, "aaa cc")).toDF("doc_id", "text")
+    val top2 = graft.queries.TextQueries.bpePairCounts(docs, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top2 == Seq(("aa", 4L), ("bb", 1L)),
+      s"expected overlap-weighted counts with lexicographic tie cut: $top2")
+    val all = graft.queries.TextQueries.bpePairCounts(docs, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(all == Seq(("aa", 4L), ("bb", 1L), ("cc", 1L)),
+      s"1-char words must contribute nothing: $all")
+    spark.catalog.clearCache()
+  }
+
   test("dupClusters cap: clusters reachable only through hot buckets fragment exactly as documented") {
     import spark.implicits._
     // The scaladoc'd recall trade of dupClusters(maxBucket): a cluster

@@ -243,6 +243,15 @@ class PlanAuditSpec extends SparkSpec {
       "only the bounded prefix may travel to the verify join")
   }
 
+  test("q90 BPE merge pairs: vocab-first collapse — two partial aggregates, no join, top-k never a global sort") {
+    val p = plan("q90_bpe_merge_pairs")
+    assert(!p.contains("Join"), "corpus -> vocab -> pairs needs no join")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "both the word count and the pair count must combine map-side")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the k-cut must be a TakeOrdered, not a global sort + limit")
+  }
+
   test("q67 cluster reps: rep choice is a partial struct-max, not a per-cluster window sort") {
     val p = plan("q67_cluster_reps")
     // a row_number window over members would make one giant cluster a
