@@ -362,6 +362,31 @@ object TextQueries {
       .limit(k)
   }
 
+  /** Bigram-LM successor table (q91): for every context token seen at
+    * least `minCtx` times, the `topK` successors by exact occurrence
+    * count with the conditional probability n_pair/n_ctx (one IEEE
+    * division of two exact longs — engine-independent). See the q91
+    * registry comment for the published shape and scale analysis. */
+  def bigramLmTop(docs: DataFrame, minCtx: Long, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
+        .as("b"))
+      .groupBy(col("b.w1").as("context"), col("b.w2").as("next_tok"))
+      .agg(count(lit(1)).as("n_pair"))
+    val byCtx = Window.partitionBy(col("context"))
+    counts
+      .withColumn("n_ctx", sum(col("n_pair")).over(byCtx))
+      .withColumn("rk", row_number().over(
+        byCtx.orderBy(col("n_pair").desc, col("next_tok"))))
+      .where(col("n_ctx") >= minCtx && col("rk") <= topK)
+      .select(col("context"), col("next_tok"), col("n_pair"), col("n_ctx"),
+        (col("n_pair").cast("double") / col("n_ctx")).as("p"))
+  }
+
   /** Asymmetric banded probe — the ingest-time form of the q42 join:
     * (probe doc, stored doc) pairs that collide in at least one band
     * and estimate similar, self-pairs (same doc_id, the crash-replay
@@ -1587,6 +1612,39 @@ object TextQueries {
          |       CAST(CASE WHEN raw <= 102 THEN raw ELSE -1 END AS BIGINT) AS edit_dist,
          |       (raw <= 102 AND raw * 5 <= GREATEST(la, lb)) AS verified
          |FROM lv ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Distributed bigram-LM estimation (the MapReduce n-gram-LM shape of
+    // Brants et al., "Large Language Models in Machine Translation",
+    // EMNLP 2007 §3: count n-grams, then derive conditional
+    // probabilities per context): the top-3 successors of every context
+    // seen >= 50 times, with exact occurrence counts and the conditional
+    // probability as ONE IEEE division of two exact longs (identical on
+    // both engines). Scale shape: the bigram count is a map-side-combined
+    // shuffle of (w1, w2) keys over DISTINCT bigrams (vocabulary², not
+    // corpus-sized, after the combine); the per-context total and rank
+    // are windows over the distinct-bigram frame partitioned by context
+    // — partition size is bounded by a context's distinct-successor
+    // count, never its occurrence count. (n_pair DESC, next_tok ASC)
+    // totally orders successors, so the 3-cut is deterministic.
+    "q91_bigram_lm_top" -> Q(
+      (s, d) => bigramLmTop(Tables.documents(s, d), minCtx = 50, topK = 3)
+        .orderBy(col("context"), col("next_tok")),
+      s"""WITH t AS (SELECT $sqlToks AS tk FROM documents),
+         |bg AS (SELECT unnest(list_transform(range(1, len(tk)),
+         |              i -> {'w1': tk[i], 'w2': tk[i+1]})) AS b
+         |       FROM t WHERE len(tk) >= 2),
+         |c AS (SELECT b.w1 AS context, b.w2 AS next_tok,
+         |             CAST(COUNT(*) AS BIGINT) AS n_pair
+         |      FROM bg GROUP BY 1, 2),
+         |r AS (SELECT context, next_tok, n_pair,
+         |             CAST(SUM(n_pair) OVER (PARTITION BY context) AS BIGINT) AS n_ctx,
+         |             row_number() OVER (PARTITION BY context
+         |               ORDER BY n_pair DESC, next_tok ASC) AS rk
+         |      FROM c)
+         |SELECT context, next_tok, n_pair, n_ctx,
+         |       CAST(n_pair AS DOUBLE) / n_ctx AS p
+         |FROM r WHERE n_ctx >= 50 AND rk <= 3
+         |ORDER BY context, next_tok""".stripMargin),
 
     // BPE tokenizer-training merge statistic (see [[bpePairCounts]]):
     // the top-20 adjacent character pairs over the word-frequency

@@ -610,6 +610,26 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("bigramLmTop: exact conditional counts, tie-ordered k-cut, context threshold filters") {
+    import spark.implicits._
+    // one doc of "a b a c" x 25: bigrams (a,b)=25, (b,a)=25, (a,c)=25,
+    // (c,a)=24. Context a: n_ctx=50, successors tie 25/25 -> next_tok
+    // ASC orders b first. Contexts b (25) and c (24) fall below 50.
+    val text = Seq.fill(25)("a b a c").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = graft.queries.TextQueries.bigramLmTop(docs, minCtx = 50, topK = 3)
+      .orderBy("context", "next_tok")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq(("a", "b", 25L, 50L, 0.5), ("a", "c", 25L, 50L, 0.5)),
+      s"expected only context 'a' with tied 0.5/0.5 successors: $got")
+    // k-cut: with topK = 1 the tie must keep 'b' alone
+    val top1 = graft.queries.TextQueries.bigramLmTop(docs, minCtx = 50, topK = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(top1 == Seq(("a", "b")), s"tie must cut lexicographically: $top1")
+    spark.catalog.clearCache()
+  }
+
   test("dupClusters cap: clusters reachable only through hot buckets fragment exactly as documented") {
     import spark.implicits._
     // The scaladoc'd recall trade of dupClusters(maxBucket): a cluster

@@ -252,6 +252,17 @@ class PlanAuditSpec extends SparkSpec {
       "the k-cut must be a TakeOrdered, not a global sort + limit")
   }
 
+  test("q91 bigram LM: map-side-combined count; windows partition by context over the distinct-bigram frame; no join") {
+    val p = plan("q91_bigram_lm_top")
+    assert(!p.contains("Join"), "bigram counting needs no join")
+    assert(p.contains("partial_count"),
+      "the bigram count must combine map-side before the shuffle")
+    val globals = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && !l.contains("context")).toList
+    assert(globals.isEmpty,
+      s"every window must partition by context — never global:\n${globals.mkString("\n")}")
+  }
+
   test("q67 cluster reps: rep choice is a partial struct-max, not a per-cluster window sort") {
     val p = plan("q67_cluster_reps")
     // a row_number window over members would make one giant cluster a
