@@ -29,6 +29,12 @@ object CurationQueries {
     * cuts a real quality tail and the largest-remainder +1s are
     * exercised. */
   private val mixBudget = 12000L
+  /** Global token budget for the UniMax allocation (q92) — ~96% of the
+    * sf0.01 corpus at maxEpochs = 1, calibrated so the waterline lands
+    * MID-corpus: the ~9 smallest sources saturate their 1-epoch cap
+    * (keep everything) while the rest take the uniform share and cut a
+    * real quality tail — both allocator branches exercised. */
+  private val unimaxBudget = 26000L
   /** Sliding-window chunking (q65): window length / stride in tokens —
     * sized to the synthetic docs (~50 tokens) so most docs emit several
     * overlapping windows; a production caller would use e.g. 2048/1536. */
@@ -455,6 +461,65 @@ object CurationQueries {
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
          |  FROM pd p JOIN alloc a USING (source))
          |SELECT source, MIN(w) AS weight, MIN(alloc) AS target_tokens,
+         |       COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
+         |       MIN(quality) AS cutoff_quality
+         |FROM c WHERE end_tok <= alloc
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // UniMax epoch-capped allocation (see [[unimaxSelect]]): where q88
+    // smooths shares by a temperature, UniMax splits the budget as
+    // uniformly as the per-source epoch caps allow — exact integer
+    // waterfilling (the saturated set is a provably-monotone prefix in
+    // ascending-cap order, so it falls out of one window pass) plus
+    // largest-remainder uniformity over the unsaturated sources. The
+    // oracle restates the whole chain — totals, caps, the rank-r
+    // saturation predicate, leftover div/mod split, prefix-sum cut —
+    // so targets and kept sets are pinned bit-exactly on both branches
+    // (at sf0.01 the waterline saturates ~9 of 20 sources).
+    "q92_unimax_mixture" -> Q(
+      (s, d) => unimaxSelect(Tables.documents(s, d), unimaxBudget)
+        .groupBy(col("source")).agg(
+          min(col("tot_tokens")).as("tot_tokens"),
+          min(col("cap_tokens")).as("cap_tokens"),
+          min(col("capped").cast("long")).as("capped"),
+          min(col("target_tokens")).as("target_tokens"),
+          count(lit(1)).as("n_kept"),
+          sum(col("n_tok")).as("tokens_kept"),
+          min(col("quality")).as("cutoff_quality"))
+        .orderBy(col("source")),
+      s"""WITH pd AS (${TextQueries.sqlQualityDocs}),
+         |tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tot FROM pd GROUP BY 1),
+         |caps AS (SELECT source, tot, tot * 1 AS cap FROM tot),
+         |rkd AS (
+         |  SELECT source, tot, cap,
+         |         row_number() OVER (ORDER BY cap ASC, source ASC) AS r,
+         |         CAST(COALESCE(SUM(cap) OVER (ORDER BY cap ASC, source ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx,
+         |         COUNT(*) OVER () AS k
+         |  FROM caps),
+         |flg AS (SELECT *, cap * (k - r + 1) <= $unimaxBudget - pfx AS capped FROM rkd),
+         |agg AS (
+         |  SELECT *,
+         |         CAST(SUM(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS BIGINT) AS spent,
+         |         CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END) OVER () AS BIGINT) AS nun,
+         |         row_number() OVER (PARTITION BY capped ORDER BY source ASC) AS urk
+         |  FROM flg),
+         |alloc AS (
+         |  SELECT source, tot, cap, capped,
+         |         CAST(CASE WHEN capped THEN cap
+         |              ELSE ($unimaxBudget - spent) // greatest(nun, 1)
+         |                   + (CASE WHEN urk <= ($unimaxBudget - spent) % greatest(nun, 1)
+         |                      THEN 1 ELSE 0 END)
+         |              END AS BIGINT) AS alloc
+         |  FROM agg),
+         |c AS (
+         |  SELECT p.source, p.n_tok, p.quality, a.tot, a.cap, a.capped, a.alloc,
+         |         SUM(p.n_tok) OVER (PARTITION BY p.source ORDER BY p.quality DESC, p.doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+         |  FROM pd p JOIN alloc a USING (source))
+         |SELECT source, MIN(tot) AS tot_tokens, MIN(cap) AS cap_tokens,
+         |       CAST(MIN(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS capped,
+         |       MIN(alloc) AS target_tokens,
          |       COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
          |       MIN(quality) AS cutoff_quality
          |FROM c WHERE end_tok <= alloc
@@ -1260,6 +1325,21 @@ object CurationQueries {
         (col("base") + when(col("rk") <= col("xtra"), 1L).otherwise(0L))
           .as("target_tokens"))
     // ---- budgetSelect's sharded prefix-sum, cap joined per source
+    fillByAllocation(scored0, alloc, Seq("weight", "target_tokens"), nShards, scope)
+  }
+
+  /** The greedy per-source fill shared by [[mixtureSelect]] and
+    * [[unimaxSelect]]: [[budgetSelect]]'s sharded distributed prefix-sum
+    * over (quality DESC, doc_id) with each source's cap joined from the
+    * broadcast `alloc` table (which must carry `source` and
+    * `target_tokens`; its `carry` columns ride along into the output).
+    * A doc is kept iff its cumulative end fits ENTIRELY — the same
+    * take-until-full contract as q64. Returns (source, doc_id, n_tok,
+    * quality, end_tok, carry...). */
+  private def fillByAllocation(scored0: org.apache.spark.sql.DataFrame,
+                               alloc: org.apache.spark.sql.DataFrame,
+                               carry: Seq[String], nShards: Int,
+                               scope: CacheScope): org.apache.spark.sql.DataFrame = {
     val scored = scored0
       .repartitionByRange(nShards, col("source"), col("quality").desc, col("doc_id"))
       .withColumn("shard", spark_partition_id())
@@ -1276,8 +1356,80 @@ object CurationQueries {
       .withColumn("end_tok", col("local_end") + col("offset"))
       .join(broadcast(alloc), Seq("source"))
       .where(col("end_tok") <= col("target_tokens"))
-      .select(col("source"), col("doc_id"), col("n_tok"), col("quality"),
-        col("end_tok"), col("weight"), col("target_tokens"))
+      .select((Seq("source", "doc_id", "n_tok", "quality", "end_tok") ++ carry).map(col): _*)
+  }
+
+  /** UniMax epoch-capped mixture selection (q92): allocate ONE global
+    * token budget B as UNIFORMLY as possible across sources, except no
+    * source may exceed `maxEpochs` passes over its own corpus — the
+    * published UniMax sampler (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023, Algorithm 1), the successor to q88's
+    * temperature smoothing that removes the temperature hyperparameter
+    * entirely. Then fill each source's allocation greedily by
+    * (quality DESC, doc_id), the q64 rule.
+    *
+    * The waterfilling is EXACT integer arithmetic end-to-end. In
+    * ascending cap order (cap_s = maxEpochs·tot_s, ties broken on
+    * source name), source at rank r is SATURATED iff its cap fits under
+    * the uniform share still available when the waterline reaches it:
+    * cap_r · (k − r + 1) ≤ B − Σ_{j<r} cap_j. That predicate is
+    * provably monotone in r (if it fails at r it fails at every later
+    * rank: caps ascend while the remaining budget per remaining source
+    * only tightens), so the saturated set is a PREFIX and each row can
+    * decide it independently from its own exclusive prefix sum — no
+    * sequential driver loop. Saturated sources get their cap; the
+    * leftover splits over the u unsaturated sources as
+    * ⌊left/u⌋ (+1 for the first left mod u of them by source name) —
+    * largest-remainder uniformity, so Σ alloc = B identically whenever
+    * any source is unsaturated, and alloc = cap everywhere when B
+    * exceeds every cap (the epoch bound, not the budget, then binds —
+    * exactly the UniMax contract). Overflow bound: maxEpochs·tot_s and
+    * cap·k must stay under 2^63 — comfortable at 100 TB.
+    *
+    * Scale shape: identical to q88 — one map-side-combined per-source
+    * total, waterfilling windows on the k-row frame (k = #domains,
+    * small by definition), then [[fillByAllocation]]'s sharded
+    * distributed prefix-sum with the broadcast allocation table.
+    *
+    * Returns the kept docs carrying (source, doc_id, n_tok, quality,
+    * end_tok, tot_tokens, cap_tokens, capped, target_tokens). */
+  def unimaxSelect(docs: org.apache.spark.sql.DataFrame,
+                   totalBudget: Long,
+                   maxEpochs: Long = 1L,
+                   scope: CacheScope = CacheScope.untracked): org.apache.spark.sql.DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val nShards = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // persisted before the range exchange (see mixtureSelect)
+    val scored0 = scope.persist(TextQueries.withQuality(docs)
+      .select(col("source"), col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        col("quality")))
+    val wAll = Window.partitionBy(lit(1))
+    val wAsc = Window.partitionBy(lit(1)).orderBy(col("cap").asc, col("source").asc)
+    val alloc = scored0.groupBy(col("source")).agg(sum(col("n_tok")).as("tot"))
+      .withColumn("cap", col("tot") * maxEpochs)
+      .withColumn("r", row_number().over(wAsc))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("pfx", coalesce(sum(col("cap"))
+        .over(wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("capped",
+        col("cap") * (col("k") - col("r") + lit(1)) <= lit(totalBudget) - col("pfx"))
+      .withColumn("spent", sum(when(col("capped"), col("cap")).otherwise(0L)).over(wAll))
+      .withColumn("nun", sum(when(col("capped"), 0L).otherwise(1L)).over(wAll))
+      // rank among the unsaturated only (the saturated partition's
+      // numbering is never read); greatest(nun, 1) keeps the untaken
+      // branch division total when EVERY source saturates
+      .withColumn("urk", row_number().over(
+        Window.partitionBy(col("capped")).orderBy(col("source").asc)))
+      .withColumn("target_tokens", when(col("capped"), col("cap")).otherwise(
+        expr(s"($totalBudget - spent) div greatest(nun, 1)") +
+          when(col("urk") <= expr(s"($totalBudget - spent) % greatest(nun, 1)"), 1L)
+            .otherwise(0L)))
+      .select(col("source"), col("tot").as("tot_tokens"), col("cap").as("cap_tokens"),
+        col("capped"), col("target_tokens"))
+    fillByAllocation(scored0, alloc,
+      Seq("tot_tokens", "cap_tokens", "capped", "target_tokens"), nShards, scope)
   }
 
   /** q53's body as a library function: each doc's [end_tok - n_tok,

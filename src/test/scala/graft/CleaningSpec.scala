@@ -1038,6 +1038,92 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("unimaxSelect: exact waterfilling matches a driver-side reference; both branches bind") {
+    import spark.implicits._
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    // score once; choose B ≈ 95% of the corpus so the waterline lands
+    // mid-corpus regardless of the synthetic totals' exact spread
+    val scored = graft.queries.TextQueries.withQuality(docs)
+      .select("source", "doc_id", "n_tok", "quality")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong, r.getDouble(3)))
+    val tots = scored.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._3).sum }
+    val B = tots.values.sum * 95 / 100
+    val out = graft.queries.CurationQueries.unimaxSelect(docs, B).collect()
+    val gotAlloc = out.map(r => (r.getString(0), (r.getLong(6), r.getBoolean(7), r.getLong(8))))
+      .distinct.toMap
+
+    // independent sequential waterfilling reference (the literal
+    // UniMax Algorithm-1 loop the monotone-prefix windows replace)
+    val asc = tots.toSeq.sortBy { case (s, t) => (t, s) } // cap = tot at maxEpochs=1
+    var rem = B
+    var left = asc.size
+    val ref = scala.collection.mutable.Map[String, Long]()
+    val satRef = scala.collection.mutable.Map[String, Boolean]()
+    var pending = List.empty[String]
+    asc.foreach { case (s, cap) =>
+      if (pending.isEmpty && cap * left <= rem) {
+        ref(s) = cap; satRef(s) = true; rem -= cap; left -= 1
+      } else pending = s :: pending // once one source is unsaturated, all later are
+    }
+    val un = pending.sorted
+    un.zipWithIndex.foreach { case (s, i) =>
+      ref(s) = rem / un.size + (if (i < (rem % un.size)) 1L else 0L)
+      satRef(s) = false
+    }
+    assert(satRef.values.exists(identity) && satRef.values.exists(!_),
+      s"calibration must bind both branches: $satRef")
+    assert(gotAlloc.keySet == ref.keySet &&
+      gotAlloc.forall { case (s, (cap, sat, a)) =>
+        cap == tots(s) && sat == satRef(s) && a == ref(s) },
+      s"allocation mismatch: got=$gotAlloc want=${ref.toMap} sat=${satRef.toMap}")
+    assert(ref.values.sum == B, "with an unsaturated source, Σalloc = B exactly")
+
+    // kept set = the greedy prefix under each source's target
+    val got = out.map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = scored.groupBy(_._1).toSeq.flatMap { case (s, rows) =>
+      var cum = 0L
+      rows.toSeq.sortBy(r => (-r._4, r._2)).flatMap { r =>
+        cum += r._3; if (cum <= ref(s)) Some((s, r._2)) else None
+      }
+    }.toSet
+    assert(got == want, s"kept-set mismatch: extra=${got -- want} missing=${want -- got}")
+    spark.catalog.clearCache()
+  }
+
+  test("unimaxSelect: engineered boundary — saturation prefix, remainder +1 by source name, epoch scaling") {
+    import spark.implicits._
+    // 1-token docs so the greedy prefix observes every allocation:
+    // totals s1 = 16, s2 = 16, s3 = 4
+    val synth = ((0 until 16).map(i => (100L + i, "w", "s1")) ++
+      (0 until 16).map(i => (200L + i, "w", "s2")) ++
+      (0 until 4).map(i => (300L + i, "w", "s3")))
+      .toDF("doc_id", "text", "source")
+    // maxEpochs = 1, B = 17: ascending caps 4,16,16 — s3 saturates
+    // (4·3 = 12 ≤ 17), then 13 splits 7/6 with the +1 to s1 (name asc)
+    val a1 = graft.queries.CurationQueries.unimaxSelect(synth, 17L).collect()
+      .map(r => (r.getString(0), (r.getBoolean(7), r.getLong(8)))).distinct.toMap
+    assert(a1 == Map("s1" -> (false, 7L), "s2" -> (false, 6L), "s3" -> (true, 4L)),
+      s"waterline must saturate s3 and split 7/6: $a1")
+    // maxEpochs = 2 doubles every cap: now even s3's cap (8·3 = 24 > 17)
+    // exceeds the uniform share — nobody saturates, B splits 6/6/5; s3's
+    // allocation (5) exceeds its unique supply (4), so it keeps all 4
+    val out2 = graft.queries.CurationQueries.unimaxSelect(synth, 17L, maxEpochs = 2L)
+    val a2 = out2.collect().map(r => (r.getString(0), (r.getBoolean(7), r.getLong(8))))
+      .distinct.toMap
+    assert(a2 == Map("s1" -> (false, 6L), "s2" -> (false, 6L), "s3" -> (false, 5L)),
+      s"doubled caps must unsaturate everyone and split 6/6/5: $a2")
+    val kept2 = out2.collect().groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(kept2 == Map("s1" -> 6, "s2" -> 6, "s3" -> 4),
+      s"1-token greedy fill hits targets exactly, s3 capped by supply: $kept2")
+    // B above every cap: the epoch bound binds — alloc = cap everywhere,
+    // every doc kept, Σalloc < B and the surplus is honestly unallocated
+    val a3 = graft.queries.CurationQueries.unimaxSelect(synth, 1000L).collect()
+      .map(r => (r.getString(0), (r.getBoolean(7), r.getLong(8)))).distinct.toMap
+    assert(a3 == Map("s1" -> (true, 16L), "s2" -> (true, 16L), "s3" -> (true, 4L)),
+      s"over-budget must saturate everyone at cap: $a3")
+    spark.catalog.clearCache()
+  }
+
   test("ORC round-trip preserves the documents schema and values") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/documents.orc"

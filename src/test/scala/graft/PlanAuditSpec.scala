@@ -313,6 +313,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(bhj >= 2, s"offset AND allocation tables must broadcast back, got $bhj")
   }
 
+  test("q92 unimax mixture: q64's sharded prefix-sum; waterfilling windows touch only the k-row alloc frame") {
+    val p = plan("q92_unimax_mixture")
+    // same killer check as q64/q88: every window ordering DOC rows must
+    // be shard-partitioned — the waterfilling's own windows (rank /
+    // prefix-cap / saturation) run on the per-source aggregate (k rows)
+    // and order by cap/source, never doc_id
+    val docWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("doc_id")).toList
+    assert(docWindows.nonEmpty, "expect the shard-local cumsum window")
+    assert(docWindows.forall(_.contains("shard")),
+      s"doc-level windows must be shard-partitioned:\n${docWindows.mkString("\n")}")
+    assert(p.contains("rangepartitioning"),
+      "sharding must be an order-respecting range repartition")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"offset AND allocation tables must broadcast back, got $bhj")
+  }
+
   test("q65 chunk windows: narrow map + explode — no shuffle before the output sort") {
     val p = plan("q65_chunk_windows")
     assert(p.contains("Generate"), "expect the window-id explode")
