@@ -387,6 +387,41 @@ object TextQueries {
         (col("n_pair").cast("double") / col("n_ctx")).as("p"))
   }
 
+  /** CMS heavy hitters (q93): the exact top-`k` tokens by corpus
+    * frequency, each carrying its count-min-sketch estimate next to the
+    * true count — the audit view of [[graft.ext.CmsAgg]] (estimate ≥
+    * exact always; equality when no heavier token shares all d
+    * buckets). The sketch aggregates the token stream into ONE fixed
+    * d·w array row (map-side combined, one array per partition on the
+    * exchange) and broadcasts back over the k-row exact side; the
+    * per-token estimate is a least() over d element_at probes using the
+    * SAME md5 salted hash the aggregator applied JVM-side, so the
+    * DuckDB oracle can restate every bucket sum and the min exactly.
+    * The exact side is a map-side-combined count over distinct tokens
+    * (vocabulary-, not corpus-sized after the combine) with a
+    * TakeOrdered k-cut under the total order (count DESC, tok ASC).
+    * At 100 TB one keeps ONLY the sketch pass; the exact side exists
+    * here because the operator's contract is the audit pairing. */
+  def cmsHeavyHitters(docs: DataFrame, d: Int, w: Int, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(tokens(col("text"))).as("tok"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc).limit(k)
+    // .toColumn must stay a TypedColumn through the select (an .as would
+    // erase it to Column and untyped select rejects object aggregators)
+    val sketch = toks.as[String]
+      .select(new graft.ext.CmsAgg(d, w).toColumn).toDF("sketch")
+    val probes = (0 until d).map { s =>
+      element_at(col("sketch"),
+        (TextOps.saltedHash(s, col("tok")) % w).cast("int") + lit(s * w + 1))
+    }
+    exact.crossJoin(broadcast(sketch)) // one-row scalar pack, house rule
+      .withColumn("cms_est", least(probes: _*))
+      .select(col("tok"), col("exact_cnt"), col("cms_est"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc)
+  }
+
   /** Asymmetric banded probe — the ingest-time form of the q42 join:
     * (probe doc, stored doc) pairs that collide in at least one band
     * and estimate similar, self-pairs (same doc_id, the crash-replay
@@ -1660,6 +1695,35 @@ object TextQueries {
          |                i -> substr(word, i, 2))) AS pair, wn
          |  FROM wf WHERE length(word) > 1)
          |SELECT pair, CAST(SUM(wn) AS BIGINT) AS n FROM pr
-         |GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin)
+         |GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin),
+
+    // Count-min-sketch heavy hitters (see [[cmsHeavyHitters]] and
+    // [[graft.ext.CmsAgg]]): the exact top-20 tokens with their CMS
+    // estimates from a 4×256 sketch. The oracle restates the sketch
+    // ALGEBRA, not the array: each row's bucket sums are a group-by on
+    // the same md5 salted hash, and the estimate is the min of the
+    // top-token's four bucket sums — so a single misplaced count in any
+    // of the 1024 cells breaks the hash compare. (count DESC, tok ASC)
+    // totally orders the cut.
+    "q93_cms_heavy_hitters" -> {
+      val (d, w, k) = (4, 256, 20)
+      def bkt(s: Int, e: String) = s"(${TextOps.sqlSaltedHash(s, e)}) % $w"
+      Q(
+        (sp, dir) => cmsHeavyHitters(Tables.documents(sp, dir), d, w, k),
+        s"""WITH t AS (SELECT unnest($sqlToks) AS tok FROM documents),
+           |ex AS (SELECT tok, COUNT(*) AS exact_cnt FROM t GROUP BY 1
+           |       ORDER BY exact_cnt DESC, tok ASC LIMIT $k),
+           |bs AS (
+           |${(0 until d).map(s =>
+              s"  SELECT $s AS salt, ${bkt(s, "tok")} AS bucket, COUNT(*) AS c FROM t GROUP BY 1, 2")
+              .mkString("\n  UNION ALL\n")}),
+           |sel AS (
+           |${(0 until d).map(s =>
+              s"  SELECT tok, exact_cnt, $s AS salt, ${bkt(s, "tok")} AS bucket FROM ex")
+              .mkString("\n  UNION ALL\n")})
+           |SELECT s.tok, MIN(s.exact_cnt) AS exact_cnt, CAST(MIN(b.c) AS BIGINT) AS cms_est
+           |FROM sel s JOIN bs b USING (salt, bucket)
+           |GROUP BY 1 ORDER BY exact_cnt DESC, tok ASC""".stripMargin)
+    }
   )
 }

@@ -330,6 +330,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(bhj >= 2, s"offset AND allocation tables must broadcast back, got $bhj")
   }
 
+  test("q93 cms heavy hitters: both aggregations combine map-side; the only nested-loop join is the one-row sketch broadcast") {
+    val p = plan("q93_cms_heavy_hitters")
+    assert(p.contains("partial_count"),
+      "the exact side must combine map-side (vocabulary-sized shuffle)")
+    assert(p.contains("TakeOrdered"), "the k-cut must be a TakeOrdered, not a global sort")
+    // the typed CmsAgg must also run partial -> merge (one fixed array
+    // per partition on the exchange, the sketch's whole point)
+    assert("partial_cmsagg".r.findFirstIn(p.toLowerCase).isDefined,
+      s"CmsAgg must show a partial mode:\n${p.linesIterator.filter(_.toLowerCase.contains("cmsagg")).mkString("\n")}")
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl == 1 && !p.contains("CartesianProduct"),
+      s"exactly the one-row sketch broadcast may nested-loop, got $bnl")
+  }
+
   test("q65 chunk windows: narrow map + explode — no shuffle before the output sort") {
     val p = plan("q65_chunk_windows")
     assert(p.contains("Generate"), "expect the window-id explode")
