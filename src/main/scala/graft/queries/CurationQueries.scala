@@ -40,6 +40,13 @@ object CurationQueries {
     * overlapping windows; a production caller would use e.g. 2048/1536. */
   private val winLen = 16
   private val winStride = 12
+  /** Bloom geometry for q94 — 8192 shared bits / 3 salts over the
+    * benchmark's ~1.25k distinct shingle hashes at sf0.01 ⇒ ~37% of
+    * bits set and a ~5% false-positive tail on corpus shingles, so the
+    * pre-filter demonstrably prunes (~95%) AND the FP accounting is
+    * non-trivially exercised. */
+  private val bloomBits = 8192
+  private val bloomSalts = 3
   /** Blocklist for q66 — hits both match branches: dom1/dom3 via the
     * subdomain suffix, cdn2.net via the exact host. (Declared before
     * `defs`: the oracle SQL interpolates it EAGERLY at map build.) */
@@ -329,6 +336,53 @@ object CurationQueries {
          |FROM documents d LEFT JOIN flags f ON d.doc_id = f.doc_id
          |WHERE d.source <> 'src0'
          |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Bloom-prefiltered decontamination (see [[bloomDecontaminate]]):
+    // the broadcast-bitset pre-filter in front of q54's exact confirm.
+    // The oracle restates the bitset as the DISTINCT position set over
+    // the benchmark's shingle hashes under ALL k salts — ONE shared bit
+    // space, the classic Bloom layout BloomAgg implements (a
+    // salt-partitioned restatement under-counts false positives; the
+    // first cut of this oracle made exactly that mistake) — and keeps
+    // the probe ROW-aligned with the engine (k correlated membership
+    // tests per shingle row, no row-collapsing group-by), so candidate
+    // counts, true-hit counts, and the false-positive gap between them
+    // are pinned exactly per source.
+    "q94_bloom_decontamination" -> {
+      def pos(s: Int, e: String) = s"((${TextOps.sqlSaltedHash(s, e)}) % $bloomBits)"
+      Q(
+        (sp, dir) => bloomDecontaminate(Tables.documents(sp, dir), bloomBits, bloomSalts),
+        s"""WITH t AS (SELECT doc_id, source, $sqlToks AS tk FROM documents),
+           |s2 AS (SELECT doc_id, source, ${TextOps.sqlShingleList("tk")} AS sh FROM t),
+           |hs AS (SELECT doc_id, source,
+           |              unnest(list_transform(sh, x -> ('0x' || substr(md5('g:' || x), 1, 15))::BIGINT)) AS h
+           |       FROM s2 WHERE len(sh) > 0),
+           |bbits AS (SELECT DISTINCT pos FROM (
+           |${(0 until bloomSalts).map(s =>
+              s"  SELECT ${pos(s, "CAST(h AS VARCHAR)")} AS pos FROM hs WHERE source = 'src0'")
+              .mkString("\n  UNION ALL\n")})),
+           |probe AS (
+           |  SELECT source, h,
+           |${(0 until bloomSalts).map(s =>
+              s"         ${pos(s, "CAST(h AS VARCHAR)")} AS p$s").mkString(",\n")}
+           |  FROM hs WHERE source <> 'src0'),
+           |cand AS (
+           |  SELECT source, h FROM probe
+           |  WHERE ${(0 until bloomSalts).map(s =>
+                s"EXISTS (SELECT 1 FROM bbits WHERE pos = p$s)")
+                .mkString("\n    AND ")}),
+           |ben AS (SELECT DISTINCT h FROM hs WHERE source = 'src0'),
+           |conf AS (
+           |  SELECT c.source, COUNT(*) AS n_candidates,
+           |         CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true_hits
+           |  FROM cand c LEFT JOIN ben b USING (h) GROUP BY 1),
+           |tot AS (SELECT source, COUNT(*) AS n_shingles FROM hs WHERE source <> 'src0' GROUP BY 1)
+           |SELECT tot.source, tot.n_shingles,
+           |       COALESCE(conf.n_candidates, 0) AS n_candidates,
+           |       COALESCE(conf.n_true_hits, 0) AS n_true_hits
+           |FROM tot LEFT JOIN conf USING (source)
+           |ORDER BY tot.source""".stripMargin)
+    },
 
     // Cross-corpus repeated-line removal (the C4/RefinedWeb boilerplate
     // filter): drop every line whose content appears in >= minDf
@@ -1222,6 +1276,61 @@ object CurationQueries {
       .withColumn("n_urls", size(col("urls")).cast("long"))
       .withColumn("blocked_hosts", filter(col("urls"), isBlocked))
       .withColumn("n_blocked", size(col("blocked_hosts")).cast("long"))
+  }
+
+  /** Bloom-prefiltered decontamination (q94): q54's broadcast exact
+    * index answers "which corpus docs share shingles with the
+    * benchmark"; THIS operator is the shape you run first when even the
+    * benchmark's exact hash index is too big to broadcast everywhere or
+    * the corpus-side join volume is the bottleneck — build a
+    * [[graft.ext.BloomAgg]] bitset over the benchmark's shingle hashes
+    * (mBits/64 longs, map-side OR-combined), broadcast the ONE-row
+    * bitset, and pre-filter the corpus's own shingles with pure column
+    * arithmetic (k md5 probes + bit tests — no join, no shuffle). Only
+    * the surviving candidates (true hits + the Bloom's false-positive
+    * tail) reach the exact confirm join against the benchmark's
+    * distinct-hash set. No false negatives by construction (BloomSpec
+    * pins it), so the confirmed set equals q54's ground truth; the
+    * output quantifies the trade per source: total shingles vs
+    * bloom candidates vs true hits.
+    *
+    * Returns (source, n_shingles, n_candidates, n_true_hits) per
+    * non-benchmark source, ordered by source. */
+  def bloomDecontaminate(docs: org.apache.spark.sql.DataFrame,
+                         mBits: Int, kSalts: Int,
+                         benchSource: String = "src0",
+                         scope: CacheScope = CacheScope.untracked): org.apache.spark.sql.DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    // persisted: three consumers (bloom build, probe pass, totals)
+    val idx = scope.persist(docs
+      .select(col("doc_id"), col("source"),
+        explode(graft.expressions.Exprs.shingleHashes(col("text"))).as("h")))
+    val bench = idx.where(col("source") === benchSource).select(col("h"))
+    val bloom = bench.as[Long]
+      .select(new graft.ext.BloomAgg(mBits, kSalts).toColumn).toDF("bits")
+    val corpus = idx.where(col("source") =!= benchSource)
+    // k probe positions as named columns, then pure-arithmetic bit tests
+    // against the broadcast one-row bitset (div/% keep longs exact)
+    val probed = (0 until kSalts).foldLeft(corpus.crossJoin(broadcast(bloom))) {
+      (df, s) => df.withColumn(s"p$s",
+        TextOps.saltedHash(s, col("h").cast("string")) % mBits)
+    }
+    val hit = (0 until kSalts).map(s =>
+      expr(s"((element_at(bits, cast(p$s div 64 as int) + 1) >> cast(p$s % 64 as int)) & 1) = 1"))
+      .reduce(_ && _)
+    val cand = probed.where(hit).select(col("source"), col("h"))
+    val benchSet = bench.distinct().withColumn("in_bench", lit(1L))
+    val confirmed = cand.join(broadcast(benchSet), Seq("h"), "left")
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("in_bench"), lit(0L))).as("n_true_hits"))
+    val totals = corpus.groupBy(col("source")).agg(count(lit(1)).as("n_shingles"))
+    totals.join(confirmed, Seq("source"), "left")
+      .select(col("source"), col("n_shingles"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_true_hits"), lit(0L)).as("n_true_hits"))
+      .orderBy(col("source"))
   }
 
   /** Token-budget mixture selection: per source, docs best-quality-first

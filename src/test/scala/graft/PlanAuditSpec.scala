@@ -344,6 +344,17 @@ class PlanAuditSpec extends SparkSpec {
       s"exactly the one-row sketch broadcast may nested-loop, got $bnl")
   }
 
+  test("q94 bloom decontamination: the corpus probe is pure arithmetic against the one-row bitset; only candidates reach a join") {
+    val p = plan("q94_bloom_decontamination")
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl == 1 && !p.contains("CartesianProduct"),
+      s"exactly the one-row bitset broadcast may nested-loop, got $bnl")
+    assert(p.contains("BroadcastHashJoin"),
+      "the confirm join against the benchmark hash set must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus must never shuffle for a join — the bloom prunes BEFORE any join")
+  }
+
   test("q65 chunk windows: narrow map + explode — no shuffle before the output sort") {
     val p = plan("q65_chunk_windows")
     assert(p.contains("Generate"), "expect the window-id explode")
