@@ -50,6 +50,12 @@ object TextHash {
     v >>> 4
   }
 
+  /** JVM form of [[graft.ext.TextOps.hash60]]: first 15 md5 hex chars
+    * of "salt:s" as a long — bit-identical to the Column and DuckDB
+    * mirrors (the HLL register aggregator hashes with it so the oracle
+    * can restate every register). */
+  private[graft] def hash60(salt: String, s: String): Long = chunk60(md5(salt + ":" + s))
+
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
   /** Whitespace tokens, empties removed — same result as

@@ -422,6 +422,53 @@ object TextQueries {
       .orderBy(col("exact_cnt").desc, col("tok").asc)
   }
 
+  /** HLL distinct-count audit (q95): per-source distinct-SHINGLE
+    * cardinality, the exact count next to the raw-HLL estimate from a
+    * 2^b-register [[graft.ext.HllAgg]] sketch. Shingles, not tokens,
+    * deliberately: the synthetic vocabulary is ~31 tokens per source,
+    * deep inside raw HLL's documented small-range bias (the regime the
+    * linear-counting correction exists for), while distinct 3-gram
+    * shingles run ~1.1k ≳ 2.5m — the regime where the raw estimator is
+    * the published one (HllSpec pins the error inside the ~3/√m band).
+    * The zero-register count rides along so a caller CAN apply the
+    * correction: it needs ln(), which would break the bit contract
+    * ([[graft.ext.HllAgg]] scaladoc), so the engine reports V and
+    * estimates raw.
+    *
+    * Everything after the registers is exact fixed-point: Σ 2^(−M_j)
+    * scaled by 2^(61−b) folds as longs over the register array (empty
+    * registers contribute their 2^(61−b) term automatically — the
+    * array always has all m entries), and the estimate is
+    * α_m · m² · 2^(61−b) / Σ_scaled — one long→double conversion, one
+    * IEEE division, one multiply by the α_m literal, all
+    * bit-deterministic on both engines. q17 already covers Spark's
+    * built-in approx_count_distinct; THIS row is the sketch whose
+    * every register the oracle can rebuild and whose estimate it can
+    * restate to the last bit. */
+  def hllDistinct(docs: DataFrame, b: Int): DataFrame = {
+    require(b >= 7, s"the alpha_m closed form needs m >= 128 registers, got b=$b")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val m = 1 << b
+    val rhoMax = 60 - b + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val numer = m.toDouble * m.toDouble * java.lang.Math.scalb(1.0, rhoMax)
+    // tokens materialized ONCE before shinglesOf references it 4x
+    // (TextOps class doc: shinglesOf needs a plain attribute)
+    val sh = docs.select(col("source"), tokens(col("text")).as("tk"))
+      .select(col("source"), explode(TextOps.shinglesOf(col("tk"))).as("sh"))
+    val regs = sh.as[(String, String)].groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.ext.HllAgg(b).toColumn).toDF("source", "regs")
+    val exact = sh.groupBy(col("source")).agg(countDistinct(col("sh")).as("n_distinct"))
+    exact.join(regs, Seq("source"))
+      .withColumn("sum_scaled", expr(
+        s"aggregate(regs, cast(0 as bigint), (acc, r) -> acc + (cast(1 as bigint) << cast($rhoMax - r as int)))"))
+      .select(col("source"), col("n_distinct"),
+        expr("size(filter(regs, r -> r = 0))").cast("long").as("n_zero_regs"),
+        (lit(alpha) * (lit(numer) / col("sum_scaled").cast("double"))).as("hll_est"))
+      .orderBy(col("source"))
+  }
+
   /** Asymmetric banded probe — the ingest-time form of the q42 join:
     * (probe doc, stored doc) pairs that collide in at least one band
     * and estimate similar, self-pairs (same doc_id, the crash-replay
@@ -1724,6 +1771,42 @@ object TextQueries {
            |SELECT s.tok, MIN(s.exact_cnt) AS exact_cnt, CAST(MIN(b.c) AS BIGINT) AS cms_est
            |FROM sel s JOIN bs b USING (salt, bucket)
            |GROUP BY 1 ORDER BY exact_cnt DESC, tok ASC""".stripMargin)
+    },
+
+    // HLL distinct audit (see [[hllDistinct]]): the oracle rebuilds all
+    // 256 registers from the same 60-bit md5 hash (top 8 bits bucket,
+    // rho = 53 - bitlength of the low 52 bits via bin()), completes the
+    // absent registers' 2^53 terms arithmetically, and restates the
+    // estimate with the identical alpha/numerator literals — so a
+    // single wrong register, a missed empty bucket, or one non-IEEE
+    // step breaks the bit compare on the DOUBLE estimate column.
+    "q95_hll_distinct" -> {
+      val b = 8
+      val m = 1 << b
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val numer = m.toDouble * m.toDouble * java.lang.Math.scalb(1.0, 61 - b)
+      val bucketDiv = 1L << (60 - b)
+      val scale = 1L << (61 - b)
+      Q(
+        (sp, dir) => hllDistinct(Tables.documents(sp, dir), b),
+        s"""WITH t AS (SELECT source, $sqlToks AS tk FROM documents),
+           |sh AS (SELECT source, unnest(${TextOps.sqlShingleList("tk")}) AS sh FROM t),
+           |h AS (SELECT source, sh, ${TextOps.sqlHash60("hll", "sh")} AS h60 FROM sh),
+           |rb AS (SELECT source, h60 // $bucketDiv AS bucket, h60 % $bucketDiv AS rest FROM h),
+           |rr AS (SELECT source, bucket,
+           |              MAX(CASE WHEN rest = 0 THEN ${60 - b + 1}
+           |                       ELSE ${60 - b + 1} - length(bin(rest)) END) AS rho
+           |       FROM rb GROUP BY 1, 2),
+           |sums AS (SELECT source,
+           |                CAST(SUM(1::BIGINT << CAST(${60 - b + 1} - rho AS INTEGER)) AS BIGINT)
+           |                  + ($m - COUNT(*)) * $scale AS sum_scaled,
+           |                $m - COUNT(*) AS n_zero_regs
+           |         FROM rr GROUP BY 1),
+           |ex AS (SELECT source, COUNT(DISTINCT sh) AS n_distinct FROM sh GROUP BY 1)
+           |SELECT ex.source, ex.n_distinct, s.n_zero_regs,
+           |       $alpha * ($numer / CAST(s.sum_scaled AS DOUBLE)) AS hll_est
+           |FROM ex JOIN sums s USING (source)
+           |ORDER BY ex.source""".stripMargin)
     }
   )
 }

@@ -355,6 +355,14 @@ class PlanAuditSpec extends SparkSpec {
       "the corpus must never shuffle for a join — the bloom prunes BEFORE any join")
   }
 
+  test("q95 hll distinct: the register sketch combines map-side (one 256-long array per partition on the exchange)") {
+    val p = plan("q95_hll_distinct")
+    assert("partial_hllagg".r.findFirstIn(p.toLowerCase).isDefined,
+      s"HllAgg must show a partial mode:\n${p.linesIterator.filter(_.toLowerCase.contains("hllagg")).mkString("\n")}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the exact-vs-sketch join is keyed on source — never a loop join")
+  }
+
   test("q65 chunk windows: narrow map + explode — no shuffle before the output sort") {
     val p = plan("q65_chunk_windows")
     assert(p.contains("Generate"), "expect the window-id explode")
