@@ -218,4 +218,63 @@ object Graph {
     nodes.join(cur, nodes("node") === cur("u"), "left")
       .select(col("node"), coalesce(col("v"), col("node")).as("component"))
   }
+
+  /** Fixed-point PageRank (Page, Brin, Motwani & Winograd 1999) over a
+    * directed edge table — exact INTEGER arithmetic throughout, the
+    * q96 contract: ranks live as unscaled longs at `scale` (mass 1.0 ≡
+    * `scale`), each sweep's contribution is rank div outdeg (floor),
+    * and the damping update is rank' = (15·(scale div n)) div 100 +
+    * (85·Σcontrib) div 100 — every step a floor division of exact
+    * longs, so both engines agree bit for bit at any partitioning and
+    * the oracle can restate the sweeps as a CTE chain. The floor
+    * remainders leak mass (so ranks sum to slightly UNDER `scale`) and
+    * dangling nodes drop their mass instead of redistributing it —
+    * both deliberate: the classic real-valued variants of those rules
+    * need arbitrary-precision or transcendental steps the
+    * engine-vs-oracle bit contract excludes, and the ORDER of hosts by
+    * rank — what a corpus quality filter consumes — is unaffected by
+    * a uniform leak. Overflow bound: scale·n < 2^63.
+    *
+    * Scale shape: the textbook distributed iteration — edges join
+    * ranks on src (both keyed shuffles co-partition), contributions
+    * map-side-combine into per-dst sums, the node table left-joins the
+    * sums back. Edge and outdeg tables persist across sweeps (pass a
+    * scope); sweeps here are UNROLLED like the q75 k-means — a
+    * production run at 100 TB wraps this in the kmeansConverge-style
+    * driver loop with per-sweep checkpointing to truncate lineage.
+    *
+    * `edges` must carry string columns `src`/`dst`; self-loops and
+    * duplicate edges are removed here. Returns (node, out_deg, in_deg,
+    * rank_scaled). */
+  def pageRank(edges: DataFrame, iters: Int, scale: Long,
+               scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(scale >= 100, s"scale must hold the percent divisions, got $scale")
+    val e = scope.persist(edges
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct())
+    val nodes = scope.persist(
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
+    val odeg = scope.persist(e.groupBy(col("src")).agg(count(lit(1)).as("odeg")))
+    val ideg = e.groupBy(col("dst")).agg(count(lit(1)).as("ideg"))
+    val n = nodes.count() // one gated scalar, sizes the uniform prior
+    require(n > 0, "the edge table produced no nodes")
+    val r0 = nodes.withColumn("rank", lit(scale / n))
+    val base = (15L * (scale / n)) / 100L
+    val rk = (1 to iters).foldLeft(r0) { (r, _) =>
+      val contrib = e.join(odeg, Seq("src"))
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst"), expr("rank div odeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+      nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr("85 * coalesce(c, cast(0 as bigint)) div 100")).as("rank"))
+    }
+    nodes.join(odeg, nodes("node") === odeg("src"), "left")
+      .join(ideg, nodes("node") === ideg("dst"), "left")
+      .join(rk.withColumnRenamed("node", "rnode"), col("node") === col("rnode"))
+      .select(col("node"), coalesce(col("odeg"), lit(0L)).as("out_deg"),
+        coalesce(col("ideg"), lit(0L)).as("in_deg"), col("rank").as("rank_scaled"))
+      .orderBy(col("node"))
+  }
 }

@@ -384,6 +384,53 @@ object CurationQueries {
            |ORDER BY tot.source""".stripMargin)
     },
 
+    // Host-graph PageRank (see [[graft.ext.Graph.pageRank]]): the
+    // host-level quality rank web-corpus filters consume (a hyperlink
+    // centrality prior next to q66's blocklist). The testdata carries
+    // no links, so — the q61/q66 device — each doc injects one
+    // deterministic edge h(doc_id % 7) -> h((doc_id%101)²+3 mod 11),
+    // whose quadratic-residue image leaves h7/h8 DANGLING (out-deg 0,
+    // mass dropped) and h0/h2/h5 uncited (in-deg 0, base rank only) —
+    // both structural edge cases live at every sf. Three unrolled
+    // integer sweeps; the oracle restates them as a CTE chain, so one
+    // wrong floor division in any sweep breaks the compare.
+    "q96_host_pagerank" -> {
+      val (prScale, prIters) = (1000000000000L, 3)
+      val srcSql = "'h' || CAST(doc_id % 7 AS VARCHAR)"
+      val dstSql = "'h' || CAST(((doc_id % 101) * (doc_id % 101) + 3) % 11 AS VARCHAR)"
+      val sweeps = (1 to prIters).map { k =>
+        s"""c$k AS (SELECT e.dst AS node, CAST(SUM(r.rank // o.odeg) AS BIGINT) AS c
+           |        FROM e JOIN od o USING (src) JOIN r${k - 1} r ON r.node = e.src GROUP BY 1),
+           |r$k AS (SELECT n.node,
+           |               (SELECT (15 * ($prScale // n)) // 100 FROM nn)
+           |                 + (85 * COALESCE(c$k.c, 0)) // 100 AS rank
+           |        FROM nodes n LEFT JOIN c$k USING (node))""".stripMargin
+      }.mkString(",\n")
+      Q(
+        (s, d) => {
+          val edges = Tables.documents(s, d).select(
+            concat(lit("h"), (col("doc_id") % 7).cast("string")).as("src"),
+            concat(lit("h"),
+              (((col("doc_id") % 101) * (col("doc_id") % 101) + 3) % 11).cast("string")).as("dst"))
+          graft.ext.Graph.pageRank(edges, prIters, prScale)
+        },
+        s"""WITH e AS (
+           |  SELECT DISTINCT $srcSql AS src, $dstSql AS dst
+           |  FROM documents WHERE $srcSql <> $dstSql),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |od AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY 1),
+           |ideg AS (SELECT dst, COUNT(*) AS ideg FROM e GROUP BY 1),
+           |nn AS (SELECT COUNT(*) AS n FROM nodes),
+           |r0 AS (SELECT node, (SELECT $prScale // n FROM nn) AS rank FROM nodes),
+           |$sweeps
+           |SELECT n.node, COALESCE(o.odeg, 0) AS out_deg,
+           |       COALESCE(i.ideg, 0) AS in_deg, r$prIters.rank AS rank_scaled
+           |FROM nodes n LEFT JOIN od o ON o.src = n.node
+           |     LEFT JOIN ideg i ON i.dst = n.node
+           |     JOIN r$prIters ON r$prIters.node = n.node
+           |ORDER BY n.node""".stripMargin)
+    },
+
     // Cross-corpus repeated-line removal (the C4/RefinedWeb boilerplate
     // filter): drop every line whose content appears in >= minDf
     // distinct docs — the navigation chrome / cookie banners / license

@@ -158,6 +158,28 @@ class GraphSpec extends SparkSpec {
     assert(starReliable == viaReliable)
   }
 
+  test("pageRank: two unrolled integer sweeps match a hand computation, dangling and uncited edge cases included") {
+    import spark.implicits._
+    // a -> b, a -> c, b -> c; c dangling (mass dropped), a uncited
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("a", "b") /* dup collapses */)
+      .toDF("src", "dst")
+    val out = Graph.pageRank(edges, iters = 2, scale = 3000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // hand: r0 = 1000 each, base = 150
+    // sweep 1: contrib b = 1000 div 2 = 500, c = 500 + 1000 = 1500
+    //   r1: a = 150, b = 150 + 85*500 div 100 = 575, c = 150 + 1275 = 1425
+    // sweep 2: contrib b = 150 div 2 = 75, c = 75 + 575 = 650
+    //   r2: a = 150, b = 150 + 63 = 213, c = 150 + 552 = 702
+    assert(out.toSeq == Seq(("a", 2L, 0L, 150L), ("b", 1L, 1L, 213L), ("c", 0L, 2L, 702L)),
+      s"exact fixed-point sweeps: ${out.toSeq}")
+    // mass conservation minus documented leaks: never exceeds scale
+    assert(out.map(_._4).sum <= 3000L)
+    // iters = 0 returns the uniform prior
+    val r0 = Graph.pageRank(edges, iters = 0, scale = 3000L)
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(r0.toSeq == Seq(("a", 1000L), ("b", 1000L), ("c", 1000L)))
+  }
+
   test("star contraction matches union-find on a random graph with chains and clumps") {
     val rnd = new scala.util.Random(7)
     val clumpy = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))

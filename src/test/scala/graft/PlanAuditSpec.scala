@@ -363,6 +363,14 @@ class PlanAuditSpec extends SparkSpec {
       "the exact-vs-sketch join is keyed on source — never a loop join")
   }
 
+  test("q96 host pagerank: per-dst contributions combine map-side; keyed joins only") {
+    val p = plan("q96_host_pagerank")
+    assert("partial_sum".r.findFirstIn(p).isDefined,
+      "sweep contributions must combine map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "every join is keyed on src/dst/node — never a loop join")
+  }
+
   test("q65 chunk windows: narrow map + explode — no shuffle before the output sort") {
     val p = plan("q65_chunk_windows")
     assert(p.contains("Generate"), "expect the window-id explode")
