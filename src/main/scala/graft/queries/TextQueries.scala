@@ -387,6 +387,49 @@ object TextQueries {
         (col("n_pair").cast("double") / col("n_ctx")).as("p"))
   }
 
+  /** Bigram-LM surprisal scores (q97): the CCNet-shaped perplexity
+    * stage (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data", LREC 2020 §4.3 — train an LM, score
+    * every document, cut by a perplexity band). The LM is q91's exact
+    * bigram table; the per-bigram score is the INTEGER-QUANTIZED
+    * surprisal floor(log2(n_ctx div n_pair)) = bitlength(n_ctx div
+    * n_pair) − 1 — the bit-contract-safe stand-in for −log2 p(w2|w1)
+    * (a transcendental log would break engine-vs-oracle bit equality;
+    * the 1-bit quantization preserves the ordering a band cut
+    * consumes). Unseen bigrams cannot occur — the LM is trained on the
+    * corpus it scores, CCNet's in-domain configuration. Docs with < 2
+    * tokens have no bigrams and drop, as in q91 training. The band cut
+    * itself composes downstream with q38's exact distributed
+    * percentiles — deliberately NOT a global ntile here, which would
+    * be a single-reducer sort over the doc frame at corpus scale.
+    *
+    * Scale shape: the LM is one map-side-combined count over DISTINCT
+    * bigrams (vocabulary², not corpus-sized) plus a context-partitioned
+    * window over that distinct frame (partition size = a context's
+    * successor count); scoring is ONE keyed join of exploded doc
+    * bigrams against the LM on (w1, w2); per-doc sums combine
+    * map-side. */
+  def lmSurprisal(docs: DataFrame,
+                  scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // persisted: the exploded bigram frame feeds both LM training and
+    // doc scoring
+    val bg = scope.persist(docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+    val lm = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .withColumn("n_ctx", sum(col("n_pair")).over(Window.partitionBy(col("w1"))))
+    bg.join(lm, Seq("w1", "w2"))
+      .withColumn("s", (length(bin(expr("n_ctx div n_pair"))) - 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_surprisal"))
+      .withColumn("mean_surprisal",
+        col("sum_surprisal").cast("double") / col("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CMS heavy hitters (q93): the exact top-`k` tokens by corpus
     * frequency, each carrying its count-min-sketch estimate next to the
     * true count — the audit view of [[graft.ext.CmsAgg]] (estimate ≥
@@ -1807,6 +1850,30 @@ object TextQueries {
            |       $alpha * ($numer / CAST(s.sum_scaled AS DOUBLE)) AS hll_est
            |FROM ex JOIN sums s USING (source)
            |ORDER BY ex.source""".stripMargin)
-    }
+    },
+
+    // Bigram-LM surprisal scoring (see [[lmSurprisal]]): per-doc exact
+    // bigram count, summed integer-quantized surprisal under the
+    // corpus-trained bigram LM, and the mean as one IEEE division of
+    // exact longs. The oracle restates LM training (q91's fragments),
+    // the floor-log2 via bin() bit length, and the per-doc fold — a
+    // single miscounted bigram anywhere in the LM breaks the compare.
+    "q97_lm_surprisal" -> Q(
+      (s, d) => lmSurprisal(Tables.documents(s, d)),
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |              i -> {'w1': tk[i], 'w2': tk[i+1]})) AS b
+         |       FROM t WHERE len(tk) >= 2),
+         |bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+         |lm AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM bb GROUP BY 1, 2),
+         |lm2 AS (SELECT w1, w2, n_pair,
+         |               CAST(SUM(n_pair) OVER (PARTITION BY w1) AS BIGINT) AS n_ctx
+         |        FROM lm),
+         |sc AS (SELECT bb.doc_id,
+         |              CAST(length(bin(n_ctx // n_pair)) - 1 AS BIGINT) AS s
+         |       FROM bb JOIN lm2 USING (w1, w2))
+         |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(s) AS BIGINT) AS sum_surprisal,
+         |       CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_surprisal
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

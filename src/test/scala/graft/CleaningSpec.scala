@@ -610,6 +610,27 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("lmSurprisal: quantized surprisal matches a hand-computed LM; common text scores below rare text") {
+    import spark.implicits._
+    // LM over both docs: (a,b)=3, (b,a)=2, (a,c)=1; n_ctx a=4, b=2
+    // surprisal: (a,b) -> 4 div 3 = 1 -> 0 bits; (b,a) -> 2 div 2 = 1 -> 0;
+    //            (a,c) -> 4 div 1 = 4 -> floor(log2 4) = 2
+    val docs = Seq((1L, "a b a b"), (2L, "a b a c")).toDF("doc_id", "text")
+    val out = graft.queries.TextQueries.lmSurprisal(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 3L, 0L, 0.0), (2L, 3L, 2L, 2.0 / 3.0)),
+      s"hand LM mismatch: ${out.toSeq}")
+    // a doc of pure boilerplate (every bigram high-probability) must
+    // score below one full of rare continuations — the CCNet ordering
+    val many = (0 until 20).map(i => (10L + i, "the cat sat"))
+    val rare = Seq((99L, "the dog ran"))
+    val out2 = graft.queries.TextQueries.lmSurprisal((many ++ rare).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out2(10L) < out2(99L),
+      s"boilerplate must score below rare text: ${out2(10L)} vs ${out2(99L)}")
+    spark.catalog.clearCache()
+  }
+
   test("bigramLmTop: exact conditional counts, tie-ordered k-cut, context threshold filters") {
     import spark.implicits._
     // one doc of "a b a c" x 25: bigrams (a,b)=25, (b,a)=25, (a,c)=25,
