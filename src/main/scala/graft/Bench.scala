@@ -50,6 +50,9 @@ object Bench {
       "q79_repetition_signals", // compiled per-doc battery, ~2.4 s cold (r14)
       "q75_kmeans_refine", // 3 fused-assignment passes + 2 centroid aggs (r13)
       "q77_semantic_dedup_refined", // q75's sweeps + q76's capped pair join composed (r14)
+      "q67_cluster_reps", // ~3.6 s in the r15 97-query pass — shielded like its peers
+      "q89_edit_verified_pairs", // LSH + banded levenshtein verify, ~3.2 s (r15)
+      "q94_bloom_decontamination", // shingle kernel + probe pass, ~3.2 s (r15)
       "q21_top_revenue_orders",
       "q22_region_revenue", "q16_flatten_arrays", "q12_upsert_latest",
       "q39_topk_aggregator", "q14_summary_metrics", "q26_priority_top3",
