@@ -171,6 +171,30 @@ object CoreQueries {
          |       ${sqlDavg("value")} AS avg_value, COUNT(*) AS n
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // W1 extension — HOPPING (sliding) windows: 1-hour windows every 30
+    // minutes, so every event lands in exactly TWO overlapping windows
+    // (start = the slide-aligned slot at-or-before ts, and that minus
+    // one slide — Spark's epoch-aligned window() semantics). The oracle
+    // restates the fan-out as a UNION ALL of the two slot computations;
+    // the decimal avg keeps the doubles engine-identical per q08.
+    "q98_hopping_window" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(davg(col("value")).as("avg_value"), count(lit(1)).as("n"))
+        .select(unix_micros(col("w.start")).as("win_start_us"),
+          col("event_type"), col("avg_value"), col("n"))
+        .orderBy(col("win_start_us"), col("event_type")),
+      s"""WITH slots AS (
+         |  SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS win_start_us,
+         |         event_type, value
+         |  FROM events
+         |  UNION ALL
+         |  SELECT (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000,
+         |         event_type, value
+         |  FROM events)
+         |SELECT win_start_us, event_type, ${sqlDavg("value")} AS avg_value, COUNT(*) AS n
+         |FROM slots GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // O3 — top-k by count with deterministic tie-break
     // (ETL_Multi_Lvl_API/etl_analysis.py:304).
     "q09_topk_users" -> Q(

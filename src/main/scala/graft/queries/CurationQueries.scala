@@ -384,6 +384,25 @@ object CurationQueries {
            |ORDER BY tot.source""".stripMargin)
     },
 
+    // Deterministic interleave manifest (see [[interleaveManifest]]):
+    // the quantized Bresenham stride keys and the contiguous global
+    // position both restate exactly — the oracle uses plain windows
+    // (single-node), the engine the sharded prefix-counts, and the
+    // hash compare proves them row-identical.
+    "q99_interleave_manifest" -> Q(
+      (s, d) => interleaveManifest(Tables.documents(s, d)),
+      s"""WITH b AS (SELECT source, doc_id FROM documents),
+         |j AS (SELECT source, doc_id,
+         |             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS j
+         |      FROM b),
+         |ns AS (SELECT source, COUNT(*) AS ns FROM b GROUP BY 1),
+         |k AS (SELECT j.source, j.doc_id,
+         |             ((2 * j.j - 1) * ${1L << 40}) // ns.ns AS k
+         |      FROM j JOIN ns USING (source))
+         |SELECT row_number() OVER (ORDER BY k, source, doc_id) AS pos,
+         |       source, doc_id, k
+         |FROM k ORDER BY pos""".stripMargin),
+
     // Host-graph PageRank (see [[graft.ext.Graph.pageRank]]): the
     // host-level quality rank web-corpus filters consume (a hyperlink
     // centrality prior next to q66's blocklist). The testdata carries
@@ -1378,6 +1397,67 @@ object CurationQueries {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_true_hits"), lit(0L)).as("n_true_hits"))
       .orderBy(col("source"))
+  }
+
+  /** Deterministic interleave manifest (q99): the global training ORDER
+    * a multi-source loader consumes — source s's j-th doc (doc_id order)
+    * gets the quantized stride key ⌊(2j−1)·G / n_s⌋, the classic
+    * Bresenham/stride-scheduling rule that spaces each source's docs
+    * evenly across [0, 2G) proportional to its size, so no source forms
+    * long same-source runs (T5/Pile-style deterministic mixing without
+    * an RNG). Key collisions across sources break deterministically on
+    * (source, doc_id) — the contract is the G-QUANTIZED interleave,
+    * exact both engines. Overflow bound: 2·j_max·G < 2^63; the default
+    * G = 2^40 covers 4M docs per source, and a 100 TB deployment drops
+    * G (evenness degrades only at the G/n_s granularity).
+    *
+    * Scale shape: per-source j and the global contiguous position are
+    * BOTH sharded distributed prefix-counts (range-shard, local
+    * row_number, broadcast shard offsets — the q53/q64 machinery; a
+    * bare global row_number window is one reducer over the corpus).
+    * The final total order ships as the range-partitioned sort the
+    * manifest write needs anyway.
+    *
+    * Returns (pos, source, doc_id, k) with pos = 1..N contiguous. */
+  def interleaveManifest(docs: org.apache.spark.sql.DataFrame,
+                         quantum: Long = 1L << 40,
+                         scope: CacheScope = CacheScope.untracked): org.apache.spark.sql.DataFrame = {
+    require(quantum > 0, s"quantum must be positive, got $quantum")
+    val nShards = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = docs.select(col("source"), col("doc_id"))
+    // ---- per-source j (sharded prefix-count)
+    val sharded = base.repartitionByRange(nShards, col("source"), col("doc_id"))
+      .withColumn("shard", spark_partition_id())
+    val wLoc = Window.partitionBy(col("shard"), col("source")).orderBy(col("doc_id"))
+    val local = scope.persist(sharded
+      .withColumn("lj", row_number().over(wLoc).cast("long")))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = local.groupBy(col("shard"), col("source")).agg(max(col("lj")).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("shard"), col("source"), col("off"))
+    val ns = base.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val keyed = local.join(broadcast(offs), Seq("shard", "source"))
+      .join(broadcast(ns), Seq("source"))
+      .withColumn("k", expr(s"((2 * (lj + off) - 1) * ${quantum}L) div ns"))
+      .select(col("source"), col("doc_id"), col("k"))
+    // ---- global contiguous pos over the key order (sharded prefix-count;
+    // shards hold contiguous key ranges by construction, so local
+    // row_numbers + shard offsets ARE the global rank)
+    val sharded2 = keyed.repartitionByRange(nShards, col("k"), col("source"), col("doc_id"))
+      .withColumn("shard2", spark_partition_id())
+    val wLoc2 = Window.partitionBy(col("shard2"))
+      .orderBy(col("k"), col("source"), col("doc_id"))
+    val local2 = scope.persist(sharded2
+      .withColumn("lp", row_number().over(wLoc2).cast("long")))
+    val wOff2 = Window.partitionBy(lit(1)).orderBy(col("shard2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs2 = local2.groupBy(col("shard2")).agg(max(col("lp")).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff2), lit(0L)))
+      .select(col("shard2"), col("off"))
+    local2.join(broadcast(offs2), Seq("shard2"))
+      .select((col("lp") + col("off")).as("pos"), col("source"), col("doc_id"), col("k"))
+      .orderBy(col("pos"))
   }
 
   /** Token-budget mixture selection: per source, docs best-quality-first

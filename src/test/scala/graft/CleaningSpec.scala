@@ -1145,6 +1145,30 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("hopping windows: every event lands in exactly two overlapping 1h/30m windows") {
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.engine.Tables.events(spark, sf).count()
+    val windowed = SparkEntry.queries("q98_hopping_window")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0)
+    assert(windowed == 2 * events,
+      s"window fan-out must be exactly 2x: $windowed vs 2*$events")
+  }
+
+  test("interleaveManifest: Bresenham stride keys interleave proportionally; positions are contiguous") {
+    import spark.implicits._
+    // A has 2 docs, B has 4: stride keys order to B A B B A B
+    val docs = (Seq((10L, "A"), (11L, "A")) ++ (20L to 23L).map((_, "B")))
+      .map { case (id, s) => (id, "x", s) }.toDF("doc_id", "text", "source")
+    val out = graft.queries.CurationQueries.interleaveManifest(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.map(_._2).toSeq == Seq("B", "A", "B", "B", "A", "B"),
+      s"stride interleave order: ${out.toSeq}")
+    assert(out.map(_._1).toSeq == (1L to 6L), s"pos must be 1..N contiguous: ${out.map(_._1).toSeq}")
+    // within-source order follows doc_id
+    assert(out.filter(_._2 == "B").map(_._3).toSeq == Seq(20L, 21L, 22L, 23L))
+    spark.catalog.clearCache()
+  }
+
   test("ORC round-trip preserves the documents schema and values") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/documents.orc"

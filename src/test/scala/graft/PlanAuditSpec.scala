@@ -371,6 +371,19 @@ class PlanAuditSpec extends SparkSpec {
       "every join is keyed on src/dst/node — never a loop join")
   }
 
+  test("q99 interleave manifest: both rank passes are sharded prefix-counts — no corpus-scale single-reducer window") {
+    val p = plan("q99_interleave_manifest")
+    // every window ordering DOC rows must be shard-partitioned; the only
+    // permissible non-sharded window is the nShards-row offset frame
+    val docWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("doc_id")).toList
+    assert(docWindows.nonEmpty, "expect the shard-local row_number windows")
+    assert(docWindows.forall(l => l.contains("shard")),
+      s"doc-level windows must be shard-partitioned:\n${docWindows.mkString("\n")}")
+    assert(p.contains("rangepartitioning"),
+      "both rank passes must range-shard in rank order")
+  }
+
   test("q65 chunk windows: narrow map + explode — no shuffle before the output sort") {
     val p = plan("q65_chunk_windows")
     assert(p.contains("Generate"), "expect the window-id explode")
