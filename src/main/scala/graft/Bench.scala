@@ -41,6 +41,7 @@ object Bench {
     val heavyFirst = Seq(
       "q69_curation_stages", // composes the whole staged pipeline — heaviest by construction
       "q78_semantic_curation_stages", // text chain + kmeans sweeps + cell pair join (r14)
+      "q100_pretraining_recipe", // curation + UniMax + manifest composed (r15)
       "q60_capped_jaccard_pairs", "q43_ngram_jaccard_pairs",
       "q37_curation_pipeline", "q57_containment_pairs",
       "q49_dup_clusters", "q62_lsh_capped_pairs", // ~1.3 s clean (r8) — shielded like its peers

@@ -35,6 +35,10 @@ object CurationQueries {
     * (keep everything) while the rest take the uniform share and cut a
     * real quality tail — both allocator branches exercised. */
   private val unimaxBudget = 26000L
+  /** q100's UniMax budget over the CURATED corpus (25,845 tokens at
+    * sf0.01 after q37's three stages) — ~95%, waterline mid-corpus
+    * again so both allocator branches stay exercised post-curation. */
+  private val recipeBudget = 24500L
   /** Sliding-window chunking (q65): window length / stride in tokens —
     * sized to the synthetic docs (~50 tokens) so most docs emit several
     * overlapping windows; a production caller would use e.g. 2048/1536. */
@@ -403,6 +407,71 @@ object CurationQueries {
          |       source, doc_id, k
          |FROM k ORDER BY pos""".stripMargin),
 
+    // The composed pretraining recipe (q100): q37's curated corpus
+    // (exact dedup -> near-dup removal -> quality floor) feeds the
+    // UniMax allocator (q92), whose selected docs feed the interleave
+    // manifest (q99) — corpus to training order in one oracle-gated
+    // chain, the composition pattern of q69/q77/q78. The oracle
+    // composes q37's curation CTEs, the shared sqlUnimax block, and
+    // q99's stride-key manifest; per-source accounting pins curated
+    // counts, allocator state on both branches, selected tokens, and
+    // the manifest's first/last positions (the interleave evidence:
+    // every source's selections span nearly the whole order).
+    "q100_pretraining_recipe" -> Q(
+      (s, d) => {
+        val kept = TextQueries.curatedDocs(s, d)
+        val sel = unimaxSelect(kept, recipeBudget)
+        val mani = interleaveManifest(sel.select(col("source"), col("doc_id")))
+        val perCur = kept.groupBy(col("source")).agg(count(lit(1)).as("n_curated"))
+        val perSel = sel.groupBy(col("source")).agg(
+          min(col("tot_tokens")).as("tot_tokens"),
+          min(col("cap_tokens")).as("cap_tokens"),
+          min(col("capped").cast("long")).as("capped"),
+          min(col("target_tokens")).as("target_tokens"),
+          count(lit(1)).as("n_selected"),
+          sum(col("n_tok")).as("tokens_selected"))
+        val perMani = mani.groupBy(col("source")).agg(
+          min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+        perCur.join(perSel, Seq("source")).join(perMani, Seq("source"))
+          .orderBy(col("source"))
+      },
+      s"""WITH ${TextQueries.sqlSigCtesFrom("documents")},
+         |canonical AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |sigc AS (
+         |  SELECT * FROM sig WHERE doc_id IN (SELECT doc_id FROM canonical)),
+         |losers AS (
+         |${TextQueries.sqlBandLosersFrom("sigc")}),
+         |q AS (${TextQueries.sqlQualityDocs}),
+         |cur AS (
+         |  SELECT q.* FROM q
+         |  WHERE q.doc_id IN (SELECT doc_id FROM canonical)
+         |    AND q.doc_id NOT IN (SELECT doc_id FROM losers)
+         |    AND q.quality >= 0.5e0),
+         |${sqlUnimax("cur", recipeBudget)},
+         |jj AS (SELECT source, doc_id,
+         |              row_number() OVER (PARTITION BY source ORDER BY doc_id) AS j
+         |       FROM sel),
+         |nsel AS (SELECT source, COUNT(*) AS ns FROM sel GROUP BY 1),
+         |kk AS (SELECT jj.source, jj.doc_id,
+         |              ((2 * jj.j - 1) * ${1L << 40}) // nsel.ns AS k
+         |       FROM jj JOIN nsel USING (source)),
+         |mani AS (SELECT row_number() OVER (ORDER BY k, source, doc_id) AS pos, source
+         |         FROM kk),
+         |mm AS (SELECT source, MIN(pos) AS first_pos, MAX(pos) AS last_pos
+         |       FROM mani GROUP BY 1),
+         |nc AS (SELECT source, COUNT(*) AS n_curated FROM cur GROUP BY 1),
+         |ps AS (SELECT source, MIN(tot) AS tot_tokens, MIN(cap) AS cap_tokens,
+         |              CAST(MIN(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS capped,
+         |              MIN(alloc) AS target_tokens, COUNT(*) AS n_selected,
+         |              CAST(SUM(n_tok) AS BIGINT) AS tokens_selected
+         |       FROM sel GROUP BY 1)
+         |SELECT nc.source, nc.n_curated, ps.tot_tokens, ps.cap_tokens, ps.capped,
+         |       ps.target_tokens, ps.n_selected, ps.tokens_selected,
+         |       mm.first_pos, mm.last_pos
+         |FROM nc JOIN ps USING (source) JOIN mm USING (source)
+         |ORDER BY nc.source""".stripMargin),
+
     // Host-graph PageRank (see [[graft.ext.Graph.pageRank]]): the
     // host-level quality rank web-corpus filters consume (a hyperlink
     // centrality prior next to q66's blocklist). The testdata carries
@@ -608,41 +677,13 @@ object CurationQueries {
           min(col("quality")).as("cutoff_quality"))
         .orderBy(col("source")),
       s"""WITH pd AS (${TextQueries.sqlQualityDocs}),
-         |tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tot FROM pd GROUP BY 1),
-         |caps AS (SELECT source, tot, tot * 1 AS cap FROM tot),
-         |rkd AS (
-         |  SELECT source, tot, cap,
-         |         row_number() OVER (ORDER BY cap ASC, source ASC) AS r,
-         |         CAST(COALESCE(SUM(cap) OVER (ORDER BY cap ASC, source ASC
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx,
-         |         COUNT(*) OVER () AS k
-         |  FROM caps),
-         |flg AS (SELECT *, cap * (k - r + 1) <= $unimaxBudget - pfx AS capped FROM rkd),
-         |agg AS (
-         |  SELECT *,
-         |         CAST(SUM(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS BIGINT) AS spent,
-         |         CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END) OVER () AS BIGINT) AS nun,
-         |         row_number() OVER (PARTITION BY capped ORDER BY source ASC) AS urk
-         |  FROM flg),
-         |alloc AS (
-         |  SELECT source, tot, cap, capped,
-         |         CAST(CASE WHEN capped THEN cap
-         |              ELSE ($unimaxBudget - spent) // greatest(nun, 1)
-         |                   + (CASE WHEN urk <= ($unimaxBudget - spent) % greatest(nun, 1)
-         |                      THEN 1 ELSE 0 END)
-         |              END AS BIGINT) AS alloc
-         |  FROM agg),
-         |c AS (
-         |  SELECT p.source, p.n_tok, p.quality, a.tot, a.cap, a.capped, a.alloc,
-         |         SUM(p.n_tok) OVER (PARTITION BY p.source ORDER BY p.quality DESC, p.doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
-         |  FROM pd p JOIN alloc a USING (source))
+         |${sqlUnimax("pd", unimaxBudget)}
          |SELECT source, MIN(tot) AS tot_tokens, MIN(cap) AS cap_tokens,
          |       CAST(MIN(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS capped,
          |       MIN(alloc) AS target_tokens,
          |       COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
          |       MIN(quality) AS cutoff_quality
-         |FROM c WHERE end_tok <= alloc
+         |FROM sel
          |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Fixed-stride sliding-window chunking: each doc becomes
@@ -1459,6 +1500,44 @@ object CurationQueries {
       .select((col("lp") + col("off")).as("pos"), col("source"), col("doc_id"), col("k"))
       .orderBy(col("pos"))
   }
+
+  /** The [[unimaxSelect]] oracle chain as a reusable CTE block over any
+    * relation `rel` carrying (source, doc_id, n_tok, quality): emits
+    * `tot/caps/rkd/flg/agg/alloc/c/sel`, where `sel` is the selected
+    * doc set with (source, doc_id, n_tok, quality, tot, cap, capped,
+    * alloc, end_tok). Shared by the q92 and q100 oracles so the
+    * waterfilling restatement cannot drift between them. */
+  private def sqlUnimax(rel: String, budget: Long): String =
+    s"""tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tot FROM $rel GROUP BY 1),
+       |caps AS (SELECT source, tot, tot * 1 AS cap FROM tot),
+       |rkd AS (
+       |  SELECT source, tot, cap,
+       |         row_number() OVER (ORDER BY cap ASC, source ASC) AS r,
+       |         CAST(COALESCE(SUM(cap) OVER (ORDER BY cap ASC, source ASC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx,
+       |         COUNT(*) OVER () AS k
+       |  FROM caps),
+       |flg AS (SELECT *, cap * (k - r + 1) <= $budget - pfx AS capped FROM rkd),
+       |agg AS (
+       |  SELECT *,
+       |         CAST(SUM(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS BIGINT) AS spent,
+       |         CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END) OVER () AS BIGINT) AS nun,
+       |         row_number() OVER (PARTITION BY capped ORDER BY source ASC) AS urk
+       |  FROM flg),
+       |alloc AS (
+       |  SELECT source, tot, cap, capped,
+       |         CAST(CASE WHEN capped THEN cap
+       |              ELSE ($budget - spent) // greatest(nun, 1)
+       |                   + (CASE WHEN urk <= ($budget - spent) % greatest(nun, 1)
+       |                      THEN 1 ELSE 0 END)
+       |              END AS BIGINT) AS alloc
+       |  FROM agg),
+       |c AS (
+       |  SELECT p.source, p.doc_id, p.n_tok, p.quality, a.tot, a.cap, a.capped, a.alloc,
+       |         SUM(p.n_tok) OVER (PARTITION BY p.source ORDER BY p.quality DESC, p.doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+       |  FROM $rel p JOIN alloc a USING (source)),
+       |sel AS (SELECT * FROM c WHERE end_tok <= alloc)""".stripMargin
 
   /** Token-budget mixture selection: per source, docs best-quality-first
     * (ties on doc_id) until `budgetPerSource` tokens fill; a doc is kept

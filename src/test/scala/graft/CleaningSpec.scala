@@ -1169,6 +1169,29 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q100 recipe: selection is a subset of curation, the manifest is contiguous over exactly the selected docs") {
+    val out = SparkEntry.queries("q100_pretraining_recipe")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(8), r.getLong(9)))
+    // (source, n_curated, capped, target, n_selected, first_pos, last_pos)
+    out.foreach { case (s, nCur, _, _, nSel, first, last) =>
+      assert(nSel <= nCur, s"$s: selection must be a subset of curation")
+      assert(first >= 1 && last >= first, s"$s: manifest positions sane")
+    }
+    val totalSel = out.map(_._5).sum
+    assert(out.map(_._7).max == totalSel,
+      "the manifest's last position must equal the total selected count (contiguous, no gaps)")
+    // the interleave spreads every source across the order: each source's
+    // first selection lands in the first tenth, its last in the last tenth
+    out.foreach { case (s, _, _, _, nSel, first, last) =>
+      assert(first <= totalSel / 10 + nSel,
+        s"$s: first position $first too deep for an even interleave")
+      assert(last >= totalSel - totalSel / 10 - nSel,
+        s"$s: last position $last too shallow for an even interleave")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("ORC round-trip preserves the documents schema and values") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/documents.orc"
