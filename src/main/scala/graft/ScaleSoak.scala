@@ -32,6 +32,9 @@ object ScaleSoak {
     "q45_ann_bruteforce_topk", "q46_lsh_bucket_pairs", "q47_ivf_topk",
     "q48_embedding_neardup", "q87_pq_topk", "q82_bmp_decode", "q83_bmp_resize",
     "q84_image_neardup_pairs", "q85_frame_decode", "q86_wav_decode",
+    "q92_unimax_mixture", "q93_cms_heavy_hitters", "q94_bloom_decontamination",
+    "q95_hll_distinct", "q96_host_pagerank", "q97_lm_surprisal",
+    "q99_interleave_manifest", "q100_pretraining_recipe",
     "q43_capped_df64", "q42_capped_b64")
 
   /** Non-registry soak subjects: the q43 df-cap path (maxDf=64) and the
