@@ -1860,20 +1860,71 @@ object TextQueries {
     // single miscounted bigram anywhere in the LM breaks the compare.
     "q97_lm_surprisal" -> Q(
       (s, d) => lmSurprisal(Tables.documents(s, d)),
-      s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
-         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-         |              i -> {'w1': tk[i], 'w2': tk[i+1]})) AS b
-         |       FROM t WHERE len(tk) >= 2),
-         |bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
-         |lm AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM bb GROUP BY 1, 2),
-         |lm2 AS (SELECT w1, w2, n_pair,
-         |               CAST(SUM(n_pair) OVER (PARTITION BY w1) AS BIGINT) AS n_ctx
-         |        FROM lm),
-         |sc AS (SELECT bb.doc_id,
-         |              CAST(length(bin(n_ctx // n_pair)) - 1 AS BIGINT) AS s
-         |       FROM bb JOIN lm2 USING (w1, w2))
-         |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(s) AS BIGINT) AS sum_surprisal,
-         |       CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_surprisal
-         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin)
+      s"""WITH $sqlLmScores
+         |SELECT doc_id, n_bigrams, sum_surprisal, mean_surprisal
+         |FROM docscore ORDER BY doc_id""".stripMargin),
+
+    // CCNet's percentile band cut (LREC 2020 §4.3 — "head/middle/tail"
+    // by LM perplexity thirds), composed over q97's scores with EXACT
+    // interpolated tertiles (the q38 percentile/quantile_cont pair,
+    // proven hash-equal there). The global percentile runs over the
+    // DOC frame — already 4-6 orders smaller than the token explode
+    // that feeds it; the 100 TB path swaps in approx_percentile with
+    // the identical API (the q59 contract) rather than sorting the doc
+    // frame through one reducer.
+    "q101_surprisal_bands" -> {
+      val (p1, p2) = (1.0 / 3, 2.0 / 3)
+      Q(
+        (s, d) => {
+          val scores = lmSurprisal(Tables.documents(s, d))
+          val th = scores.agg(
+            expr(s"percentile(mean_surprisal, $p1)").as("t1"),
+            expr(s"percentile(mean_surprisal, $p2)").as("t2"))
+          scores.crossJoin(broadcast(th)) // one-row threshold pack
+            .withColumn("band",
+              when(col("mean_surprisal") <= col("t1"), "head")
+                .when(col("mean_surprisal") <= col("t2"), "middle")
+                .otherwise("tail"))
+            .groupBy(col("band")).agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_bigrams")).as("n_bigrams"),
+              min(col("mean_surprisal")).as("min_ms"),
+              max(col("mean_surprisal")).as("max_ms"))
+            .orderBy(col("band"))
+        },
+        s"""WITH $sqlLmScores,
+           |th AS (SELECT quantile_cont(mean_surprisal, $p1) AS t1,
+           |              quantile_cont(mean_surprisal, $p2) AS t2
+           |       FROM docscore),
+           |b AS (SELECT CASE WHEN mean_surprisal <= t1 THEN 'head'
+           |                  WHEN mean_surprisal <= t2 THEN 'middle'
+           |                  ELSE 'tail' END AS band,
+           |             n_bigrams, mean_surprisal
+           |      FROM docscore, th)
+           |SELECT band, COUNT(*) AS n_docs, CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+           |       MIN(mean_surprisal) AS min_ms, MAX(mean_surprisal) AS max_ms
+           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)
+    }
   )
+
+  /** [[lmSurprisal]]'s oracle chain as a reusable CTE block ending in
+    * `docscore` (doc_id, n_bigrams, sum_surprisal, mean_surprisal) —
+    * shared by q97 and q101 so the LM restatement cannot drift. */
+  private def sqlLmScores: String =
+    s"""t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+       |              i -> {'w1': tk[i], 'w2': tk[i+1]})) AS b
+       |       FROM t WHERE len(tk) >= 2),
+       |bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+       |lm AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM bb GROUP BY 1, 2),
+       |lm2 AS (SELECT w1, w2, n_pair,
+       |               CAST(SUM(n_pair) OVER (PARTITION BY w1) AS BIGINT) AS n_ctx
+       |        FROM lm),
+       |sc AS (SELECT bb.doc_id,
+       |              CAST(length(bin(n_ctx // n_pair)) - 1 AS BIGINT) AS s
+       |       FROM bb JOIN lm2 USING (w1, w2)),
+       |docscore AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(s) AS BIGINT) AS sum_surprisal,
+       |         CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_surprisal
+       |  FROM sc GROUP BY 1)""".stripMargin
 }

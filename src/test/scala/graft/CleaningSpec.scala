@@ -631,6 +631,23 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q101 surprisal bands: ordered, non-overlapping, near-even thirds of the doc frame") {
+    val out = SparkEntry.queries("q101_surprisal_bands")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq("head", "middle", "tail"))
+    val Seq(h, m, t) = out.toSeq
+    assert(h._4 <= m._3 && m._4 <= t._3,
+      s"bands must not overlap: head<=${h._4} middle=[${m._3},${m._4}] tail>=${t._3}")
+    val n = out.map(_._2).sum
+    out.foreach { case (b, cnt, _, _) =>
+      // interpolated tertiles split near-evenly; ties can shift a band
+      // by the tied mass, generously bounded here
+      assert(math.abs(cnt - n / 3.0) <= n / 6.0, s"$b holds $cnt of $n — not a third")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("bigramLmTop: exact conditional counts, tie-ordered k-cut, context threshold filters") {
     import spark.implicits._
     // one doc of "a b a c" x 25: bigrams (a,b)=25, (b,a)=25, (a,c)=25,
