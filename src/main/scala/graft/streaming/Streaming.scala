@@ -500,6 +500,43 @@ object Streaming {
     * when the accumulated store is 100 TB and the batch is 1 GB. The
     * default (None) keeps the single-directory layout for small stores
     * whose readers expect plain `spark.read.parquet(path)`. */
+  /** Incremental distinct-cardinality sketch: each micro-batch folds
+    * its keys into a [[graft.ext.HllAgg]] register array and
+    * max-merges it into a ONE-row store — the streaming form of q95's
+    * sketch. Registers merge by MAX (associative, commutative,
+    * IDEMPOTENT), so the store converges to exactly the batch sketch
+    * of everything ever delivered regardless of micro-batch
+    * boundaries, ordering, duplicate delivery, or full replay — the
+    * crash-replay-safe cardinality the exact-count path cannot offer
+    * without a dedup store the size of the key space. The store write
+    * rides [[Sinks.upsertParquet]]'s locked rename-aside swap, and
+    * single-writer discipline is the same foreachBatch-sequential
+    * contract as the other sinks here. StreamingSpec pins
+    * stream-final == batch registers under multi-batch delivery and
+    * an overlapping redelivery. */
+  def hllRegisterSink(stream: DataFrame, keyCol: String, storePath: String,
+                      b: Int): DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        import sp.implicits._
+        val batchRegs = batch.select(col(keyCol).cast("string")).as[String]
+          .select(new graft.ext.HllAgg(b).toColumn).collect().head
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val prev =
+          if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+            sp.read.parquet(storePath).select(col("regs")).as[Array[Long]]
+              .collect().headOption
+          else None
+        val merged = prev.fold(batchRegs)(p =>
+          p.zip(batchRegs).map { case (a, b2) => math.max(a, b2) })
+        Sinks.upsertParquet(sp, Seq((1, merged)).toDF("k", "regs"),
+          storePath, Seq("k"))
+      }
+
   def upsertSink(stream: DataFrame, path: String, keys: Seq[String],
                  orderCol: Option[String] = None,
                  numBuckets: Option[Int] = None): DataStreamWriter[Row] =

@@ -146,6 +146,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("avg_value") == 30.0 && rows(1).getAs[Long]("n") == 1L)
   }
 
+  test("hll register sink: stream-final registers equal the batch sketch, redelivery is free") {
+    import spark.implicits._
+    val in = tmpDir("hll_in")
+    val store = tmpDir("hll_store").toString + "/regs"
+    val keys1 = (1 to 400).map(i => s"k$i")
+    val keys2 = (300 to 700).map(i => s"k$i") // overlaps 300..400 with batch 1
+    def json(ks: Seq[String]) = ks.map(k =>
+      s"""{"city":"$k","ts":"2025-12-11T00:00:00Z","value":1.0}""")
+    writeBatch(in, "b1.json", json(keys1))
+    val stream1 = Streaming.jsonFileStream(spark, schema, in.toString + "/*.json", multiLine = false)
+    val ck1 = tmpDir("hll_ck").toString
+    Streaming.hllRegisterSink(stream1, "city", store, b = 8)
+      .option("checkpointLocation", ck1).start().awaitTermination()
+    writeBatch(in, "b2.json", json(keys2))
+    val stream2 = Streaming.jsonFileStream(spark, schema, in.toString + "/*.json", multiLine = false)
+    Streaming.hllRegisterSink(stream2, "city", store, b = 8)
+      .option("checkpointLocation", ck1).start().awaitTermination()
+    val got = spark.read.parquet(store).select(col("regs")).as[Array[Long]].collect().head
+    val want = (keys1 ++ keys2).distinct.toDF("k").as[String]
+      .select(new graft.ext.HllAgg(8).toColumn).collect().head
+    assert(got.toSeq == want.toSeq,
+      "incremental max-merge must equal the one-shot batch sketch")
+    // full REPLAY from a fresh checkpoint re-delivers everything: the
+    // idempotent merge leaves the store unchanged
+    val stream3 = Streaming.jsonFileStream(spark, schema, in.toString + "/*.json", multiLine = false)
+    Streaming.hllRegisterSink(stream3, "city", store, b = 8)
+      .option("checkpointLocation", tmpDir("hll_ck2").toString).start().awaitTermination()
+    val replayed = spark.read.parquet(store).select(col("regs")).as[Array[Long]].collect().head
+    assert(replayed.toSeq == want.toSeq, "replay must be a no-op on the registers")
+  }
+
   test("foreachBatch upsert sink: last write wins per key across restarts") {
     val in = tmpDir("stream_upsert_in")
     val target = tmpDir("stream_upsert_out").resolve("table").toString
