@@ -384,6 +384,33 @@ class PlanAuditSpec extends SparkSpec {
       "both rank passes must range-shard in rank order")
   }
 
+  test("q97 lm surprisal: LM windows touch only the distinct-bigram frame; scoring is one keyed join") {
+    val p = plan("q97_lm_surprisal")
+    // the n_ctx window partitions by w1 over the DISTINCT-bigram frame —
+    // no window may order doc-level rows here at all
+    val docWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("doc_id")).toList
+    assert(docWindows.isEmpty,
+      s"no window may touch the doc frame:\n${docWindows.mkString("\n")}")
+    assert("partial_count".r.findFirstIn(p).isDefined,
+      "LM training must combine map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "scoring is a keyed join on (w1, w2)")
+  }
+
+  test("q98 hopping window: one aggregation, no join — the fan-out is the window expression itself") {
+    val p = plan("q98_hopping_window")
+    assert(!p.contains("Join"), "hopping windows must not join")
+    assert("partial_" .r.findFirstIn(p).isDefined, "window agg must combine map-side")
+  }
+
+  test("q101 surprisal bands: the only loop join is the one-row threshold broadcast") {
+    val p = plan("q101_surprisal_bands")
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl == 1 && !p.contains("CartesianProduct"),
+      s"exactly the one-row threshold pack may nested-loop, got $bnl")
+  }
+
   test("q65 chunk windows: narrow map + explode — no shuffle before the output sort") {
     val p = plan("q65_chunk_windows")
     assert(p.contains("Generate"), "expect the window-id explode")
