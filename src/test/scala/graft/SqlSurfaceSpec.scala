@@ -259,6 +259,54 @@ class SqlSurfaceSpec extends SparkSpec {
       "the near-dup stage must find at least one LSH loser in this corpus")
   }
 
+  test("the sketch aggregators register as SQL aggregate functions (udaf) and match the typed forms") {
+    ready
+    import spark.implicits._
+    import org.apache.spark.sql.{Encoders, functions => F}
+    spark.udf.register("cms_sketch", F.udaf(new graft.ext.CmsAgg(4, 256), Encoders.STRING))
+    spark.udf.register("hll_registers", F.udaf(new graft.ext.HllAgg(8), Encoders.STRING))
+    spark.udf.register("bloom_bits", F.udaf(new graft.ext.BloomAgg(512, 3), Encoders.scalaLong))
+    val toks = spark.sql(
+      """SELECT explode(filter(split(text, '\\s+'), x -> x != '')) AS tok FROM documents""")
+    toks.createOrReplaceTempView("toks")
+    val viaSqlCms = spark.sql("SELECT cms_sketch(tok) AS s FROM toks")
+      .collect().head.getSeq[Long](0)
+    val typedCms = toks.as[String]
+      .select(new graft.ext.CmsAgg(4, 256).toColumn).collect().head
+    assert(viaSqlCms == typedCms.toSeq, "SQL cms_sketch must equal the typed aggregation")
+    val viaSqlHll = spark.sql("SELECT hll_registers(tok) AS s FROM toks")
+      .collect().head.getSeq[Long](0)
+    val typedHll = toks.as[String]
+      .select(new graft.ext.HllAgg(8).toColumn).collect().head
+    assert(viaSqlHll == typedHll.toSeq, "SQL hll_registers must equal the typed aggregation")
+    val viaSqlBloom = spark.sql(
+      "SELECT bloom_bits(CAST(hash(tok) AS BIGINT)) AS s FROM toks")
+      .collect().head.getSeq[Long](0)
+    val typedBloom = toks.selectExpr("CAST(hash(tok) AS BIGINT) AS h").as[Long]
+      .select(new graft.ext.BloomAgg(512, 3).toColumn).collect().head
+    assert(viaSqlBloom == typedBloom.toSeq, "SQL bloom_bits must equal the typed aggregation")
+  }
+
+  test("q97's LM surprisal chain runs as ONE spark.sql string and matches lmSurprisal") {
+    ready
+    val viaSql = spark.sql(
+      """WITH t AS (SELECT doc_id, filter(split(text, '\\s+'), x -> x != '') AS tk FROM documents),
+        |bb AS (SELECT doc_id, b.w1, b.w2 FROM (
+        |  SELECT doc_id, explode(transform(sequence(1, size(tk) - 1),
+        |           i -> struct(tk[i-1] AS w1, tk[i] AS w2))) AS b
+        |  FROM t WHERE size(tk) >= 2)),
+        |lm AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bb GROUP BY 1, 2),
+        |lm2 AS (SELECT w1, w2, n_pair, SUM(n_pair) OVER (PARTITION BY w1) AS n_ctx FROM lm),
+        |sc AS (SELECT bb.doc_id, CAST(length(bin(n_ctx div n_pair)) - 1 AS BIGINT) AS s
+        |       FROM bb JOIN lm2 USING (w1, w2))
+        |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(s) AS BIGINT) AS sum_surprisal,
+        |       CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_surprisal
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    val viaDf = graft.queries.TextQueries.lmSurprisal(Tables.documents(spark, sf))
+    assertSame(viaSql, viaDf)
+    spark.catalog.clearCache()
+  }
+
   test("winnow_fingerprints and decimal_dot SQL functions match the Column facade") {
     ready
     val viaSql = spark.sql(
