@@ -136,4 +136,53 @@ class PropertySpec extends SparkSpec {
       .collect()
     assert(df.forall(r => r.getDouble(1) - r.getDouble(0) == 5.0))
   }
+
+  // ---- sketch-family laws (CmsAgg / BloomAgg / HllAgg), driven through
+  // the Aggregator methods directly: the laws are about the fold
+  // algebra, and the Spark plumbing is already pinned by the specs
+
+  private def foldCms(agg: graft.ext.CmsAgg, ks: Seq[String]): Array[Long] =
+    ks.foldLeft(agg.zero)(agg.reduce)
+
+  test("CMS law: estimate >= exact for EVERY key under random corpora and random splits") {
+    val corpus = Gen.choose(0, 120).flatMap(Gen.listOfN(_, word))
+    check(Prop.forAll(corpus, Gen.choose(0, 120)) { (ks, cut) =>
+      val agg = new graft.ext.CmsAgg(3, 32)
+      val (a, b) = ks.splitAt(cut min ks.length)
+      val merged = agg.merge(foldCms(agg, a), foldCms(agg, b))
+      val exact = ks.groupBy(identity).view.mapValues(_.size.toLong)
+      exact.forall { case (k, n) =>
+        (0 until 3).map(s => merged(s * 32 + graft.ext.CmsAgg.bucket(s, k, 32))).min >= n
+      }
+    }, n = 100)
+  }
+
+  test("Bloom law: no false negatives under random keys and random splits") {
+    val keys = Gen.choose(0, 80).flatMap(Gen.listOfN(_, Gen.choose(Long.MinValue, Long.MaxValue)))
+    check(Prop.forAll(keys, Gen.choose(0, 80)) { (ks, cut) =>
+      val agg = new graft.ext.BloomAgg(256, 3)
+      val (a, b) = ks.splitAt(cut min ks.length)
+      val bits = agg.merge(a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+      ks.forall { k =>
+        (0 until 3).forall { s =>
+          val pos = (graft.ext.CmsAgg.saltedHash(s, k.toString) % 256).toInt
+          ((bits(pos >> 6) >> (pos & 63)) & 1L) == 1L
+        }
+      }
+    }, n = 100)
+  }
+
+  test("HLL law: merge is commutative, associative, idempotent under random splits") {
+    val keys = Gen.choose(0, 100).flatMap(Gen.listOfN(_, word))
+    check(Prop.forAll(keys, Gen.choose(0, 100)) { (ks, cut) =>
+      val agg = new graft.ext.HllAgg(4)
+      def fold(s: Seq[String]) = s.foldLeft(agg.zero)(agg.reduce)
+      val (a, b) = ks.splitAt(cut min ks.length)
+      val ab = agg.merge(fold(a), fold(b))
+      val ba = agg.merge(fold(b), fold(a))
+      val whole = fold(ks)
+      val idem = agg.merge(fold(ks), fold(ks))
+      ab.toSeq == ba.toSeq && ab.toSeq == whole.toSeq && idem.toSeq == whole.toSeq
+    }, n = 100)
+  }
 }
