@@ -430,6 +430,42 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Quantized TF-IDF top terms (q102): per source, the k terms with
+    * the highest tf·qidf, where tf is the term's exact occurrence count
+    * within the source and qidf = floor(log2(N div df)) — the bin()
+    * bit-length quantization of the classic idf (q97's device; a real
+    * log would break the engine-vs-oracle bit contract, and the 1-bit
+    * quantization preserves the top-k ordering up to documented
+    * granularity, ties broken (score DESC, term ASC)). Terms appearing
+    * in every doc get qidf 0 — stop words self-suppress, the property
+    * tf-idf exists for.
+    *
+    * Scale shape: tf is one map-side-combined count; df is a distinct
+    * (doc, term) exchange then a vocabulary-sized count; the join is
+    * keyed on term; N broadcasts as a one-row pack; the rank window
+    * partitions by source over the per-source VOCABULARY frame, never
+    * doc rows. */
+  def tfidfTopTerms(docs: DataFrame, k: Int,
+                    scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // two consumers: tf and df
+    val toks = scope.persist(docs.select(col("source"), col("doc_id"),
+      explode(tokens(col("text"))).as("term")))
+    val tf = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    tf.join(dfq, Seq("term")).crossJoin(broadcast(n)) // one-row scalar pack
+      .withColumn("qidf", (length(bin(expr("n_docs div df"))) - 1).cast("long"))
+      .withColumn("score", col("tf") * col("qidf"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("score").desc, col("term").asc)))
+      .where(col("rk") <= k)
+      .select(col("source"), col("term"), col("tf"), col("df"),
+        col("qidf"), col("score"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** CMS heavy hitters (q93): the exact top-`k` tokens by corpus
     * frequency, each carrying its count-min-sketch estimate next to the
     * true count — the audit view of [[graft.ext.CmsAgg]] (estimate ≥
@@ -1904,7 +1940,28 @@ object TextQueries {
            |SELECT band, COUNT(*) AS n_docs, CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
            |       MIN(mean_surprisal) AS min_ms, MAX(mean_surprisal) AS max_ms
            |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)
-    }
+    },
+
+    // Quantized TF-IDF (see [[tfidfTopTerms]]): the oracle restates tf,
+    // doc-frequency, the bin() idf quantization, and the windowed k-cut
+    // under the (score DESC, term ASC) total order — top-5 per source.
+    "q102_tfidf_terms" -> Q(
+      (s, d) => tfidfTopTerms(Tables.documents(s, d), 5),
+      s"""WITH tk AS (SELECT source, doc_id, unnest($sqlToks) AS term FROM documents),
+         |tf AS (SELECT source, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+         |dfq AS (SELECT term, COUNT(*) AS df
+         |        FROM (SELECT DISTINCT doc_id, term FROM tk) GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |sc AS (
+         |  SELECT tf.source, tf.term, tf.tf, dfq.df,
+         |         CAST(length(bin(n.n_docs // dfq.df)) - 1 AS BIGINT) AS qidf,
+         |         tf.tf * CAST(length(bin(n.n_docs // dfq.df)) - 1 AS BIGINT) AS score
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |                                   ORDER BY score DESC, term ASC) AS rk
+         |      FROM sc)
+         |SELECT source, term, tf, df, qidf, score, CAST(rk AS INTEGER) AS rk
+         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin)
   )
 
   /** [[lmSurprisal]]'s oracle chain as a reusable CTE block ending in

@@ -648,6 +648,21 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("tfidfTopTerms: hand-computed quantized idf; everywhere-terms self-suppress") {
+    import spark.implicits._
+    // N = 3; df: apple 3, banana/cherry/date 1
+    // qidf: apple floor(log2 1) = 0; the others floor(log2 3) = 1
+    val docs = Seq((1L, "apple banana", "s1"), (2L, "apple cherry", "s1"),
+      (3L, "apple date", "s2")).toDF("doc_id", "text", "source")
+    val out = graft.queries.TextQueries.tfidfTopTerms(docs, 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(5), r.getInt(6)))
+    assert(out.toSeq == Seq(
+      ("s1", "banana", 1L, 1), ("s1", "cherry", 1L, 2), ("s1", "apple", 0L, 3),
+      ("s2", "date", 1L, 1), ("s2", "apple", 0L, 2)),
+      s"quantized tf-idf ranking: ${out.toSeq}")
+    spark.catalog.clearCache()
+  }
+
   test("bigramLmTop: exact conditional counts, tie-ordered k-cut, context threshold filters") {
     import spark.implicits._
     // one doc of "a b a c" x 25: bigrams (a,b)=25, (b,a)=25, (a,c)=25,
