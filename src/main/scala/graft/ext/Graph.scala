@@ -261,20 +261,76 @@ object Graph {
     require(n > 0, "the edge table produced no nodes")
     val r0 = nodes.withColumn("rank", lit(scale / n))
     val base = (15L * (scale / n)) / 100L
-    val rk = (1 to iters).foldLeft(r0) { (r, _) =>
-      val contrib = e.join(odeg, Seq("src"))
-        .join(r.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst"), expr("rank div odeg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
-      nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(col("node"),
-          (lit(base) + expr("85 * coalesce(c, cast(0 as bigint)) div 100")).as("rank"))
-    }
+    val rk = (1 to iters).foldLeft(r0)((r, _) => rankSweep(nodes, e, odeg, base, r))
     nodes.join(odeg, nodes("node") === odeg("src"), "left")
       .join(ideg, nodes("node") === ideg("dst"), "left")
       .join(rk.withColumnRenamed("node", "rnode"), col("node") === col("rnode"))
       .select(col("node"), coalesce(col("odeg"), lit(0L)).as("out_deg"),
         coalesce(col("ideg"), lit(0L)).as("in_deg"), col("rank").as("rank_scaled"))
       .orderBy(col("node"))
+  }
+
+  /** One PageRank sweep — the single definition [[pageRank]]'s unrolled
+    * fold and [[pageRankConverge]]'s driver loop both apply, so the two
+    * forms cannot drift (GraphSpec pins their fixpoint equality). */
+  private def rankSweep(nodes: DataFrame, e: DataFrame, odeg: DataFrame,
+                        base: Long, r: DataFrame): DataFrame = {
+    val contrib = e.join(odeg, Seq("src"))
+      .join(r.withColumnRenamed("node", "src"), Seq("src"))
+      .select(col("dst"), expr("rank div odeg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+    nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+      .select(col("node"),
+        (lit(base) + expr("85 * coalesce(c, cast(0 as bigint)) div 100")).as("rank"))
+  }
+
+  /** Converged ranks plus the loop's audit trail. */
+  final case class PageRankConverged(ranks: DataFrame, iters: Int, delta: Long)
+
+  /** Driver-loop PageRank to an exact integer fixpoint — the
+    * production form of [[pageRank]] for rank states too large to plan
+    * unrolled (the kmeansConverge analogue, but the per-sweep state is
+    * NODE-scale, so it localCheckpoints / reliably checkpoints through
+    * [[checkpointers]] instead of collecting to the driver; the only
+    * driver-side scalar per sweep is the max-|Δrank| convergence
+    * aggregate, which doubles as the action that materializes the
+    * sweep's checkpoint — one job per sweep, the connectedComponents
+    * discipline). Stops when max |rank' − rank| ≤ `tol` (tol = 0 is an
+    * EXACT fixpoint: the integer floor arithmetic makes rank states
+    * discrete, so fixpoints are reachable, not just approachable) or at
+    * `maxIters`, whichever first; returns the last state either way
+    * with the observed delta, as [[graft.queries.EmbeddingQueries.kmeansConverge]]
+    * does. Returns (node, rank) — join [[pageRank]]'s degree columns
+    * back if needed. */
+  def pageRankConverge(edges: DataFrame, scale: Long,
+                       maxIters: Int = 50, tol: Long = 0L,
+                       checkpointDir: Option[String] = None,
+                       scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked): PageRankConverged = {
+    require(maxIters >= 1, s"need at least one sweep, got $maxIters")
+    require(tol >= 0, s"tol must be non-negative, got $tol")
+    require(scale >= 100, s"scale must hold the percent divisions, got $scale")
+    val e = scope.persist(edges
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct())
+    val nodes = scope.persist(
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
+    val odeg = scope.persist(e.groupBy(col("src")).agg(count(lit(1)).as("odeg")))
+    val n = nodes.count()
+    require(n > 0, "the edge table produced no nodes")
+    val base = (15L * (scale / n)) / 100L
+    val (ckpt, eager) = checkpointers(e, checkpointDir)
+    var cur = eager(nodes.withColumn("rank", lit(scale / n)))
+    var iters = 0
+    var delta = Long.MaxValue
+    while (iters < maxIters && delta > tol) {
+      val next = ckpt(rankSweep(nodes, e, odeg, base, cur))
+      // the convergence aggregate IS the action that materializes the
+      // sweep's checkpoint — one job per sweep
+      delta = next.join(cur.withColumnRenamed("rank", "prev"), Seq("node"))
+        .agg(max(abs(col("rank") - col("prev")))).collect()(0).getLong(0)
+      cur = next
+      iters += 1
+    }
+    PageRankConverged(cur, iters, delta)
   }
 }

@@ -180,6 +180,24 @@ class GraphSpec extends SparkSpec {
     assert(r0.toSeq == Seq(("a", 1000L), ("b", 1000L), ("c", 1000L)))
   }
 
+  test("pageRankConverge: reaches an exact integer fixpoint that equals the unrolled form at the returned sweep count") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("b", "a"))
+      .toDF("src", "dst")
+    val conv = Graph.pageRankConverge(edges, scale = 100000L, maxIters = 60)
+    assert(conv.delta == 0L, s"tol=0 must reach an exact fixpoint, delta=${conv.delta}")
+    assert(conv.iters >= 1 && conv.iters < 60, s"fixpoint inside the budget: ${conv.iters}")
+    val got = conv.ranks.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the loop and the unrolled fold are the same computation
+    val unrolled = Graph.pageRank(edges, conv.iters, 100000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == unrolled, s"loop $got vs unrolled $unrolled")
+    // one more unrolled sweep past the fixpoint changes nothing
+    val more = Graph.pageRank(edges, conv.iters + 1, 100000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(more == unrolled, "a sweep past the fixpoint is a no-op")
+  }
+
   test("star contraction matches union-find on a random graph with chains and clumps") {
     val rnd = new scala.util.Random(7)
     val clumpy = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
