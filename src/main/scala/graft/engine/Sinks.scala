@@ -56,7 +56,7 @@ object Sinks {
     }
   }
 
-  private def upsertWholeTableLocked(spark: SparkSession, batch: DataFrame, path: String,
+  private[graft] def upsertWholeTableLocked(spark: SparkSession, batch: DataFrame, path: String,
                                      keys: Seq[String], orderCol: Option[String],
                                      dst: org.apache.hadoop.fs.Path,
                                      fs: org.apache.hadoop.fs.FileSystem): Unit = {

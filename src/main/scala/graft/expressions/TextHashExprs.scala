@@ -56,6 +56,15 @@ object TextHash {
     * can restate every register). */
   private[graft] def hash60(salt: String, s: String): Long = chunk60(md5(salt + ":" + s))
 
+  /** JVM form of [[graft.ext.TextOps.saltedHash]] (int salt): first 8
+    * md5 hex chars of "salt:s" as a long — the CMS/Bloom row hash.
+    * Goes through the ThreadLocal digest above: the sketch aggregators
+    * call this once per salt per INPUT ROW, where a
+    * MessageDigest.getInstance per call would be pure provider-lookup
+    * and allocation overhead on the path the sketches exist to make
+    * cheap. */
+  private[graft] def hash32(salt: Int, s: String): Long = chunk32(md5(salt + ":" + s), 0)
+
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
   /** Whitespace tokens, empties removed — same result as

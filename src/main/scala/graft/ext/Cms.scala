@@ -58,22 +58,12 @@ object CmsAgg {
   /** JVM-side [[TextOps.saltedHash]]: first 8 lowercase-hex chars of
     * md5(UTF-8 of "salt:tok") parsed base-16 — bit-identical to the
     * Column/DuckDB forms (32 bits, so it always fits a long
-    * non-negatively). MessageDigest instances are not thread-safe and
-    * not free: one per call keeps this correct under Spark's
-    * task-thread reuse; a hot loop amortizes via the Aggregator's
-    * per-buffer batching anyway. */
-  private[graft] def saltedHash(salt: Int, tok: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val dig = md.digest(s"$salt:$tok".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // first 8 hex chars = first 4 bytes, big-endian nibbles
-    var v = 0L
-    var i = 0
-    while (i < 4) {
-      v = (v << 8) | (dig(i) & 0xffL)
-      i += 1
-    }
-    v
-  }
+    * non-negatively). Delegates to [[graft.expressions.TextHash]]'s
+    * ThreadLocal digest: this runs once per salt per input ROW of the
+    * sketch builds, where a getInstance per call would be pure
+    * provider-lookup and allocation overhead. */
+  private[graft] def saltedHash(salt: Int, tok: String): Long =
+    graft.expressions.TextHash.hash32(salt, tok)
 
   /** Row-s bucket of `tok` in a w-wide sketch. */
   private[graft] def bucket(s: Int, tok: String, w: Int): Int =

@@ -500,43 +500,6 @@ object Streaming {
     * when the accumulated store is 100 TB and the batch is 1 GB. The
     * default (None) keeps the single-directory layout for small stores
     * whose readers expect plain `spark.read.parquet(path)`. */
-  /** Incremental distinct-cardinality sketch: each micro-batch folds
-    * its keys into a [[graft.ext.HllAgg]] register array and
-    * max-merges it into a ONE-row store — the streaming form of q95's
-    * sketch. Registers merge by MAX (associative, commutative,
-    * IDEMPOTENT), so the store converges to exactly the batch sketch
-    * of everything ever delivered regardless of micro-batch
-    * boundaries, ordering, duplicate delivery, or full replay — the
-    * crash-replay-safe cardinality the exact-count path cannot offer
-    * without a dedup store the size of the key space. The store write
-    * rides [[Sinks.upsertParquet]]'s locked rename-aside swap, and
-    * single-writer discipline is the same foreachBatch-sequential
-    * contract as the other sinks here. StreamingSpec pins
-    * stream-final == batch registers under multi-batch delivery and
-    * an overlapping redelivery. */
-  def hllRegisterSink(stream: DataFrame, keyCol: String, storePath: String,
-                      b: Int): DataStreamWriter[Row] =
-    stream.writeStream
-      .trigger(Trigger.AvailableNow())
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sp = batch.sparkSession
-        import sp.implicits._
-        val batchRegs = batch.select(col(keyCol).cast("string")).as[String]
-          .select(new graft.ext.HllAgg(b).toColumn).collect().head
-        val fs = new org.apache.hadoop.fs.Path(storePath)
-          .getFileSystem(sp.sparkContext.hadoopConfiguration)
-        val prev =
-          if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
-            sp.read.parquet(storePath).select(col("regs")).as[Array[Long]]
-              .collect().headOption
-          else None
-        val merged = prev.fold(batchRegs)(p =>
-          p.zip(batchRegs).map { case (a, b2) => math.max(a, b2) })
-        Sinks.upsertParquet(sp, Seq((1, merged)).toDF("k", "regs"),
-          storePath, Seq("k"))
-      }
-
   def upsertSink(stream: DataFrame, path: String, keys: Seq[String],
                  orderCol: Option[String] = None,
                  numBuckets: Option[Int] = None): DataStreamWriter[Row] =
@@ -549,6 +512,52 @@ object Streaming {
             Sinks.upsertParquetPartitioned(batch.sparkSession, batch, path, keys, orderCol, n)
           case None =>
             Sinks.upsertParquet(batch.sparkSession, batch, path, keys, orderCol)
+        }
+      }
+
+  /** Incremental distinct-cardinality sketch: each micro-batch folds
+    * its keys into a [[graft.ext.HllAgg]] register array and
+    * max-merges it into a ONE-row store — the streaming form of q95's
+    * sketch. Registers merge by MAX (associative, commutative,
+    * IDEMPOTENT), so the store converges to exactly the batch sketch
+    * of everything ever delivered regardless of micro-batch
+    * boundaries, ordering, duplicate delivery, or full replay — the
+    * crash-replay-safe cardinality the exact-count path cannot offer
+    * without a dedup store the size of the key space. The whole
+    * READ-merge-write runs inside the store's writer fence
+    * ([[Sinks.withStoreFences]], mutating through the Locked variant):
+    * a blind fenced write alone would let two concurrent writers both
+    * read the same prev registers and the second overwrite the first's
+    * merge — idempotence cannot recover keys that were never merged
+    * in. A width mismatch against an existing store (a different `b`)
+    * fails loudly rather than zip-truncating. StreamingSpec pins
+    * stream-final == batch registers under multi-batch delivery and a
+    * fresh-checkpoint full replay. */
+  def hllRegisterSink(stream: DataFrame, keyCol: String, storePath: String,
+                      b: Int): DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        import sp.implicits._
+        val batchRegs = batch.select(col(keyCol).cast("string")).as[String]
+          .select(new graft.ext.HllAgg(b).toColumn).collect().head
+        val dst = new org.apache.hadoop.fs.Path(storePath)
+        val fs = dst.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        Sinks.withStoreFences(sp, Seq(storePath)) {
+          val prev =
+            if (fs.exists(dst))
+              sp.read.parquet(storePath).select(col("regs")).as[Array[Long]]
+                .collect().headOption
+            else None
+          prev.foreach(p => require(p.length == batchRegs.length,
+            s"register width mismatch: store holds ${p.length}, sink built " +
+              s"${batchRegs.length} (different b?) — refusing to truncate"))
+          val merged = prev.fold(batchRegs)(p =>
+            p.zip(batchRegs).map { case (a, b2) => math.max(a, b2) })
+          Sinks.upsertWholeTableLocked(sp, Seq((1, merged)).toDF("k", "regs"),
+            storePath, Seq("k"), None, dst, fs)
         }
       }
 }
