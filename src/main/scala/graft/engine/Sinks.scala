@@ -56,6 +56,23 @@ object Sinks {
     }
   }
 
+  /** Restore a whole-table store stranded at `<path>_old` by a writer
+    * that crashed between its two swap renames. Shared by
+    * [[upsertWholeTableLocked]] and every fenced caller that READS the
+    * store before merging into it (e.g. the streaming HLL register
+    * sink): a reader gating on `fs.exists(dst)` alone would see the
+    * orphaned store as absent, merge against nothing, and the
+    * subsequent upsert's own recovery would restore the orphan only to
+    * overwrite it — silently dropping all previously merged state.
+    * Call inside the store's writer fence. */
+  private[graft] def restoreWholeTableOrphan(fs: org.apache.hadoop.fs.FileSystem,
+                                             path: String,
+                                             dst: org.apache.hadoop.fs.Path): Unit = {
+    val orphan = new org.apache.hadoop.fs.Path(path + "_old")
+    if (!fs.exists(dst) && fs.exists(orphan) && !fs.rename(orphan, dst))
+      throw new java.io.IOException(s"upsertParquet: cannot restore $orphan to $dst")
+  }
+
   private[graft] def upsertWholeTableLocked(spark: SparkSession, batch: DataFrame, path: String,
                                      keys: Seq[String], orderCol: Option[String],
                                      dst: org.apache.hadoop.fs.Path,
@@ -65,8 +82,7 @@ object Sinks {
     // renames leaves the table at _old and nothing at dst — restore it
     // BEFORE reading, or the merge below would see an absent table and
     // the _old cleanup would erase the only surviving copy
-    if (!fs.exists(dst) && fs.exists(orphan) && !fs.rename(orphan, dst))
-      throw new java.io.IOException(s"upsertParquet: cannot restore $orphan to $dst")
+    restoreWholeTableOrphan(fs, path, dst)
     // "table absent" is ONLY fs.exists == false. A transient read
     // failure (corrupt footer, FS hiccup) must propagate — treating it
     // as absent would silently replace the table with the batch alone.

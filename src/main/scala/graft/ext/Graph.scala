@@ -53,8 +53,25 @@ object Graph {
     *     inside round 0 (19 s shipped vs 4 s pair-gen + 0.5 s of
     *     rounds when materialized eagerly). Two up-front jobs are noise
     *     next to that. */
-  private def checkpointers(probe: DataFrame,
-                            dir: Option[String]): (DataFrame => DataFrame, DataFrame => DataFrame) =
+  /** The three lineage-truncation modes an iteration loop needs. */
+  private final case class Checkpointers(
+    /** Lazy truncation — for state whose FIRST action is also its last
+      * within the loop body, or when the caller manages caching. On the
+      * reliable path the checkpoint-writer job recomputes the plan a
+      * second time; prefer [[lazyOnce]] inside loops. */
+    ckpt: DataFrame => DataFrame,
+    /** Eager truncation — inputs materialized up front, computed once. */
+    ckptNow: DataFrame => DataFrame,
+    /** Lazy truncation that computes the plan ONCE even on the reliable
+      * path: the frame persists across the caller's first action (which
+      * materializes the computation into cache) and the checkpoint-file
+      * writer job (which then reads the cache instead of re-running the
+      * sweep). Call the returned `release` after that first action —
+      * the checkpoint files are the durable copy from then on, so the
+      * blocks free immediately instead of waiting on ContextCleaner. */
+    lazyOnce: DataFrame => (DataFrame, () => Unit))
+
+  private def checkpointers(probe: DataFrame, dir: Option[String]): Checkpointers =
     dir match {
       case Some(d) =>
         probe.sparkSession.sparkContext.setCheckpointDir(d)
@@ -63,15 +80,25 @@ object Graph {
         // job recomputing every partition) — persist across the two jobs
         // so the upstream still runs exactly once, then release the
         // blocks (the checkpoint files are the durable copy)
-        (df => df.checkpoint(eager = false),
+        Checkpointers(
+          df => df.checkpoint(eager = false),
           df => {
             val cached = df.persist()
             val out = cached.checkpoint(eager = true)
             cached.unpersist()
             out
+          },
+          df => {
+            val cached = df.persist()
+            (cached.checkpoint(eager = false), () => { cached.unpersist(false); () })
           })
       case None =>
-        (df => df.localCheckpoint(eager = false), df => df.localCheckpoint(eager = true))
+        // localCheckpoint persists the computed blocks by construction —
+        // no second computation to shield against, release is a no-op
+        Checkpointers(
+          df => df.localCheckpoint(eager = false),
+          df => df.localCheckpoint(eager = true),
+          df => (df.localCheckpoint(eager = false), () => ()))
     }
 
   /** Components of the undirected graph given by `edges`; returns one
@@ -95,7 +122,8 @@ object Graph {
                           checkpointDir: Option[String] = None): DataFrame = {
     if (starContraction)
       return connectedComponentsStar(edges, src, dst, maxIter, checkpointDir)
-    val (ckpt, ckptNow) = checkpointers(edges, checkpointDir)
+    val cks = checkpointers(edges, checkpointDir)
+    import cks.{ckptNow, lazyOnce}
     val e = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
     // symmetric closure once, so each round is a single directed join.
     // Iteration state goes through checkpoints, NOT persist: the
@@ -130,13 +158,14 @@ object Graph {
       // once. The label table is one row per node — tiny next to the
       // edge join — so the extra exchange is cheap; left+coalesce is
       // belt-and-braces for the (impossible) dangling-label case.
-      val next = ckpt(prop.alias("x").join(prop.alias("y"),
+      val (next, release) = lazyOnce(prop.alias("x").join(prop.alias("y"),
           col("x.lbl") === col("y.node"), "left")
         .select(col("x.node").as("node"),
           least(col("x.lbl"), coalesce(col("y.lbl"), col("x.lbl"))).as("lbl"),
           col("x.prev").as("prev")))
       changed = next.where(col("lbl") =!= col("prev")).count()
-      labels = next.select(col("node"), col("lbl")) // superseded blocks GC'd by ContextCleaner
+      release() // checkpoint files durable; superseded local blocks GC'd by ContextCleaner
+      labels = next.select(col("node"), col("lbl"))
       it += 1
     }
     // silent non-convergence would return an UNDER-MERGED clustering —
@@ -168,7 +197,8 @@ object Graph {
   def connectedComponentsStar(edges: DataFrame, src: String, dst: String,
                               maxIter: Int = 30,
                               checkpointDir: Option[String] = None): DataFrame = {
-    val (ckpt, ckptNow) = checkpointers(edges, checkpointDir)
+    val cks = checkpointers(edges, checkpointDir)
+    import cks.{ckpt, ckptNow, lazyOnce}
     // eager: the caller's pair-gen runs once; nodes / the oriented edge
     // init / the final join all read the materialized blocks instead of
     // re-executing the upstream plan (see checkpointers)
@@ -196,13 +226,13 @@ object Graph {
       // small-star: edges are (u, v<u); all of N(u) ∪ {u} hangs onto
       // m = min(N(u))
       val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = large.join(smins, Seq("u"))
+      val (small, release) = lazyOnce(large.join(smins, Seq("u"))
         .where(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(smins.select(col("u"), col("m").as("v")))
-        .distinct()
-        .pipe(ckpt)
+        .distinct())
       val nextCount = small.count()
+      release()
       // fixpoint = identical edge SET (count match + empty anti-join;
       // counts alone can tie without equality)
       done = nextCount == curCount &&
@@ -294,8 +324,10 @@ object Graph {
     * [[checkpointers]] instead of collecting to the driver; the only
     * driver-side scalar per sweep is the max-|Δrank| convergence
     * aggregate, which doubles as the action that materializes the
-    * sweep's checkpoint — one job per sweep, the connectedComponents
-    * discipline). Stops when max |rank' − rank| ≤ `tol` (tol = 0 is an
+    * sweep — one computation per sweep on both checkpoint paths, the
+    * connectedComponents discipline; the reliable path adds a
+    * cache-fed checkpoint-writer job, see [[Checkpointers.lazyOnce]]).
+    * Stops when max |rank' − rank| ≤ `tol` (tol = 0 is an
     * EXACT fixpoint: the integer floor arithmetic makes rank states
     * discrete, so fixpoints are reachable, not just approachable) or at
     * `maxIters`, whichever first; returns the last state either way
@@ -318,16 +350,20 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "the edge table produced no nodes")
     val base = (15L * (scale / n)) / 100L
-    val (ckpt, eager) = checkpointers(e, checkpointDir)
-    var cur = eager(nodes.withColumn("rank", lit(scale / n)))
+    val cks = checkpointers(e, checkpointDir)
+    var cur = cks.ckptNow(nodes.withColumn("rank", lit(scale / n)))
     var iters = 0
     var delta = Long.MaxValue
     while (iters < maxIters && delta > tol) {
-      val next = ckpt(rankSweep(nodes, e, odeg, base, cur))
+      val (next, release) = cks.lazyOnce(rankSweep(nodes, e, odeg, base, cur))
       // the convergence aggregate IS the action that materializes the
-      // sweep's checkpoint — one job per sweep
+      // sweep — one COMPUTATION per sweep on both paths (localCheckpoint
+      // stores the computed blocks directly; the reliable path persists
+      // across the aggregate and the checkpoint-writer job, see
+      // [[Checkpointers.lazyOnce]], then releases the blocks here)
       delta = next.join(cur.withColumnRenamed("rank", "prev"), Seq("node"))
         .agg(max(abs(col("rank") - col("prev")))).collect()(0).getLong(0)
+      release()
       cur = next
       iters += 1
     }

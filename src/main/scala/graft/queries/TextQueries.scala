@@ -314,8 +314,10 @@ object TextQueries {
     * broadcasts the pair side when it is small; the prefix projection
     * means only `editWindow` chars per doc travel the exchange, not
     * full documents. */
-  def editVerifiedPairs(docs: DataFrame): DataFrame = {
-    val pairs = lshPairsOf(signaturesOf(docs).persist())
+  def editVerifiedPairs(docs: DataFrame,
+                        scope: graft.engine.CacheScope =
+                          graft.engine.CacheScope.untracked): DataFrame = {
+    val pairs = lshPairsOf(scope.persist(signaturesOf(docs)))
     val tx = docs.select(col("doc_id"),
       substring(col("text"), 1, editWindow).as("pf"),
       least(length(col("text")), lit(editWindow)).as("plen"))

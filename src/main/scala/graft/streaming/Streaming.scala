@@ -546,6 +546,13 @@ object Streaming {
         val dst = new org.apache.hadoop.fs.Path(storePath)
         val fs = dst.getFileSystem(sp.sparkContext.hadoopConfiguration)
         Sinks.withStoreFences(sp, Seq(storePath)) {
+          // a prior upsert that crashed between its swap renames leaves
+          // the store at <path>_old and nothing at dst — restore BEFORE
+          // the exists-gated read, or prev resolves to None and the
+          // merge below silently drops every previously merged key
+          // (the locked upsert would restore the orphan only to
+          // overwrite it with batch-only registers)
+          Sinks.restoreWholeTableOrphan(fs, storePath, dst)
           val prev =
             if (fs.exists(dst))
               sp.read.parquet(storePath).select(col("regs")).as[Array[Long]]

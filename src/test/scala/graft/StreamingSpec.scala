@@ -177,6 +177,39 @@ class StreamingSpec extends SparkSpec {
     assert(replayed.toSeq == want.toSeq, "replay must be a no-op on the registers")
   }
 
+  test("hll register sink: merges against a store stranded at _old by a crashed upsert") {
+    import spark.implicits._
+    val in = tmpDir("hll_orphan_in")
+    val store = tmpDir("hll_orphan_store").toString + "/regs"
+    def json(ks: Seq[String]) = ks.map(k =>
+      s"""{"city":"$k","ts":"2025-12-11T00:00:00Z","value":1.0}""")
+    val keys1 = (1 to 300).map(i => s"a$i")
+    writeBatch(in, "b1.json", json(keys1))
+    val s1 = Streaming.jsonFileStream(spark, schema, in.toString + "/*.json", multiLine = false)
+    Streaming.hllRegisterSink(s1, "city", store, b = 8)
+      .option("checkpointLocation", tmpDir("hll_orphan_ck1").toString).start().awaitTermination()
+    // simulate a writer that died between its two swap renames: the
+    // whole store sits at <path>_old, nothing at <path>
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + "_old")))
+    // a new batch with ONLY fresh keys (separate input dir — the sink
+    // must not get keys1 back through the source) must MERGE with the
+    // orphaned state, not overwrite it with batch-only registers
+    val in2 = tmpDir("hll_orphan_in2")
+    val keys2 = (1 to 300).map(i => s"b$i")
+    writeBatch(in2, "b2.json", json(keys2))
+    val s2 = Streaming.jsonFileStream(spark, schema, in2.toString + "/*.json", multiLine = false)
+    Streaming.hllRegisterSink(s2, "city", store, b = 8)
+      .option("checkpointLocation", tmpDir("hll_orphan_ck2").toString).start().awaitTermination()
+    val got = spark.read.parquet(store).select(col("regs")).as[Array[Long]].collect().head
+    val want = (keys1 ++ keys2).toDF("k").as[String]
+      .select(new graft.ext.HllAgg(8).toColumn).collect().head
+    assert(got.toSeq == want.toSeq,
+      "post-crash merge must see the orphaned registers, not start from empty")
+  }
+
   test("foreachBatch upsert sink: last write wins per key across restarts") {
     val in = tmpDir("stream_upsert_in")
     val target = tmpDir("stream_upsert_out").resolve("table").toString
