@@ -29,6 +29,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query spill/shuffle accounting (r15 finding #1: q71's driver
+    // reading ran 4.3x its clean median with ext_cpu 0 and rq_ms 0 —
+    // the suspected mechanism is shuffle-spill / page-cache state left
+    // by the preceding heavy queries, which the duration and CPU
+    // columns cannot show). Task metrics accumulate via listener;
+    // queries run sequentially, so start/end deltas attribute a
+    // query's tasks. Best-effort: the bus is async, so a few
+    // end-of-query task events can land in the next query's window —
+    // megabyte-scale slop, fine for disposition.
+    val spillDiskB = new java.util.concurrent.atomic.AtomicLong
+    val spillMemB = new java.util.concurrent.atomic.AtomicLong
+    val shufWriteB = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          spillDiskB.addAndGet(m.diskBytesSpilled)
+          spillMemB.addAndGet(m.memoryBytesSpilled)
+          shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      }
+    })
     // deterministic order, HEAVIEST FIRST: the driver's pass tail is
     // systematically contended (r4+r5 driver readings show a uniform
     // ~3-4x slowdown on everything from the ~53rd query onward, never
@@ -54,12 +77,27 @@ object Bench {
       "q67_cluster_reps", // ~3.6 s in the r15 97-query pass — shielded like its peers
       "q89_edit_verified_pairs", // LSH + banded levenshtein verify, ~3.2 s (r15)
       "q94_bloom_decontamination", // shingle kernel + probe pass, ~3.2 s (r15)
+      "q106_stream_curation", // 4 streaming triggers + store compact (r16)
+      "q105_stream_hll_state", // 4 streaming triggers into the register store (r16)
+      "q103_pagerank_fixpoint", // 38 driver-loop sweeps, job-overhead bound (r16)
       "q21_top_revenue_orders",
       "q22_region_revenue", "q16_flatten_arrays", "q12_upsert_latest",
       "q39_topk_aggregator", "q14_summary_metrics", "q26_priority_top3",
       "q53_packing_plan", "q07_histogram", "q03_avg_by_date_hour")
     val rank = heavyFirst.zipWithIndex.toMap
+    // experiment-only subset filter (comma-separated names): lets a
+    // controlled A/B run THE SAME binaries over a restricted registry
+    // (e.g. r14's 81 queries inside the r16 session) to isolate
+    // session-size effects — registration, code-cache, GC pressure —
+    // from code changes. The driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { s =>
+      val unknown = s.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY unknown queries: ${unknown.toSeq.sorted}")
+    }
     val names = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy { case (n, _) => (rank.getOrElse(n, Int.MaxValue), n) }
     // stdout keys shrink to the qNN prefix (the driver records only the
     // tail of stdout; see the emit section) — ONE definition, used by
@@ -131,9 +169,13 @@ object Bench {
     // cost of the positional-gram/span-reconstruction codepaths, which
     // none of the other prewarmed queries touch.
     try {
+      // q106/q105 joined in r16: their first execution pays the whole
+      // Structured-Streaming stack's classload (FileStreamSource,
+      // foreachBatch runner, state/commit logs) plus the partitioned-
+      // store writer paths, which no batch query touches.
       Seq("q69_curation_stages", "q60_capped_jaccard_pairs",
         "q43_ngram_jaccard_pairs", "q49_dup_clusters",
-        "q71_span_dedup").foreach { n =>
+        "q71_span_dedup", "q106_stream_curation", "q105_stream_hll_state").foreach { n =>
         materialize(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
       }
     } catch {
@@ -210,6 +252,8 @@ object Bench {
     val rqMs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // external-CPU estimate per query (CPUs held by OTHER processes)
     val extCpu = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-query (disk spill, memory spill, shuffle write) MB deltas
+    val spillQ = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     // per-query start offset from pass start (r6 verdict: durations alone
     // cannot locate a query IN TIME, so externally-contended windows were
     // indistinguishable from real regressions in the driver's artifact;
@@ -240,6 +284,9 @@ object Bench {
       val rd0 = if (needSignals) runDelayNs() else -1L
       val (bb0, bt0) = if (needSignals) boxJiffies() else (-1L, -1L)
       val sj0 = if (needSignals) selfJiffies() else -1L
+      val (sd0, sm0, sw0) =
+        if (needSignals) (spillDiskB.get, spillMemB.get, shufWriteB.get)
+        else (-1L, -1L, -1L)
       val t0 = System.nanoTime()
       if (!offsets.contains(name)) {
         offsets(name) = (t0 - passStart) / 1e9
@@ -259,6 +306,8 @@ object Bench {
         extCpu(name) =
           if (bb0 < 0 || bb1 < 0 || sj0 < 0 || sj1 < 0 || nCpuBox <= 0 || bt1 <= bt0) -1.0
           else ((bb1 - bb0) - (sj1 - sj0)).max(0L).toDouble * nCpuBox / (bt1 - bt0)
+        spillQ(name) = ((spillDiskB.get - sd0) / 1e6,
+          (spillMemB.get - sm0) / 1e6, (shufWriteB.get - sw0) / 1e6)
       }
       // queries that .persist() intermediates cannot unpersist in their
       // (lazy) bodies; drop cached blocks here so they don't accumulate
@@ -306,7 +355,7 @@ object Bench {
       try spark.sparkContext.getExecutorMemoryStatus.values
         .map { case (max, rem) => max - rem }.sum / 1e6
       catch { case scala.util.control.NonFatal(_) => -1.0 }
-    val canary = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
+    val canary = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double, Double)]
     try {
       spark.catalog.clearCache()
       System.gc(); Thread.sleep(300); System.gc(); Thread.sleep(300)
@@ -315,6 +364,7 @@ object Bench {
       results.filter(_._2 >= 0).sortBy(-_._2).take(3).foreach { case (n, _) =>
         val st0 = storageUsedMb()
         val (cb0, ct0) = boxJiffies(); val cs0 = selfJiffies()
+        val csd0 = spillDiskB.get
         val c0 = System.nanoTime()
         materialize(SparkEntry.queries(n)(spark, sfDir))
         val durS = (System.nanoTime() - c0) / 1e9
@@ -322,7 +372,7 @@ object Bench {
         val ext =
           if (cb0 < 0 || cb1 < 0 || cs0 < 0 || cs1 < 0 || nCpuBox <= 0 || ct1 <= ct0) -1.0
           else ((cb1 - cb0) - (cs1 - cs0)).max(0L).toDouble * nCpuBox / (ct1 - ct0)
-        canary(n) = (durS, ext, st0)
+        canary(n) = (durS, ext, st0, (spillDiskB.get - csd0) / 1e6)
         spark.catalog.clearCache()
       }
     } catch { case scala.util.control.NonFatal(t) =>
@@ -355,12 +405,13 @@ object Bench {
     try {
       val detail = names.zipWithIndex.map { case ((n, _), i) =>
         val ss = samples(n).map(fmt).mkString("[", ",", "]")
-        s"""  {"order":$i,"name":"$n","t0_s":${"%.2f".format(offsets.getOrElse(n, -1.0))},"dur_s":${fmt(median(samples(n).toSeq))},"load":${"%.1f".format(loads.getOrElse(n, -1.0))},"rq_ms":${"%.1f".format(rqMs.getOrElse(n, -1.0))},"ext_cpu":${"%.2f".format(extCpu.getOrElse(n, -1.0))},"samples":$ss}"""
+        val (sd, sm, sw) = spillQ.getOrElse(n, (-1.0, -1.0, -1.0))
+        s"""  {"order":$i,"name":"$n","t0_s":${"%.2f".format(offsets.getOrElse(n, -1.0))},"dur_s":${fmt(median(samples(n).toSeq))},"load":${"%.1f".format(loads.getOrElse(n, -1.0))},"rq_ms":${"%.1f".format(rqMs.getOrElse(n, -1.0))},"ext_cpu":${"%.2f".format(extCpu.getOrElse(n, -1.0))},"spill_mb":${"%.1f".format(sd)},"mem_spill_mb":${"%.1f".format(sm)},"shuf_w_mb":${"%.1f".format(sw)},"samples":$ss}"""
       }.mkString("[\n", ",\n", "\n]")
-      val canaryJson = canary.map { case (n, (d, e, st)) =>
-        s"""{"name":"$n","dur_s":${fmt(d)},"ext_cpu":${"%.2f".format(e)},"storage_mb_at_start":${"%.0f".format(st)}}"""
+      val canaryJson = canary.map { case (n, (d, e, st, sd)) =>
+        s"""{"name":"$n","dur_s":${fmt(d)},"ext_cpu":${"%.2f".format(e)},"storage_mb_at_start":${"%.0f".format(st)},"spill_mb":${"%.1f".format(sd)}}"""
       }.mkString("[", ",", "]")
-      val body = s"""{"total_s":${fmt(total)},"wall_s":${fmt(wallS)},"iters":$iters,"sf":"$sfDir","note":"t0_s = offset of the query's first timed start from pass start; load = 1-min /proc/loadavg at query start (~32 = this bench alone on 32 threads); rq_ms = run-delay growth of this JVM's threads during the query (first pass); ext_cpu = CPUs held by OTHER processes during the query window (/proc/stat minus /proc/self/stat, first pass; ~0 = quiet box); canary = post-pass re-run of the 3 heaviest queries after a cache-drop + GC reset to clean-session conditions — an externally-contended pass reading does not reproduce there, and storage_mb_at_start records residual storage-memory occupancy so an endogenous-pressure outlier self-explains (r13: a 7x quiet-box canary outlier traced to end-of-pass storage pressure, not contention); stdout line keys are the qNN prefixes of these names","canary":$canaryJson,"queries":$detail}"""
+      val body = s"""{"total_s":${fmt(total)},"wall_s":${fmt(wallS)},"iters":$iters,"sf":"$sfDir","note":"t0_s = offset of the query's first timed start from pass start; load = 1-min /proc/loadavg at query start (~32 = this bench alone on 32 threads); rq_ms = run-delay growth of this JVM's threads during the query (first pass); ext_cpu = CPUs held by OTHER processes during the query window (/proc/stat minus /proc/self/stat, first pass; ~0 = quiet box); canary = post-pass re-run of the 3 heaviest queries after a cache-drop + GC reset to clean-session conditions — an externally-contended pass reading does not reproduce there, and storage_mb_at_start records residual storage-memory occupancy so an endogenous-pressure outlier self-explains (r13: a 7x quiet-box canary outlier traced to end-of-pass storage pressure, not contention); stdout line keys are the qNN prefixes of these names; spill_mb/mem_spill_mb/shuf_w_mb = this query's disk-spill / in-memory-spill / shuffle-write deltas from task metrics (first pass, listener-bus best-effort — r15 finding #1 asked for spill visibility to disposition q71-class readings)","canary":$canaryJson,"queries":$detail}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         body.getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(_) => () }

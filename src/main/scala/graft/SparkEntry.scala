@@ -15,7 +15,7 @@ object SparkEntry {
   private val registry: Map[String, Q] =
     CoreQueries.defs ++ ExtQueries.defs ++ RelQueries.defs ++
       TextQueries.defs ++ EmbeddingQueries.defs ++ MultimodalQueries.defs ++
-      CurationQueries.defs
+      CurationQueries.defs ++ StreamQueries.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =

@@ -167,6 +167,25 @@ object CurationQueries {
   private val stageMaxRarity = 0.5
   private val stageBudget = 400L
 
+  /** q96/q103 PageRank mass scale — unscaled-long rank arithmetic at
+    * 1e12 ≡ mass 1.0 (overflow bound: scale·n < 2^63, see
+    * [[graft.ext.Graph.pageRank]]). */
+  private val prScale = 1000000000000L
+  /** The q96/q103 synthetic host graph, stated ONCE for both engines
+    * (sqlSigCtesFrom's drift-prevention rule): each doc injects one
+    * deterministic edge h(doc_id % 7) -> h((doc_id%101)²+3 mod 11),
+    * whose quadratic-residue image leaves h7/h8 dangling and
+    * h0/h2/h5 uncited — both structural edge cases at every sf. */
+  private val hostEdgeSrcSql = "'h' || CAST(doc_id % 7 AS VARCHAR)"
+  private val hostEdgeDstSql =
+    "'h' || CAST(((doc_id % 101) * (doc_id % 101) + 3) % 11 AS VARCHAR)"
+  private def hostEdges(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d).select(
+      concat(lit("h"), (col("doc_id") % 7).cast("string")).as("src"),
+      concat(lit("h"),
+        (((col("doc_id") % 101) * (col("doc_id") % 101) + 3) % 11).cast("string")).as("dst"))
+
   val defs: Map[String, Q] = Map(
 
     // Deterministic train/val/test split: first md5 byte of the doc id
@@ -483,9 +502,7 @@ object CurationQueries {
     // integer sweeps; the oracle restates them as a CTE chain, so one
     // wrong floor division in any sweep breaks the compare.
     "q96_host_pagerank" -> {
-      val (prScale, prIters) = (1000000000000L, 3)
-      val srcSql = "'h' || CAST(doc_id % 7 AS VARCHAR)"
-      val dstSql = "'h' || CAST(((doc_id % 101) * (doc_id % 101) + 3) % 11 AS VARCHAR)"
+      val prIters = 3
       val sweeps = (1 to prIters).map { k =>
         s"""c$k AS (SELECT e.dst AS node, CAST(SUM(r.rank // o.odeg) AS BIGINT) AS c
            |        FROM e JOIN od o USING (src) JOIN r${k - 1} r ON r.node = e.src GROUP BY 1),
@@ -495,16 +512,10 @@ object CurationQueries {
            |        FROM nodes n LEFT JOIN c$k USING (node))""".stripMargin
       }.mkString(",\n")
       Q(
-        (s, d) => {
-          val edges = Tables.documents(s, d).select(
-            concat(lit("h"), (col("doc_id") % 7).cast("string")).as("src"),
-            concat(lit("h"),
-              (((col("doc_id") % 101) * (col("doc_id") % 101) + 3) % 11).cast("string")).as("dst"))
-          graft.ext.Graph.pageRank(edges, prIters, prScale)
-        },
+        (s, d) => graft.ext.Graph.pageRank(hostEdges(s, d), prIters, prScale),
         s"""WITH e AS (
-           |  SELECT DISTINCT $srcSql AS src, $dstSql AS dst
-           |  FROM documents WHERE $srcSql <> $dstSql),
+           |  SELECT DISTINCT $hostEdgeSrcSql AS src, $hostEdgeDstSql AS dst
+           |  FROM documents WHERE $hostEdgeSrcSql <> $hostEdgeDstSql),
            |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
            |od AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY 1),
            |ideg AS (SELECT dst, COUNT(*) AS ideg FROM e GROUP BY 1),
@@ -518,6 +529,72 @@ object CurationQueries {
            |     JOIN r$prIters ON r$prIters.node = n.node
            |ORDER BY n.node""".stripMargin)
     },
+
+    // The PRODUCTION PageRank codepath under the hash gate: q96 gates
+    // three unrolled sweeps, this row gates [[graft.ext.Graph.pageRankConverge]]
+    // — the driver loop that runs sweep-by-sweep with per-sweep lineage
+    // truncation and a data-dependent stop at the EXACT integer
+    // fixpoint (tol = 0; the floor arithmetic makes rank states
+    // discrete, so the fixpoint is reached, not approached — 38 sweeps
+    // on the 11-host graph, identical at every sf because the distinct
+    // edge set saturates). The oracle runs the SAME iteration as a
+    // recursive CTE whose working row is the ENTIRE rank state (one
+    // sorted list-of-structs), stepping while next <> current: the
+    // emitted `iters` is the CTE's terminal index + 1 because the loop
+    // must EXECUTE the sweep that observes the fixpoint (both engines
+    // compute 38 sweeps; the CTE's last NEW state is index 37), and
+    // `delta` = 0 asserts the engine stopped ON convergence, not at
+    // maxIters. A single wrong floor division in ANY of the 38 sweeps,
+    // or a loop that stops early/late, breaks the compare. (The inner
+    // CTEs avoid bare UNION: under WITH RECURSIVE, DuckDB gives a
+    // set-op CTE recursive anchor semantics and stops deduplicating
+    // within the anchor — q49's closure dodges this by construction,
+    // here DISTINCT is explicit.)
+    "q103_pagerank_fixpoint" -> Q(
+      (s, d) => {
+        val r = graft.ext.Graph.pageRankConverge(hostEdges(s, d), prScale,
+          maxIters = 50, tol = 0L)
+        r.ranks.select(col("node"), col("rank"),
+            lit(r.iters).as("iters"), lit(r.delta).as("delta"))
+          .orderBy(col("node"))
+      },
+      s"""WITH RECURSIVE
+         |e AS (
+         |  SELECT DISTINCT $hostEdgeSrcSql AS src, $hostEdgeDstSql AS dst
+         |  FROM documents WHERE $hostEdgeSrcSql <> $hostEdgeDstSql),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |od AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |st0 AS (
+         |  SELECT list(struct_pack(node := node,
+         |                          rank := (SELECT $prScale // n FROM nn))
+         |              ORDER BY node) AS st
+         |  FROM nodes),
+         |it AS (
+         |  SELECT 0 AS i, st FROM st0
+         |  UNION ALL
+         |  SELECT i + 1, nxt FROM (
+         |    SELECT i, st,
+         |      (SELECT list(struct_pack(node := n.node,
+         |                 rank := (SELECT (15 * ($prScale // n)) // 100 FROM nn)
+         |                         + (85 * COALESCE(c.c, 0)) // 100)
+         |              ORDER BY n.node)
+         |       FROM nodes n LEFT JOIN (
+         |         SELECT e.dst AS node, CAST(SUM(r.rank // o.odeg) AS BIGINT) AS c
+         |         FROM e JOIN od o USING (src)
+         |              JOIN (SELECT u.node, u.rank FROM unnest(it.st) AS t(u)) r
+         |                ON r.node = e.src
+         |         GROUP BY 1) c USING (node)) AS nxt
+         |    FROM it
+         |  ) WHERE nxt <> st AND i < 50
+         |),
+         |fin AS (SELECT i, st FROM it ORDER BY i DESC LIMIT 1)
+         |SELECT u.node AS node, u.rank AS rank,
+         |       (SELECT CAST(i + 1 AS INTEGER) FROM fin) AS iters,
+         |       CAST(0 AS BIGINT) AS delta
+         |FROM fin, unnest(fin.st) AS t(u)
+         |ORDER BY node""".stripMargin),
 
     // Cross-corpus repeated-line removal (the C4/RefinedWeb boilerplate
     // filter): drop every line whose content appears in >= minDf

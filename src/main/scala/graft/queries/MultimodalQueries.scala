@@ -101,6 +101,83 @@ object MultimodalQueries {
       |         CASE WHEN doc_id % 4 < 2 THEN 2 ELSE 4 END AS w
       |  FROM documents)""".stripMargin
 
+  /** Perceptual hashes of the decodable slice of the BMP corpus —
+    * q84/q104's shared input (real decode path only; non-BMPs yield
+    * null and sit out). */
+  private def decodedHashes(s: SparkSession, d: String): DataFrame =
+    Multimodal.imageHashes(s, bmpCorpus(s, Tables.documents(s, d)))
+      .toDF().where(col("dhash").isNotNull)
+
+  /** q84's Hamming-banded pair join over a (doc_id, dhash) frame,
+    * stated once for q84 and the q104 cluster composition: four 16-bit
+    * bands of the 64-bit hash key the candidate join, a per-bucket
+    * occupancy cap (q62's pattern) bounds the one quadratic unit
+    * (templated corpora collapse to few distinct perceptual hashes, so
+    * hot buckets are the NORM here, not a tail case), and the exact
+    * Hamming distance over the full hash filters candidates. Never
+    * all-pairs: pair volume is bounded at C(cap,2)·buckets by
+    * construction. */
+  private def imagePairsOf(hashes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = hashes.select(col("doc_id"), col("dhash"),
+        explode(array((0 until 4).map(j => struct(lit(j).as("band"),
+          shiftright(col("dhash"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("dhash"), col("bk.band"), col("bk.bkey"))
+    val capped = bands.withColumn("_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+      .where(col("_n") <= 8).drop("_n")
+    val a = capped.select(col("doc_id").as("doc_a"), col("dhash").as("ha"),
+      col("band"), col("bkey"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("dhash").as("hb"),
+      col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 4)
+  }
+
+  /** Mirror of [[imagePairsOf]] as oracle CTEs (claims h, bk, capped,
+    * ipairs; needs [[sqlBmpBase]]'s `b` in scope). The dHash restates
+    * bit-by-bit from the text hex — only informative bits (cells whose
+    * floor-mapped source positions differ, per constructed width:
+    * w=2 one transition per row, w=4 three) are emitted; every other
+    * bit compares a cell to itself and is 0 by construction, in the
+    * Spark kernel and here alike. */
+  private val sqlImagePairCtes: String = {
+    def hashExpr(w: Int): String = {
+      def pos(tx: Int, ty: Int): Int = {
+        val sx = tx * w / 9; val sy = ty * 4 / 8; (sy * w + sx) * 3
+      }
+      def hb(p: Int) = s"('0x' || substr(hx, ${2 * p + 1}, 2))::INTEGER"
+      def g(p: Int) = s"(${hb(p)} + ${hb(p + 1)} + ${hb(p + 2)})"
+      val terms = for {
+        ty <- 0 until 8; tx <- 0 until 8
+        pa = pos(tx, ty); pb = pos(tx + 1, ty) if pa != pb
+      } yield s"CASE WHEN ${g(pa)} > ${g(pb)} THEN ${1L << (ty * 8 + tx)} ELSE 0 END"
+      terms.mkString("(", " + ", ")")
+    }
+    s"""h AS (
+       |  SELECT doc_id,
+       |         CAST(CASE WHEN w = 2 THEN ${hashExpr(2)} ELSE ${hashExpr(4)} END AS BIGINT) AS dhash
+       |  FROM b WHERE isbmp),
+       |bk AS (
+       |  SELECT doc_id, dhash, CAST(j AS INTEGER) AS band,
+       |         (dhash >> CAST(16 * j AS INTEGER)) & 65535 AS bkey
+       |  FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS j) bands),
+       |capped AS (
+       |  SELECT doc_id, dhash, band, bkey FROM (
+       |    SELECT bk.*, count(*) OVER (PARTITION BY band, bkey) AS n FROM bk) z
+       |  WHERE n <= 8),
+       |ipairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |         CAST(bit_count(xor(a.dhash, c.dhash)) AS INTEGER) AS hamming
+       |  FROM capped a JOIN capped c ON a.band = c.band AND a.bkey = c.bkey
+       |    AND a.doc_id < c.doc_id
+       |  WHERE bit_count(xor(a.dhash, c.dhash)) <= 4)""".stripMargin
+  }
+
   /** Independent restatement of [[Multimodal.encodeBmp]]'s 54-byte
     * header as an uppercase hex literal, assembled field-by-field from
     * the public BMP layout — embedded in q83's oracle so DuckDB pins
@@ -304,65 +381,70 @@ object MultimodalQueries {
     // rest are provably 0), the banding as shift/mask arithmetic, the
     // cap as a window count, and the Hamming as bit_count(xor).
     "q84_image_neardup_pairs" -> Q(
+      (s, d) => imagePairsOf(decodedHashes(s, d))
+        .orderBy(col("doc_a"), col("doc_b")),
+      s"""WITH $sqlBmpBase,
+         |$sqlImagePairCtes
+         |SELECT doc_a, doc_b, hamming FROM ipairs
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Image duplicate-CLUSTER formation — the q49 step for the
+    // multimodal family: q84's Hamming-banded pairs feed the same
+    // distributed connected-components closure the text pipeline runs
+    // (A~B, B~C collapse to one cluster even when A,C never share a
+    // band), closing the multimodal->dedup bridge end-to-end. Per
+    // cluster: member count, distinct perceptual hashes (how much
+    // visual variety the cluster absorbs), observed pair count, and
+    // the largest in-cluster pair distance (the banded "diameter" —
+    // over OBSERVED edges only, all-pairs distances are exactly what
+    // the banding exists to avoid computing). The canonical keep
+    // decision absent a quality signal is the minimum doc_id
+    // (first-ingested), which IS the cluster id by the closure's
+    // min-label construction — same convention as q49. The oracle
+    // restates the closure as a recursive CTE over the shared pair
+    // fragment (explicit DISTINCT subselects: under WITH RECURSIVE,
+    // DuckDB gives non-self-referencing set-op CTEs recursive-anchor
+    // semantics and stops deduplicating them).
+    "q104_image_dup_clusters" -> Q(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val hashes = Multimodal.imageHashes(s, bmpCorpus(s, Tables.documents(s, d)))
-          .toDF().where(col("dhash").isNotNull)
-        val bands = hashes.select(col("doc_id"), col("dhash"),
-            explode(array((0 until 4).map(j => struct(lit(j).as("band"),
-              shiftright(col("dhash"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("bk"))
-          .select(col("doc_id"), col("dhash"), col("bk.band"), col("bk.bkey"))
-        val capped = bands.withColumn("_n",
-            count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
-          .where(col("_n") <= 8).drop("_n")
-        val a = capped.select(col("doc_id").as("doc_a"), col("dhash").as("ha"),
-          col("band"), col("bkey"))
-        val b = capped.select(col("doc_id").as("doc_b"), col("dhash").as("hb"),
-          col("band"), col("bkey"))
-        a.join(b, Seq("band", "bkey"))
-          .where(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
-          .distinct()
-          .where(col("hamming") <= 4)
-          .orderBy(col("doc_a"), col("doc_b"))
-      }, {
-        // dHash bits whose two floor-mapped source cells actually
-        // differ, per constructed width (w=2: one transition per row,
-        // w=4: three) — every other bit compares a cell to itself and
-        // is 0 by construction, in the Spark kernel and here alike
-        def hashExpr(w: Int): String = {
-          def pos(tx: Int, ty: Int): Int = {
-            val sx = tx * w / 9; val sy = ty * 4 / 8; (sy * w + sx) * 3
-          }
-          def hb(p: Int) = s"('0x' || substr(hx, ${2 * p + 1}, 2))::INTEGER"
-          def g(p: Int) = s"(${hb(p)} + ${hb(p + 1)} + ${hb(p + 2)})"
-          val terms = for {
-            ty <- 0 until 8; tx <- 0 until 8
-            pa = pos(tx, ty); pb = pos(tx + 1, ty) if pa != pb
-          } yield s"CASE WHEN ${g(pa)} > ${g(pb)} THEN ${1L << (ty * 8 + tx)} ELSE 0 END"
-          terms.mkString("(", " + ", ")")
-        }
-        s"""WITH $sqlBmpBase,
-           |h AS (
-           |  SELECT doc_id,
-           |         CAST(CASE WHEN w = 2 THEN ${hashExpr(2)} ELSE ${hashExpr(4)} END AS BIGINT) AS dhash
-           |  FROM b WHERE isbmp),
-           |bk AS (
-           |  SELECT doc_id, dhash, CAST(j AS INTEGER) AS band,
-           |         (dhash >> CAST(16 * j AS INTEGER)) & 65535 AS bkey
-           |  FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS j) bands),
-           |capped AS (
-           |  SELECT doc_id, dhash, band, bkey FROM (
-           |    SELECT bk.*, count(*) OVER (PARTITION BY band, bkey) AS n FROM bk) z
-           |  WHERE n <= 8)
-           |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
-           |       CAST(bit_count(xor(a.dhash, c.dhash)) AS INTEGER) AS hamming
-           |FROM capped a JOIN capped c ON a.band = c.band AND a.bkey = c.bkey
-           |  AND a.doc_id < c.doc_id
-           |WHERE bit_count(xor(a.dhash, c.dhash)) <= 4
-           |ORDER BY doc_a, doc_b""".stripMargin
-      }),
+        val hashes = decodedHashes(s, d).persist()
+        val pairs = imagePairsOf(hashes).persist()
+        val comps = graft.ext.Graph.connectedComponents(pairs, "doc_a", "doc_b")
+          .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        val mem = comps.join(hashes, Seq("doc_id"))
+          .groupBy(col("cluster_id")).agg(
+            count(lit(1)).as("n_members"),
+            countDistinct(col("dhash")).as("n_distinct_hashes"))
+        val edges = pairs
+          .join(comps.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+          .groupBy(col("cluster_id")).agg(
+            count(lit(1)).as("n_pairs"),
+            max(col("hamming")).as("max_hamming"))
+        mem.join(edges, Seq("cluster_id")).orderBy(col("cluster_id"))
+      },
+      s"""WITH RECURSIVE $sqlBmpBase,
+         |$sqlImagePairCtes,
+         |iedges AS (SELECT DISTINCT a, b FROM (
+         |  SELECT doc_a AS a, doc_b AS b FROM ipairs
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM ipairs)),
+         |ireach AS (
+         |  SELECT a AS node, a AS lbl FROM iedges
+         |  UNION
+         |  SELECT e.b AS node, r.lbl FROM ireach r JOIN iedges e ON e.a = r.node),
+         |icl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM ireach GROUP BY 1),
+         |imem AS (
+         |  SELECT icl.cluster_id, COUNT(*) AS n_members,
+         |         COUNT(DISTINCT h.dhash) AS n_distinct_hashes
+         |  FROM icl JOIN h ON h.doc_id = icl.doc_id GROUP BY 1),
+         |ied AS (
+         |  SELECT icl.cluster_id, COUNT(*) AS n_pairs,
+         |         CAST(MAX(p.hamming) AS INTEGER) AS max_hamming
+         |  FROM ipairs p JOIN icl ON icl.doc_id = p.doc_a GROUP BY 1)
+         |SELECT m.cluster_id, m.n_members, m.n_distinct_hashes,
+         |       e.n_pairs, e.max_hamming
+         |FROM imem m JOIN ied e USING (cluster_id)
+         |ORDER BY m.cluster_id""".stripMargin),
 
     // The REAL frame-sample path under the oracle: three-frame ICO
     // containers (see icoCorpus) through sampleFramesDecoded — parse

@@ -11,6 +11,11 @@ class PlanAuditSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private def plan(q: String): String = {
+    // the pinned shapes are the COLD-catalog plans Bench/Verify produce
+    // (both clearCache between queries); a cached frame left by another
+    // suite in the shared session would substitute InMemoryRelations
+    // and change join/exchange counts
+    spark.catalog.clearCache()
     val df = SparkEntry.queries(q)(spark, sf)
     df.count() // let AQE finalize
     df.queryExecution.executedPlan.toString
@@ -533,6 +538,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), "bucket occupancy cap must be a window count (q62's shape)")
     val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(p).length
     assert(joins == 1, s"the banded pair join must be the ONLY join, got $joins")
+  }
+
+  test("q104 image dup clusters: banded pairs + keyed closure joins, never all-pairs") {
+    val p = plan("q104_image_dup_clusters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "never an all-pairs stage — the closure and the accounting are keyed equi-joins")
+    assert(p.contains("Window"), "bucket occupancy cap must be a window count (q84's shape)")
   }
 
   test("q66 url filter: narrow map — no join, no aggregate, only the output sort exchanges") {

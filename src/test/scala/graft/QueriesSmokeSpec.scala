@@ -13,7 +13,11 @@ class QueriesSmokeSpec extends SparkSpec {
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows on sf0.001") {
-      assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
+      try assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
+      // queries persist intermediates they cannot unpersist (lazy
+      // bodies); drop them so 100+ smoke tests don't accumulate blocks
+      // and later suites in the same session see a cold catalog
+      finally spark.catalog.clearCache()
     }
   }
 
@@ -21,7 +25,7 @@ class QueriesSmokeSpec extends SparkSpec {
     import graft.queries._
     val parts = Seq(CoreQueries.defs, ExtQueries.defs, RelQueries.defs,
       TextQueries.defs, EmbeddingQueries.defs, MultimodalQueries.defs,
-      CurationQueries.defs)
+      CurationQueries.defs, StreamQueries.defs)
     assert(parts.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across def maps — a registry entry was overwritten")
   }
