@@ -333,14 +333,27 @@ object Graph {
     * `maxIters`, whichever first; returns the last state either way
     * with the observed delta, as [[graft.queries.EmbeddingQueries.kmeansConverge]]
     * does. Returns (node, rank) — join [[pageRank]]'s degree columns
-    * back if needed. */
+    * back if needed.
+    *
+    * `checkEvery` batches the convergence check: that many sweeps
+    * compose lazily between driver barriers, so a cluster-scale run
+    * pays the scheduling/aggregate round-trip once per BLOCK instead of
+    * once per sweep (sweeping past the fixpoint is idempotent, so the
+    * answer is unchanged — at most checkEvery−1 extra sweeps run).
+    * `iters` counts sweeps EXECUTED: with checkEvery = k the loop stops
+    * at the first multiple of k whose block-end state matches the
+    * previous block end, i.e. k·⌈(i* + k)/k⌉ sweeps for a fixpoint
+    * first reached at sweep i* (q103's oracle restates exactly that
+    * arithmetic). delta is the L∞ change across the final block. */
   def pageRankConverge(edges: DataFrame, scale: Long,
                        maxIters: Int = 50, tol: Long = 0L,
                        checkpointDir: Option[String] = None,
-                       scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked): PageRankConverged = {
+                       scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked,
+                       checkEvery: Int = 1): PageRankConverged = {
     require(maxIters >= 1, s"need at least one sweep, got $maxIters")
     require(tol >= 0, s"tol must be non-negative, got $tol")
     require(scale >= 100, s"scale must hold the percent divisions, got $scale")
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val e = scope.persist(edges
       .where(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct())
@@ -355,9 +368,23 @@ object Graph {
     var iters = 0
     var delta = Long.MaxValue
     while (iters < maxIters && delta > tol) {
-      val (next, release) = cks.lazyOnce(rankSweep(nodes, e, odeg, base, cur))
+      // `checkEvery` sweeps compose lazily into ONE block; the block's
+      // convergence aggregate is the only driver synchronization. At
+      // 1000 executors the per-sweep cost floor is the DRIVER BARRIER
+      // (schedule, aggregate, collect, checkpoint bookkeeping), not the
+      // shuffles — batching the check trades up to checkEvery-1 extra
+      // (idempotent-past-the-fixpoint, GraphSpec) sweeps for checkEvery×
+      // fewer barriers. delta is then the L∞ change ACROSS the block:
+      // 0 certifies state(t) = state(t+checkEvery), which for the
+      // damped-contraction update means the fixpoint (a genuine
+      // period-k orbit would also re-loop — callers gating bit-exact
+      // results, like q103's oracle, distinguish the two by comparing
+      // the state itself).
+      val k = math.min(checkEvery, maxIters - iters)
+      val swept = (1 to k).foldLeft(cur)((r, _) => rankSweep(nodes, e, odeg, base, r))
+      val (next, release) = cks.lazyOnce(swept)
       // the convergence aggregate IS the action that materializes the
-      // sweep — one COMPUTATION per sweep on both paths (localCheckpoint
+      // block — one COMPUTATION per sweep on both paths (localCheckpoint
       // stores the computed blocks directly; the reliable path persists
       // across the aggregate and the checkpoint-writer job, see
       // [[Checkpointers.lazyOnce]], then releases the blocks here)
@@ -365,7 +392,7 @@ object Graph {
         .agg(max(abs(col("rank") - col("prev")))).collect()(0).getLong(0)
       release()
       cur = next
-      iters += 1
+      iters += k
     }
     PageRankConverged(cur, iters, delta)
   }

@@ -539,21 +539,24 @@ object CurationQueries {
     // on the 11-host graph, identical at every sf because the distinct
     // edge set saturates). The oracle runs the SAME iteration as a
     // recursive CTE whose working row is the ENTIRE rank state (one
-    // sorted list-of-structs), stepping while next <> current: the
-    // emitted `iters` is the CTE's terminal index + 1 because the loop
-    // must EXECUTE the sweep that observes the fixpoint (both engines
-    // compute 38 sweeps; the CTE's last NEW state is index 37), and
-    // `delta` = 0 asserts the engine stopped ON convergence, not at
-    // maxIters. A single wrong floor division in ANY of the 38 sweeps,
-    // or a loop that stops early/late, breaks the compare. (The inner
-    // CTEs avoid bare UNION: under WITH RECURSIVE, DuckDB gives a
-    // set-op CTE recursive anchor semantics and stops deduplicating
-    // within the anchor — q49's closure dodges this by construction,
-    // here DISTINCT is explicit.)
+    // sorted list-of-structs), stepping while next <> current. The
+    // loop runs with checkEvery = 4 — the production batching that
+    // pays the driver barrier once per 4-sweep block — so `iters` is
+    // the block arithmetic the scaladoc states: the fixpoint state
+    // first appears at CTE index i* (37 here), and the loop stops at
+    // the first multiple of 4 whose block-end state matches the
+    // previous block end, 4·((i* + 7) div 4) = 44 executed sweeps;
+    // `delta` = 0 asserts it stopped ON convergence, not at maxIters.
+    // A single wrong floor division in ANY sweep, or a loop that stops
+    // a block early or late, breaks the compare. (The inner CTEs avoid
+    // bare UNION: under WITH RECURSIVE, DuckDB gives a set-op CTE
+    // recursive anchor semantics and stops deduplicating within the
+    // anchor — q49's closure dodges this by construction, here
+    // DISTINCT is explicit.)
     "q103_pagerank_fixpoint" -> Q(
       (s, d) => {
         val r = graft.ext.Graph.pageRankConverge(hostEdges(s, d), prScale,
-          maxIters = 50, tol = 0L)
+          maxIters = 60, tol = 0L, checkEvery = 4)
         r.ranks.select(col("node"), col("rank"),
             lit(r.iters).as("iters"), lit(r.delta).as("delta"))
           .orderBy(col("node"))
@@ -591,7 +594,7 @@ object CurationQueries {
          |),
          |fin AS (SELECT i, st FROM it ORDER BY i DESC LIMIT 1)
          |SELECT u.node AS node, u.rank AS rank,
-         |       (SELECT CAST(i + 1 AS INTEGER) FROM fin) AS iters,
+         |       (SELECT CAST(4 * ((i + 7) // 4) AS INTEGER) FROM fin) AS iters,
          |       CAST(0 AS BIGINT) AS delta
          |FROM fin, unnest(fin.st) AS t(u)
          |ORDER BY node""".stripMargin),

@@ -198,6 +198,27 @@ class GraphSpec extends SparkSpec {
     assert(more == unrolled, "a sweep past the fixpoint is a no-op")
   }
 
+  test("pageRankConverge checkEvery: batched blocks reach the same fixpoint with the documented sweep count") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("b", "a"))
+      .toDF("src", "dst")
+    val perSweep = Graph.pageRankConverge(edges, scale = 100000L, maxIters = 60)
+    val blocked = Graph.pageRankConverge(edges, scale = 100000L, maxIters = 60,
+      checkEvery = 4)
+    assert(blocked.delta == 0L)
+    // same fixpoint state — extra past-fixpoint sweeps are no-ops
+    val a = perSweep.ranks.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = blocked.ranks.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, s"blocked $b must equal per-sweep $a")
+    // the documented block arithmetic: per-sweep stops having EXECUTED
+    // i* + 1 sweeps (the one that observes the fixpoint), so the first
+    // fixpoint state index is i* = iters - 1; blocked stops at the
+    // first multiple of 4 that is >= i* + 4
+    val iStar = perSweep.iters - 1
+    assert(blocked.iters == 4 * ((iStar + 7) / 4),
+      s"blocked.iters=${blocked.iters}, per-sweep iters=${perSweep.iters}")
+  }
+
   test("star contraction matches union-find on a random graph with chains and clumps") {
     val rnd = new scala.util.Random(7)
     val clumpy = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
