@@ -235,6 +235,26 @@ object Bench {
         java.nio.file.Paths.get("/proc/stat"))).linesIterator
         .count(_.matches("cpu\\d+ .*"))
       catch { case scala.util.control.NonFatal(_) => -1 }
+    // Fourth/fifth signals (r15 finding #1: q71 read 4.3x its clean
+    // median with ext_cpu 0, rq_ms 0 AND — this round's instrumented
+    // battery — spill 0, so every exogenous gauge was flat): the two
+    // remaining ENDOGENOUS costs a fresh-JVM pass pays unevenly are
+    // garbage collection and JIT compilation. Both are one MXBean read;
+    // a query whose inflation is billed here self-explains as session
+    // pressure (heap churn from preceding heavies / late tiered
+    // recompilation), not as a plan regression.
+    def gcMillis(): Long =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+    def jitMillis(): Long =
+      try {
+        val c = java.lang.management.ManagementFactory.getCompilationMXBean
+        if (c == null || !c.isCompilationTimeMonitoringSupported) -1L
+        else c.getTotalCompilationTime
+      } catch { case scala.util.control.NonFatal(_) => -1L }
     def runDelayNs(): Long =
       try {
         val tasks = new java.io.File("/proc/self/task").listFiles()
@@ -254,6 +274,8 @@ object Bench {
     val extCpu = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // per-query (disk spill, memory spill, shuffle write) MB deltas
     val spillQ = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
+    // per-query (GC time, JIT compilation time) ms deltas
+    val gcJitQ = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     // per-query start offset from pass start (r6 verdict: durations alone
     // cannot locate a query IN TIME, so externally-contended windows were
     // indistinguishable from real regressions in the driver's artifact;
@@ -287,6 +309,7 @@ object Bench {
       val (sd0, sm0, sw0) =
         if (needSignals) (spillDiskB.get, spillMemB.get, shufWriteB.get)
         else (-1L, -1L, -1L)
+      val (gc0, jit0) = if (needSignals) (gcMillis(), jitMillis()) else (-1L, -1L)
       val t0 = System.nanoTime()
       if (!offsets.contains(name)) {
         offsets(name) = (t0 - passStart) / 1e9
@@ -308,6 +331,9 @@ object Bench {
           else ((bb1 - bb0) - (sj1 - sj0)).max(0L).toDouble * nCpuBox / (bt1 - bt0)
         spillQ(name) = ((spillDiskB.get - sd0) / 1e6,
           (spillMemB.get - sm0) / 1e6, (shufWriteB.get - sw0) / 1e6)
+        val (gc1, jit1) = (gcMillis(), jitMillis())
+        gcJitQ(name) = (if (gc0 < 0 || gc1 < 0) -1L else (gc1 - gc0).max(0L),
+          if (jit0 < 0 || jit1 < 0) -1L else (jit1 - jit0).max(0L))
       }
       // queries that .persist() intermediates cannot unpersist in their
       // (lazy) bodies; drop cached blocks here so they don't accumulate
@@ -406,12 +432,13 @@ object Bench {
       val detail = names.zipWithIndex.map { case ((n, _), i) =>
         val ss = samples(n).map(fmt).mkString("[", ",", "]")
         val (sd, sm, sw) = spillQ.getOrElse(n, (-1.0, -1.0, -1.0))
-        s"""  {"order":$i,"name":"$n","t0_s":${"%.2f".format(offsets.getOrElse(n, -1.0))},"dur_s":${fmt(median(samples(n).toSeq))},"load":${"%.1f".format(loads.getOrElse(n, -1.0))},"rq_ms":${"%.1f".format(rqMs.getOrElse(n, -1.0))},"ext_cpu":${"%.2f".format(extCpu.getOrElse(n, -1.0))},"spill_mb":${"%.1f".format(sd)},"mem_spill_mb":${"%.1f".format(sm)},"shuf_w_mb":${"%.1f".format(sw)},"samples":$ss}"""
+        val (gq, jq) = gcJitQ.getOrElse(n, (-1L, -1L))
+        s"""  {"order":$i,"name":"$n","t0_s":${"%.2f".format(offsets.getOrElse(n, -1.0))},"dur_s":${fmt(median(samples(n).toSeq))},"load":${"%.1f".format(loads.getOrElse(n, -1.0))},"rq_ms":${"%.1f".format(rqMs.getOrElse(n, -1.0))},"ext_cpu":${"%.2f".format(extCpu.getOrElse(n, -1.0))},"spill_mb":${"%.1f".format(sd)},"mem_spill_mb":${"%.1f".format(sm)},"shuf_w_mb":${"%.1f".format(sw)},"gc_ms":$gq,"jit_ms":$jq,"samples":$ss}"""
       }.mkString("[\n", ",\n", "\n]")
       val canaryJson = canary.map { case (n, (d, e, st, sd)) =>
         s"""{"name":"$n","dur_s":${fmt(d)},"ext_cpu":${"%.2f".format(e)},"storage_mb_at_start":${"%.0f".format(st)},"spill_mb":${"%.1f".format(sd)}}"""
       }.mkString("[", ",", "]")
-      val body = s"""{"total_s":${fmt(total)},"wall_s":${fmt(wallS)},"iters":$iters,"sf":"$sfDir","note":"t0_s = offset of the query's first timed start from pass start; load = 1-min /proc/loadavg at query start (~32 = this bench alone on 32 threads); rq_ms = run-delay growth of this JVM's threads during the query (first pass); ext_cpu = CPUs held by OTHER processes during the query window (/proc/stat minus /proc/self/stat, first pass; ~0 = quiet box); canary = post-pass re-run of the 3 heaviest queries after a cache-drop + GC reset to clean-session conditions — an externally-contended pass reading does not reproduce there, and storage_mb_at_start records residual storage-memory occupancy so an endogenous-pressure outlier self-explains (r13: a 7x quiet-box canary outlier traced to end-of-pass storage pressure, not contention); stdout line keys are the qNN prefixes of these names; spill_mb/mem_spill_mb/shuf_w_mb = this query's disk-spill / in-memory-spill / shuffle-write deltas from task metrics (first pass, listener-bus best-effort — r15 finding #1 asked for spill visibility to disposition q71-class readings)","canary":$canaryJson,"queries":$detail}"""
+      val body = s"""{"total_s":${fmt(total)},"wall_s":${fmt(wallS)},"iters":$iters,"sf":"$sfDir","note":"t0_s = offset of the query's first timed start from pass start; load = 1-min /proc/loadavg at query start (~32 = this bench alone on 32 threads); rq_ms = run-delay growth of this JVM's threads during the query (first pass); ext_cpu = CPUs held by OTHER processes during the query window (/proc/stat minus /proc/self/stat, first pass; ~0 = quiet box); canary = post-pass re-run of the 3 heaviest queries after a cache-drop + GC reset to clean-session conditions — an externally-contended pass reading does not reproduce there, and storage_mb_at_start records residual storage-memory occupancy so an endogenous-pressure outlier self-explains (r13: a 7x quiet-box canary outlier traced to end-of-pass storage pressure, not contention); stdout line keys are the qNN prefixes of these names; spill_mb/mem_spill_mb/shuf_w_mb = this query's disk-spill / in-memory-spill / shuffle-write deltas from task metrics (first pass, listener-bus best-effort — r15 finding #1 asked for spill visibility to disposition q71-class readings); gc_ms/jit_ms = this JVM's garbage-collection / JIT-compilation time during the query (MXBean deltas, first pass) — the endogenous session-pressure gauges for readings where every exogenous gauge is flat","canary":$canaryJson,"queries":$detail}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         body.getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(_) => () }

@@ -10,14 +10,18 @@ import org.apache.spark.sql.functions._
   * partition, so a real decoder would amortize codec/model init across
   * the whole batch instead of paying it per row.
   *
-  * One format decodes for REAL: 24-bit uncompressed BMP
+  * Three formats decode for REAL: 24-bit uncompressed BMP
   * ([[BmpDecoder]], with [[encodeBmp]] as its inverse and
-  * [[resizePixels]] the nearest-neighbor resample over its pixels).
-  * Every other payload routes to [[StubDecoder]], a deterministic
-  * stand-in for the codecs this container lacks — so decode, resize,
-  * and frame-sample stay TOTAL over arbitrary binary columns. The
-  * Spark-side plumbing — schema, binary transport, partition-batch
-  * shape, feature vector output — is real and tested either way.
+  * [[resizePixels]] the nearest-neighbor resample over its pixels),
+  * the multi-frame ICO container ([[IcoDecoder]]/[[encodeIco]]), and
+  * canonical 16-bit PCM WAV ([[WavDecoder]]/[[encodeWav]]); both
+  * [[decodeFeatures]] and the header-only [[mediaMeta]] dispatch
+  * across all three by magic bytes. Every other payload routes to
+  * [[StubDecoder]], a deterministic stand-in for the codecs this
+  * container lacks — so decode, meta, resize, and frame-sample stay
+  * TOTAL over arbitrary binary columns. The Spark-side plumbing —
+  * schema, binary transport, partition-batch shape, feature vector
+  * output — is real and tested either way.
   */
 object Multimodal {
 
@@ -98,11 +102,12 @@ object Multimodal {
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
         ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
 
-    /** The pixel-level decode: (width, height, pixels) with pixels in
-      * top-down row-major B,G,R byte order, padding stripped — the
-      * shared core of [[tryDecode]] (which folds stripe features over
-      * it) and the real resize kernel (which resamples it). */
-    def tryDecodePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    /** The strict header validation shared by [[tryMeta]] (which stops
+      * here — O(header) work) and [[tryDecodePixels]] (which goes on to
+      * copy the pixel array): (width, height, dataOff, topDown, stride),
+      * or None for anything that is not a strictly-valid 24-bit BI_RGB
+      * BMP with its whole pixel array in bounds. */
+    private def tryHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Boolean, Long)] = {
       if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) None
       else {
         val dataOff = i32(bytes, 10)
@@ -118,20 +123,34 @@ object Multimodal {
         if (dibSize < 40 || planes != 1 || bpp != 24 || compression != 0 ||
             w <= 0 || hRaw == 0 || hRaw == Int.MinValue || w > (Int.MaxValue / 4) ||
             dataOff < 54 || dataOff.toLong + stride * h > bytes.length) None
-        else {
-          val pixels = new Array[Byte]((rowBytes * h).toInt)
-          val topDown = hRaw < 0
-          var r = 0
-          while (r < h) {
-            val srcRow = if (topDown) r else h - 1 - r
-            System.arraycopy(bytes, dataOff + (srcRow * stride).toInt,
-              pixels, r * rowBytes.toInt, rowBytes.toInt)
-            r += 1
-          }
-          Some((w, h, pixels))
-        }
+        else Some((w, h, dataOff, hRaw < 0, stride))
       }
     }
+
+    /** Header-truth (width, height) WITHOUT decoding pixels — the
+      * O(header) metadata sniff [[Multimodal.mediaMeta]] dispatches on.
+      * Validates exactly as strictly as the full decode (same
+      * [[tryHeader]]), so meta-kind and decode-kind can never disagree. */
+    def tryMeta(bytes: Array[Byte]): Option[(Int, Int)] =
+      tryHeader(bytes).map { case (w, h, _, _, _) => (w, h) }
+
+    /** The pixel-level decode: (width, height, pixels) with pixels in
+      * top-down row-major B,G,R byte order, padding stripped — the
+      * shared core of [[tryDecode]] (which folds stripe features over
+      * it) and the real resize kernel (which resamples it). */
+    def tryDecodePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      tryHeader(bytes).map { case (w, h, dataOff, topDown, stride) =>
+        val rowBytes = 3 * w
+        val pixels = new Array[Byte](rowBytes * h)
+        var r = 0
+        while (r < h) {
+          val srcRow = if (topDown) r else h - 1 - r
+          System.arraycopy(bytes, dataOff + (srcRow * stride).toInt,
+            pixels, r * rowBytes, rowBytes)
+          r += 1
+        }
+        (w, h, pixels)
+      }
 
     def tryDecode(docId: Long, bytes: Array[Byte]): Option[MediaFeatures] =
       tryDecodePixels(bytes).map { case (w, h, pixels) =>
@@ -256,16 +275,55 @@ object Multimodal {
   /** Batch decode: one decoder pass per partition (mapPartitions keeps
     * the iterator lazy — constant memory per task regardless of
     * partition size; scale the parallelism with input partitioning).
-    * Format dispatch is per payload: a strictly-valid 24-bit BMP
-    * decodes for real ([[BmpDecoder]]); everything else falls back to
-    * the deterministic stub — one total function over arbitrary
-    * binary columns. */
+    * Format dispatch is per payload — each real decoder's magic check
+    * rejects the others' layouts in O(1), so the chain costs one
+    * decode plus a few byte compares: a strictly-valid 24-bit BMP
+    * ([[BmpDecoder]]), then a 24-bit ICO container ([[IcoDecoder]]:
+    * first-frame dims, frames concatenated into the stripe fold), then
+    * canonical 16-bit PCM WAV ([[WavDecoder.tryFeatures]]); everything
+    * else falls back to the deterministic stub — one total function
+    * over arbitrary binary columns. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { batch =>
       // a heavier codec/model would init once here, then stream the batch
       batch.map(r => BmpDecoder.tryDecode(r.doc_id, r.media)
+        .orElse(IcoDecoder.tryDecode(r.doc_id, r.media))
+        .orElse(WavDecoder.tryFeatures(r.doc_id, r.media))
         .getOrElse(StubDecoder.decode(r.doc_id, r.media)))
+    }
+  }
+
+  /** Sniffed metadata row: the format the dispatch recognized plus its
+    * header-truth dimensions. Per-kind column semantics: bmp =
+    * (width, height, 1); ico = (first-frame width, first-frame height,
+    * directory count); wav = (channels, bits-per-sample, per-channel
+    * frames); stub = the deterministic length arithmetic. */
+  final case class MediaMeta(doc_id: Long, kind: String, byte_len: Long,
+    width: Int, height: Int, n_frames: Int)
+
+  /** Metadata WITHOUT decode — each format's `tryMeta` validates the
+    * header exactly as strictly as the full decoder (shared header
+    * parses, so meta-kind and decode-kind can never disagree) but
+    * stops before materializing pixels/samples: O(header bytes) per
+    * row instead of O(payload), the right cost for a 100 TB cataloging
+    * pass that only needs dimensions and frame counts. Same narrow
+    * mapPartitions shape as [[decodeFeatures]]. */
+  def mediaMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      batch.map { r =>
+        val len = r.media.length.toLong
+        BmpDecoder.tryMeta(r.media).map { case (w, h) =>
+          MediaMeta(r.doc_id, "bmp", len, w, h, 1)
+        }.orElse(IcoDecoder.tryMeta(r.media).map { dims =>
+          MediaMeta(r.doc_id, "ico", len, dims.head._1, dims.head._2, dims.size)
+        }).orElse(WavDecoder.tryMeta(r.media).map { case (ch, _, frames) =>
+          MediaMeta(r.doc_id, "wav", len, ch, 16, frames)
+        }).getOrElse(MediaMeta(r.doc_id, "stub", len,
+          (len % 640 + 64).toInt, ((len * 7) % 480 + 48).toInt,
+          (len % 16 + 1).toInt))
+      }
     }
   }
 
@@ -354,7 +412,30 @@ object Multimodal {
     /** Decoded frames in directory order: (width, height, pixels) with
       * pixels top-down row-major B,G,R, XOR-image only, padding and
       * AND mask stripped. None unless EVERY entry validates. */
-    def tryDecodeFrames(bytes: Array[Byte]): Option[Seq[(Int, Int, Array[Byte])]] = {
+    def tryDecodeFrames(bytes: Array[Byte]): Option[Seq[(Int, Int, Array[Byte])]] =
+      walk(bytes, withPixels = true)
+
+    /** Directory-truth per-frame (width, height) WITHOUT decoding any
+      * pixel rows — the O(directory) metadata sniff
+      * [[Multimodal.mediaMeta]] dispatches on. Same strict walk (every
+      * entry's DIB header and bounds validate), no arraycopies. */
+    def tryMeta(bytes: Array[Byte]): Option[Seq[(Int, Int)]] =
+      walk(bytes, withPixels = false).map(_.map(f => (f._1, f._2)))
+
+    /** The [[MediaFeatures]] contract over a multi-frame container:
+      * width/height from the FIRST directory entry, n_frames = the
+      * directory count, features = the stripe fold over every frame's
+      * DECODED pixels concatenated in directory order — so two
+      * containers with the same frames in the same order embed
+      * identically regardless of their byte-level packing. */
+    def tryDecode(docId: Long, bytes: Array[Byte]): Option[MediaFeatures] =
+      tryDecodeFrames(bytes).map { frames =>
+        val px = Array.concat(frames.map(_._3): _*)
+        MediaFeatures(docId, bytes.length.toLong, frames.head._1,
+          frames.head._2, frames.size, StubDecoder.stripeFeatures(px))
+      }
+
+    private def walk(bytes: Array[Byte], withPixels: Boolean): Option[Seq[(Int, Int, Array[Byte])]] = {
       if (bytes.length < 6 || u16(bytes, 0) != 0 || u16(bytes, 2) != 1) None
       else {
         val count = u16(bytes, 4)
@@ -384,6 +465,7 @@ object Multimodal {
               if (dibSize < 40 || planes != 1 || bpp != 24 || compression != 0 ||
                   w <= 0 || h2 <= 0 || h2 % 2 != 0 || w != ew || h != eh ||
                   dibSize.toLong + (stride + maskStride) * h > size) ok = false
+              else if (!withPixels) frames += ((w, h, Array.emptyByteArray))
               else {
                 val rowBytes = 3 * w
                 val pixels = new Array[Byte](rowBytes * h)
@@ -472,9 +554,12 @@ object Multimodal {
     private def tag(b: Array[Byte], o: Int, s: String): Boolean =
       s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
 
-    /** (channels, sampleRate, samples) — samples interleaved signed
-      * 16-bit in frame order. None unless strictly canonical PCM. */
-    def tryDecode(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    /** The strict header validation shared by [[tryMeta]] (which stops
+      * here — O(header) work) and [[tryDecode]] (which goes on to read
+      * the sample array): (channels, sampleRate, dataLen), or None
+      * unless strictly canonical 16-bit PCM with the data chunk in
+      * bounds. */
+    private def tryHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
       if (bytes.length < 44 || !tag(bytes, 0, "RIFF") || !tag(bytes, 8, "WAVE") ||
           !tag(bytes, 12, "fmt ")) None
       else {
@@ -492,18 +577,52 @@ object Multimodal {
             !tag(bytes, 36, "data") || dataLen < 0 || dataLen % blockAlign != 0 ||
             44L + dataLen > bytes.length ||
             i32(bytes, 4) != 36 + dataLen) None
-        else {
-          val n = dataLen / 2
-          val samples = new Array[Short](n)
-          var i = 0
-          while (i < n) {
-            samples(i) = u16(bytes, 44 + 2 * i).toShort
-            i += 1
-          }
-          Some((channels, sampleRate, samples))
-        }
+        else Some((channels, sampleRate, dataLen))
       }
     }
+
+    /** Header-truth (channels, sampleRate, perChannelFrames) WITHOUT
+      * materializing the sample array — the O(header) metadata sniff
+      * [[Multimodal.mediaMeta]] dispatches on. Same strict validation
+      * as the full decode ([[tryHeader]]). */
+    def tryMeta(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+      tryHeader(bytes).map { case (ch, rate, dataLen) =>
+        (ch, rate, dataLen / (2 * ch))
+      }
+
+    /** (channels, sampleRate, samples) — samples interleaved signed
+      * 16-bit in frame order. None unless strictly canonical PCM. */
+    def tryDecode(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
+      tryHeader(bytes).map { case (channels, sampleRate, dataLen) =>
+        val n = dataLen / 2
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = u16(bytes, 44 + 2 * i).toShort
+          i += 1
+        }
+        (channels, sampleRate, samples)
+      }
+
+    /** The [[MediaFeatures]] contract over canonical PCM audio:
+      * width = channel count, height = bits per sample (16),
+      * n_frames = per-channel frame count, features = the stripe fold
+      * over the samples re-serialized little-endian — the byte
+      * sequence the data chunk carries, so the embedding is the same
+      * "stripe average over the decoded payload" law every other real
+      * decoder follows. */
+    def tryFeatures(docId: Long, bytes: Array[Byte]): Option[MediaFeatures] =
+      tryDecode(bytes).map { case (ch, _, samples) =>
+        val b = new Array[Byte](2 * samples.length)
+        var i = 0
+        while (i < samples.length) {
+          b(2 * i) = samples(i).toByte
+          b(2 * i + 1) = (samples(i) >> 8).toByte
+          i += 1
+        }
+        MediaFeatures(docId, bytes.length.toLong, ch, 16,
+          samples.length / ch, StubDecoder.stripeFeatures(b))
+      }
   }
 
   /** [[WavDecoder]]'s inverse: canonical 44-byte-header PCM encode.

@@ -6,10 +6,12 @@ import graft.Q
 import graft.engine.Tables
 import graft.ext.Multimodal
 
-/** Multimodal-column operators (see graft.ext.Multimodal). q50's metadata
-  * is arithmetic over the payload length; q51 exercises the
-  * mapPartitions batch-decode path — both over the text-as-media corpus,
-  * which always routes to the stub decoder. q82–q85 put the REAL format
+/** Multimodal-column operators (see graft.ext.Multimodal). q50 is the
+  * header-only metadata sniff and q51 the mapPartitions batch-decode
+  * path, both over the MIXED real-format corpus ([[mixedCorpus]]: BMP /
+  * ICO / WAV by doc_id, with the 0x00-prefixed undecodable rows pinning
+  * the stub fallback — the stub survives ONLY as the malformed-payload
+  * branch). q82–q85 put the REAL format
   * paths under the oracle: deterministic 24-bit BMP / three-frame ICO
   * corpora built from the same document bytes, decoded
   * ([[Multimodal.BmpDecoder]]/[[Multimodal.IcoDecoder]]),
@@ -88,6 +90,74 @@ object MultimodalQueries {
       }
     }.toDF()
   }
+
+  /** Deterministic MIXED-format corpus for q50/q51: decodable documents
+    * (>= 48 text bytes, doc_id % 5 != 0) become, by doc_id % 3, exactly
+    * the artifacts the single-format corpora construct — a strict
+    * 24-bit BMP ([[bmpCorpus]]'s rule: decoded pixels = first 12·w text
+    * bytes), a three-frame ICO ([[icoCorpus]]'s rule: frames decode to
+    * the first three 12-byte text slices at dims 2x2/4x1/1x4, total
+    * container 246 bytes), or a canonical PCM WAV ([[wavCorpus]]'s
+    * rule: 12 LE samples = first 24 text bytes, 1 or 2 channels by
+    * parity). Everything else gets the provably-undecodable
+    * 0x00-prefixed payload, pinning the stub fallback — so ONE corpus
+    * exercises every branch of the [[Multimodal.mediaMeta]] /
+    * [[Multimodal.decodeFeatures]] dispatch. */
+  private def mixedCorpus(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    Multimodal.mediaTable(docs).as[Multimodal.MediaRow].mapPartitions { it =>
+      it.map { r =>
+        if (r.media.length >= 48 && r.doc_id % 5 != 0) r.doc_id % 3 match {
+          case 0 =>
+            val w = if (r.doc_id % 4 < 2) 2 else 4
+            Multimodal.MediaRow(r.doc_id,
+              Multimodal.encodeBmp(java.util.Arrays.copyOf(r.media, 12 * w),
+                w, 4, bottomUp = r.doc_id % 2 == 0))
+          case 1 =>
+            def slice(a: Int, b: Int) = java.util.Arrays.copyOfRange(r.media, a, b)
+            Multimodal.MediaRow(r.doc_id, Multimodal.encodeIco(Seq(
+              (slice(0, 12), 2, 2), (slice(12, 24), 4, 1), (slice(24, 36), 1, 4))))
+          case _ =>
+            val ch = 1 + (r.doc_id % 2).toInt
+            val samples = Array.tabulate(12)(i =>
+              ((r.media(2 * i) & 0xff) | ((r.media(2 * i + 1) & 0xff) << 8)).toShort)
+            Multimodal.MediaRow(r.doc_id, Multimodal.encodeWav(samples, ch, 8000))
+        } else Multimodal.MediaRow(r.doc_id, 0.toByte +: r.media)
+      }
+    }.toDF()
+  }
+
+  /** Shared oracle head for the mixed-corpus queries: per doc, the text
+    * hex, byte length, the decodability predicate, the kind routing of
+    * [[mixedCorpus]], the BMP width, and the WAV channel count. */
+  private val sqlMixedBase =
+    """mk AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS len,
+      |         CASE WHEN NOT (octet_length(encode(text)) >= 48 AND doc_id % 5 <> 0)
+      |                THEN 'stub'
+      |              WHEN doc_id % 3 = 0 THEN 'bmp'
+      |              WHEN doc_id % 3 = 1 THEN 'ico'
+      |              ELSE 'wav' END AS kind,
+      |         CASE WHEN doc_id % 4 < 2 THEN 2 ELSE 4 END AS w,
+      |         CAST(doc_id % 2 + 1 AS INTEGER) AS ch
+      |  FROM documents)""".stripMargin
+
+  /** Shared oracle tail for the mixed-corpus queries: the per-kind
+    * header-truth metadata columns (the 246 is [[mixedCorpus]]'s fixed
+    * ICO container length: 54 directory bytes + 64 + 56 + 72 per
+    * frame; 68 the canonical 44-header + 24-data WAV). */
+  private val sqlMixedMetaCols =
+    """CAST(CASE kind WHEN 'bmp' THEN 54 + 4 * ((w*3 + 3) // 4) * 4
+      |               WHEN 'ico' THEN 246
+      |               WHEN 'wav' THEN 68
+      |               ELSE len + 1 END AS BIGINT) AS byte_len,
+      |  CAST(CASE kind WHEN 'bmp' THEN w WHEN 'ico' THEN 2 WHEN 'wav' THEN ch
+      |               ELSE (len + 1) % 640 + 64 END AS INTEGER) AS width,
+      |  CAST(CASE kind WHEN 'bmp' THEN 4 WHEN 'ico' THEN 2 WHEN 'wav' THEN 16
+      |               ELSE ((len + 1) * 7) % 480 + 48 END AS INTEGER) AS height,
+      |  CAST(CASE kind WHEN 'bmp' THEN 1 WHEN 'ico' THEN 3 WHEN 'wav' THEN 12 // ch
+      |               ELSE (len + 1) % 16 + 1 END AS INTEGER) AS n_frames""".stripMargin
 
   /** Shared oracle head for the BMP-corpus queries: per doc, the text
     * hex, byte length, the real-vs-stub routing predicate, and the
@@ -193,31 +263,38 @@ object MultimodalQueries {
 
   val defs: Map[String, Q] = Map(
 
-    // Typed metadata over an opaque binary column — pure projection, stays
-    // in whole-stage codegen, scales as a narrow map.
+    // Header-only metadata sniff over the MIXED real-format corpus —
+    // each format's tryMeta validates as strictly as its full decoder
+    // but stops at the header: O(header bytes) per row, the 100 TB
+    // cataloging cost. The oracle pins the detected kind AND the
+    // header-truth dims of all three formats (values the stub's length
+    // arithmetic can never produce) plus the stub fallback on the
+    // 0x00-prefixed rows. Narrow batch map, no shuffle before the sort.
     "q50_multimodal_meta" -> Q(
-      (s, d) => Multimodal.mediaTable(Tables.documents(s, d))
-        .select(col("doc_id"),
-          octet_length(col("media")).cast("long").as("byte_len"))
-        .withColumn("width", (col("byte_len") % 640 + 64).cast("int"))
-        .withColumn("height", ((col("byte_len") * 7) % 480 + 48).cast("int"))
-        .withColumn("n_frames", (col("byte_len") % 16 + 1).cast("int"))
+      (s, d) => Multimodal.mediaMeta(s, mixedCorpus(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("byte_len"),
+          col("width"), col("height"), col("n_frames"))
         .orderBy(col("doc_id")),
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |       CAST(octet_length(encode(text)) % 640 + 64 AS INTEGER) AS width,
-        |       CAST((octet_length(encode(text)) * 7) % 480 + 48 AS INTEGER) AS height,
-        |       CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin),
+      s"""WITH $sqlMixedBase
+         |SELECT doc_id, kind,
+         |  $sqlMixedMetaCols
+         |FROM mk ORDER BY doc_id""".stripMargin),
 
-    // Batch feature extraction through mapPartitions (stubbed decode; the
-    // batching/schema plumbing is the operator under test). The stub's
-    // stripe averages fold in DECIMAL(27,12), so even this typed
-    // mapPartitions path has a full oracle: DuckDB replays the byte
-    // stripes from the hex of the same UTF-8 payload.
+    // Batch feature extraction through mapPartitions over the MIXED
+    // real-format corpus: the full three-way real-decode dispatch (BMP
+    // pixels / ICO frames concatenated / WAV samples re-serialized)
+    // under one oracle. Every real branch's stripe fold lands on a
+    // text-byte prefix whose length the format fixes (12·w / 36 / 24 —
+    // the encode/decode round-trip laws), so DuckDB replays all three
+    // embeddings from the text hex with ONE parameterized fold; the
+    // 0x00-prefixed rows pin the stub branch (fold shifted one right,
+    // q82's formula). Stripe sums fold in DECIMAL(27,12) — exact,
+    // order-independent, bit-equal across engines.
     "q51_multimodal_features" -> Q(
       (s, d) => {
         val feats = Multimodal.decodeFeatures(
-          s, Multimodal.mediaTable(Tables.documents(s, d)))
+          s, mixedCorpus(s, Tables.documents(s, d)))
         val fCols = (0 until Multimodal.StubDecoder.featureDim)
           .map(k => element_at(col("features"), k + 1).as(s"f$k"))
         feats.toDF()
@@ -225,20 +302,29 @@ object MultimodalQueries {
             col("height"), col("n_frames")) ++ fCols: _*)
           .orderBy(col("doc_id"))
       }, {
+        // real branches: stripe mean over the decoded payload = the
+        // first L text bytes (L = 12·w bmp / 36 ico / 24 wav). Stub:
+        // q82's fold shifted one position right — payload byte 0 is
+        // the 0x00 router (lut 0, but it COUNTS in stripe 0).
         def f(k: Int) =
-          s"""COALESCE(CAST(list_sum(list_transform(range(${k + 1}, len + 1, 8),
+          s"""CASE WHEN kind <> 'stub' THEN
+             |  CAST(list_sum(list_transform(range(${k + 1}, L + 1, 8),
              |    i -> CAST(('0x' || substr(hx, CAST(2*i-1 AS INTEGER), 2))::INTEGER / 255.0 AS DECIMAL(27,12))))
-             |  AS DOUBLE) / ((len - $k + 7) // 8), 0e0) AS f$k""".stripMargin
-        s"""WITH b AS (
-           |  SELECT doc_id, hex(encode(text)) AS hx,
-           |         CAST(octet_length(encode(text)) AS BIGINT) AS len
-           |  FROM documents)
-           |SELECT doc_id, len AS byte_len,
-           |       CAST(len % 640 + 64 AS INTEGER) AS width,
-           |       CAST((len * 7) % 480 + 48 AS INTEGER) AS height,
-           |       CAST(len % 16 + 1 AS INTEGER) AS n_frames,
+             |  AS DOUBLE) / ((L - $k + 7) // 8)
+             |ELSE
+             |  COALESCE(CAST(list_sum(list_transform(range(${if (k == 0) 8 else k}, len + 1, 8),
+             |    i -> CAST(('0x' || substr(hx, CAST(2*i-1 AS INTEGER), 2))::INTEGER / 255.0 AS DECIMAL(27,12))))
+             |  AS DOUBLE) / ((len + 1 - $k + 7) // 8), 0e0)
+             |END AS f$k""".stripMargin
+        s"""WITH $sqlMixedBase,
+           |mkl AS (SELECT mk.*,
+           |          CASE kind WHEN 'bmp' THEN 12*w WHEN 'ico' THEN 36
+           |                    WHEN 'wav' THEN 24 ELSE 0 END AS L
+           |        FROM mk)
+           |SELECT doc_id,
+           |  $sqlMixedMetaCols,
            |${(0 until Multimodal.StubDecoder.featureDim).map(f).mkString(",\n")}
-           |FROM b ORDER BY doc_id""".stripMargin
+           |FROM mkl ORDER BY doc_id""".stripMargin
       }),
 
     // Frame-sample stage under the oracle: the video -> frames fan-out

@@ -241,4 +241,58 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.frame.length == 16))
     assert(frames.map(_.frame_idx).toSeq == (0 until payloadLen / 16 by 2).toSeq)
   }
+
+  test("mediaMeta: header-truth kind dispatch without decode; stub fallback") {
+    import spark.implicits._
+    val px = Array.tabulate(24)(i => (i * 7 + 3).toByte)
+    val bmp = Multimodal.encodeBmp(px, 2, 4, bottomUp = true)
+    val ico = Multimodal.encodeIco(Seq(
+      (px.take(12), 2, 2), (px.slice(12, 24), 4, 1), (px.take(12), 1, 4)))
+    val wav = Multimodal.encodeWav(Array.tabulate[Short](12)(i => (i * 321 - 900).toShort),
+      channels = 2, sampleRate = 8000)
+    val junk = "not media at all, just text".getBytes("UTF-8")
+    val got = Multimodal.mediaMeta(spark,
+        Seq(1L -> bmp, 2L -> ico, 3L -> wav, 4L -> junk).toDF("doc_id", "media"))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(got(1L) == Multimodal.MediaMeta(1L, "bmp", bmp.length.toLong, 2, 4, 1))
+    assert(got(2L) == Multimodal.MediaMeta(2L, "ico", ico.length.toLong, 2, 2, 3))
+    assert(got(3L) == Multimodal.MediaMeta(3L, "wav", wav.length.toLong, 2, 16, 6))
+    // stub fallback carries the deterministic length arithmetic
+    val len = junk.length.toLong
+    assert(got(4L) == Multimodal.MediaMeta(4L, "stub", len,
+      (len % 640 + 64).toInt, ((len * 7) % 480 + 48).toInt, (len % 16 + 1).toInt))
+    // meta dims equal full-decode truth on every real kind (shared headers)
+    assert(Multimodal.BmpDecoder.tryMeta(bmp).contains((2, 4)))
+    assert(Multimodal.IcoDecoder.tryMeta(ico).contains(Seq((2, 2), (4, 1), (1, 4))))
+    assert(Multimodal.WavDecoder.tryMeta(wav).contains((2, 8000, 6)))
+    assert(Multimodal.BmpDecoder.tryMeta(junk).isEmpty
+      && Multimodal.IcoDecoder.tryMeta(junk).isEmpty
+      && Multimodal.WavDecoder.tryMeta(junk).isEmpty)
+  }
+
+  test("decodeFeatures: ICO and WAV branches fold the decoded payload stripes") {
+    import spark.implicits._
+    val px = Array.tabulate(36)(i => (i * 11 + 5).toByte)
+    val ico = Multimodal.encodeIco(Seq(
+      (px.take(12), 2, 2), (px.slice(12, 24), 4, 1), (px.slice(24, 36), 1, 4)))
+    val samples = Array.tabulate[Short](12)(i => (i * 1234 - 6000).toShort)
+    val wav = Multimodal.encodeWav(samples, channels = 1, sampleRate = 8000)
+    val got = Multimodal.decodeFeatures(spark,
+        Seq(1L -> ico, 2L -> wav).toDF("doc_id", "media"))
+      .collect().map(m => m.doc_id -> m).toMap
+    // ICO: first-frame dims, directory count, stripe fold over the
+    // frames' decoded pixels concatenated in directory order
+    assert(got(1L).width == 2 && got(1L).height == 2 && got(1L).n_frames == 3)
+    assert(got(1L).byte_len == ico.length.toLong)
+    assert(got(1L).features.toSeq ==
+      Multimodal.StubDecoder.stripeFeatures(px).toSeq,
+      "ICO features must fold the concatenated decoded frame pixels")
+    // WAV: channels/bits/frames, stripe fold over the samples
+    // re-serialized little-endian (= the data chunk's byte sequence)
+    val le = samples.flatMap(s0 => Array(s0.toByte, (s0 >> 8).toByte))
+    assert(got(2L).width == 1 && got(2L).height == 16 && got(2L).n_frames == 12)
+    assert(got(2L).features.toSeq ==
+      Multimodal.StubDecoder.stripeFeatures(le).toSeq,
+      "WAV features must fold the little-endian sample bytes")
+  }
 }
