@@ -41,7 +41,7 @@ object StageProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- q57 containment pairs: fps persist / rare persist / pair join
-    {
+    if (args.isEmpty || args.contains("q57")) {
       val k = 8; val w = 4; val dfCap = 32
       val fps = Tables.documents(spark, sfDir)
         .where(length(col("text")) >= k + w - 1)
@@ -71,7 +71,7 @@ object StageProbe {
     }
 
     // ---- q53 packing plan: range exchange / local window+persist / rest
-    {
+    if (args.isEmpty || args.contains("q53")) {
       val nShards = spark.conf.get("spark.sql.shuffle.partitions").toInt
       val sharded = Tables.documents(spark, sfDir)
         .select(col("lang"), col("doc_id"), col("text"))
@@ -88,6 +88,100 @@ object StageProbe {
       t("q53 FULL (warm kernels, own caches)")(
         SparkEntry.queries("q53_packing_plan")(spark, sfDir).count())
       spark.catalog.clearCache()
+    }
+
+    // ---- q106 streaming curation: split write / per-trigger drains /
+    // compact / store read. A StreamingQueryListener dumps each
+    // trigger's durationMs breakdown (addBatch = the foreachBatch body,
+    // walCommit/latestOffset = source machinery) so the drain seconds
+    // attribute to phases inside the micro-batch.
+    if (args.contains("q106")) {
+      // job-level account inside the drain: one line per Spark job with
+      // wall duration — the addBatch seconds decompose into these
+      val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .orElse(Option(j.properties).flatMap(p => Option(p.getProperty("callSite.short"))))
+            .getOrElse("?")
+          jobStarts.put(j.jobId, (j.time, desc.take(90)))
+        }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = jobStarts.remove(j.jobId)
+          if (s != null)
+            println(f"PROBE-JOB ${j.jobId}%4d ${(j.time - s._1) / 1e3}%6.2f s  ${s._2}")
+        }
+      })
+      spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          val d = p.durationMs
+          println(s"PROBE q106 batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${d}")
+        }
+      })
+      val dir = java.nio.file.Files.createTempDirectory("probe_q106").toString
+      val in = s"$dir/in"; val curated = s"$dir/curated"; val sig = s"$dir/sig"
+      val docs = Tables.documents(spark, sfDir)
+      t("q106 stage0: split write (4 files)") {
+        (0 until 4).foreach(i =>
+          docs.where(col("doc_id") % 4 === i).coalesce(1)
+            .write.mode("append").parquet(in))
+      }
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      t("q106 stage1: drain (4 triggers)") {
+        graft.streaming.Streaming.incrementalCurationSink(stream, curated, sig,
+            numBuckets = 16)
+          .option("checkpointLocation", s"$dir/ck").start().awaitTermination()
+      }
+      t("q106 stage2: compact")(
+        graft.streaming.Streaming.compactCuratedStore(spark, curated, sig))
+      t("q106 stage3: store read + project") {
+        graft.engine.Sinks.readUpsertStore(spark, curated)
+          .select(col("doc_id"), md5(col("text")).as("text_hash"))
+          .orderBy(col("doc_id")).count()
+      }
+      t("q106 FULL (warm machinery)")(
+        SparkEntry.queries("q106_stream_curation")(spark, sfDir).count())
+      // A/B: the same drain with AQE off — tiny per-trigger batches pay
+      // a fixed job-launch cost per AQE shuffle materialization
+      val dir2 = java.nio.file.Files.createTempDirectory("probe_q106b").toString
+      val in2 = s"$dir2/in"
+      (0 until 4).foreach(i =>
+        docs.where(col("doc_id") % 4 === i).coalesce(1)
+          .write.mode("append").parquet(in2))
+      val stream2 = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in2)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      t("q106 stage1-AQE-OFF: drain (4 triggers)") {
+        graft.streaming.Streaming.incrementalCurationSink(stream2,
+            s"$dir2/curated", s"$dir2/sig", numBuckets = 16)
+          .option("checkpointLocation", s"$dir2/ck").start().awaitTermination()
+      }
+      t("q106 stage2-AQE-OFF: compact")(
+        graft.streaming.Streaming.compactCuratedStore(spark, s"$dir2/curated", s"$dir2/sig"))
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    // ---- q103 driver-loop PageRank: AQE on vs off. The state is
+    // node-scale (11 hosts at sf0.1) so per-block cost is pure
+    // scheduling; AQE turns every shuffle in the 4-sweep composed block
+    // into its own materialization job.
+    if (args.contains("q103")) {
+      t("q103 FULL (AQE on, cold)")(
+        SparkEntry.queries("q103_pagerank_fixpoint")(spark, sfDir).count())
+      t("q103 FULL (AQE on, warm)")(
+        SparkEntry.queries("q103_pagerank_fixpoint")(spark, sfDir).count())
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      t("q103 FULL (AQE off)")(
+        SparkEntry.queries("q103_pagerank_fixpoint")(spark, sfDir).count())
+      t("q103 FULL (AQE off, 2nd)")(
+        SparkEntry.queries("q103_pagerank_fixpoint")(spark, sfDir).count())
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
     spark.stop()
   }

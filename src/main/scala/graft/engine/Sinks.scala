@@ -429,8 +429,16 @@ object Sinks {
             s"merging with ${keys.mkString(",")} would mis-bucket rows")
       storedN
     } else numBuckets
+    // the batch plan is consumed twice below (touched-bucket scoping,
+    // then the merge/creation write) and sink batches are often the
+    // tail of an expensive pipeline (the curation sink's is an LSH
+    // probe chain) — pin it so the second consumer reads the cache
+    // instead of recomputing the whole chain. MEMORY_AND_DISK default:
+    // batches are micro-batch sized by the sink contract, and a large
+    // one degrades to a disk spill, not an OOM.
     val keyed = batch.withColumn(BucketCol,
-      pmod(xxhash64(keys.map(col): _*), lit(n.toLong)).cast("int"))
+      pmod(xxhash64(keys.map(col): _*), lit(n.toLong)).cast("int")).persist()
+    try {
     if (!fs.exists(meta)) {
       // creation overwrites dst, so it must never run over a directory
       // that is NOT a half-created store of ours: a crashed creation
@@ -446,7 +454,7 @@ object Sinks {
       }
       // an empty batch must not create a zero-file store — later reads
       // of it would fail schema inference and wedge every merge
-      if (batch.isEmpty) return
+      if (keyed.isEmpty) return
       // creation: lay the whole batch out bucketed, then stamp the meta
       // (meta-last so a crash mid-creation re-runs creation cleanly)
       keyed.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
@@ -485,6 +493,7 @@ object Sinks {
       fs.delete(aside, true)
     }
     fs.delete(tmpRoot, true)
+    } finally keyed.unpersist(false)
   }
 
   /** Read the partition-scoped upsert store back with its user schema
@@ -528,9 +537,13 @@ object Sinks {
       val missing = keys.filterNot(victims.columns.contains)
       require(missing.isEmpty,
         s"victims frame lacks the store's merge key(s): ${missing.mkString(",")}")
+      // same double-consumption shape as the merge (touched scoping +
+      // the anti-join), and compact's victims are LSH pair-join output
+      // — pin across both
       val keyed = victims.select(keys.map(col): _*).distinct()
         .withColumn(BucketCol,
-          pmod(xxhash64(keys.map(col): _*), lit(n.toLong)).cast("int"))
+          pmod(xxhash64(keys.map(col): _*), lit(n.toLong)).cast("int")).persist()
+      try {
       val touched = keyed.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).sorted
       if (touched.nonEmpty) {
@@ -568,6 +581,7 @@ object Sinks {
           .exists(_.getPath.getName.startsWith(s"$BucketCol="))
         if (!anyBucket) fs.delete(dst, true)
       }
+      } finally keyed.unpersist(false)
     }
   }
 

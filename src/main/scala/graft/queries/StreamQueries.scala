@@ -102,8 +102,12 @@ object StreamQueries {
         val curated = s"$dir/curated"
         val sig = s"$dir/sig"
         val docs = Tables.documents(s, d)
+        // store sizing follows the upsert store's own rule (one bucket ≈
+        // a comfortable task read): 4 buckets for a sf-scale corpus —
+        // every interleaved trigger touches all buckets, so the bucket
+        // count is a pure per-trigger file-op multiplier here
         Streaming.incrementalCurationSink(splitStream(s, docs, dir), curated, sig,
-            numBuckets = 16)
+            numBuckets = 4)
           .option("checkpointLocation", s"$dir/ck").start().awaitTermination()
         Streaming.compactCuratedStore(s, curated, sig)
         Sinks.readUpsertStore(s, curated)
