@@ -79,7 +79,9 @@ object Bench {
       "q94_bloom_decontamination", // shingle kernel + probe pass, ~3.2 s (r15)
       "q106_stream_curation", // 4 streaming triggers + store compact (r16)
       "q105_stream_hll_state", // 4 streaming triggers into the register store (r16)
-      "q103_pagerank_fixpoint", // 38 driver-loop sweeps, job-overhead bound (r16)
+      "q103_pagerank_fixpoint", // 44 driver-loop sweeps, job-overhead bound (r16)
+      "q107_kmeans_fixpoint", // 35 driver-loop Lloyd sweeps at sf0.1 (r16)
+      "q108_bpe_train", // 24 driver-loop merge sweeps over the vocab (r16)
       "q21_top_revenue_orders",
       "q22_region_revenue", "q16_flatten_arrays", "q12_upsert_latest",
       "q39_topk_aggregator", "q14_summary_metrics", "q26_priority_top3",

@@ -43,6 +43,21 @@ object QuantDot {
     }
     java.lang.Double.valueOf(acc.toDouble / 1e12)
   }
+
+  /** The same fold over plain arrays — for DRIVER-side consumers of the
+    * numeric contract (kmeansConverge recomputes centroid norms on the
+    * collected k·dim pack; the arithmetic must stay defined ONCE, here,
+    * or the loop and the executor kernel could drift bit-wise). */
+  def dot(a: Array[Double], b: Array[Double]): Double = {
+    require(a.length == b.length, s"length mismatch: ${a.length} vs ${b.length}")
+    var acc = 0L
+    var i = 0
+    while (i < a.length) {
+      acc += Math.floor(a(i) * b(i) * 1e12 + 0.5).toLong
+      i += 1
+    }
+    acc.toDouble / 1e12
+  }
 }
 
 case class QuantDotProduct(left: Expression, right: Expression)

@@ -54,7 +54,7 @@ object Graph {
     *     rounds when materialized eagerly). Two up-front jobs are noise
     *     next to that. */
   /** The three lineage-truncation modes an iteration loop needs. */
-  private final case class Checkpointers(
+  private[graft] final case class Checkpointers(
     /** Lazy truncation — for state whose FIRST action is also its last
       * within the loop body, or when the caller manages caching. On the
       * reliable path the checkpoint-writer job recomputes the plan a
@@ -71,7 +71,7 @@ object Graph {
       * blocks free immediately instead of waiting on ContextCleaner. */
     lazyOnce: DataFrame => (DataFrame, () => Unit))
 
-  private def checkpointers(probe: DataFrame, dir: Option[String]): Checkpointers =
+  private[graft] def checkpointers(probe: DataFrame, dir: Option[String]): Checkpointers =
     dir match {
       case Some(d) =>
         probe.sparkSession.sparkContext.setCheckpointDir(d)

@@ -488,7 +488,100 @@ object EmbeddingQueries {
            |             row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, cand_id ASC) AS rank
            |      FROM sc) z
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-      })
+      }),
+
+    // The production convergence loop under the oracle (r15 verdict
+    // ask #4, q103's device on centroid state): [[kmeansConverge]] runs
+    // Lloyd sweeps to the EXACT tol = 0 fixpoint — reachable, not just
+    // approachable, because every centroid coordinate is a
+    // deterministic quantized-long mean — with a data-dependent sweep
+    // count (15 at sf0.001, 19 at sf0.01, 35 at sf0.1; nothing in
+    // either engine's text pins it). The oracle runs the SAME sweep as
+    // a recursive CTE whose working row is the whole centroid state
+    // (one cell-ordered list of structs, q75's sweep arithmetic
+    // verbatim), stepping while next <> current. Spark's `iters`
+    // includes the final no-change confirmation sweep; the CTE's last
+    // row is the first index whose state stopped changing, so iters =
+    // fin.i + 1. delta = 0.0 asserts the loop stopped ON convergence,
+    // not at maxIters. One wrong quantized mean in ANY sweep, an
+    // empty-cell rule slip, or a loop that stops a sweep early or late
+    // shifts the assignment or the count and breaks the hash.
+    //
+    // AQE off, scoped to the entry exactly like q103: per-sweep state
+    // is k*dim doubles and the corpus side is a broadcast-join narrow
+    // map, so every AQE stage materialization inside a sweep is a pure
+    // driver barrier; a corpus needing runtime re-planning would keep
+    // the session default.
+    "q107_kmeans_fixpoint" -> Q(
+      (s, d) => {
+        val aqe = s.conf.get("spark.sql.adaptive.enabled")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        val r = try {
+          kmeansConverge(Tables.embeddings(s, d), nSeeds, maxIters = 40)
+        } finally s.conf.set("spark.sql.adaptive.enabled", aqe)
+        r.assign.select(col("vec_id"), col("cell"), col("ccos"),
+            lit(r.iters).as("iters"), lit(r.delta).as("delta"))
+          .orderBy(col("vec_id"))
+      },
+      s"""WITH RECURSIVE
+         |vecs AS (
+         |  SELECT vec_id, embedding AS v,
+         |         sqrt(${sqlQDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |st0 AS (
+         |  SELECT list(struct_pack(cell := vec_id,
+         |                          cv := list_transform(v, y -> CAST(y AS DOUBLE)))
+         |              ORDER BY vec_id) AS st
+         |  FROM vecs WHERE vec_id < $nSeeds),
+         |it AS (
+         |  SELECT 0 AS i, st FROM st0
+         |  UNION ALL
+         |  SELECT i + 1, nxt FROM (
+         |    SELECT i, st,
+         |      (SELECT list(struct_pack(cell := k.cell, cv := coalesce(m.cv, p.cv))
+         |              ORDER BY k.cell)
+         |       FROM (SELECT unnest(range(0, $nSeeds)) AS cell) k
+         |       LEFT JOIN (
+         |         SELECT cell,
+         |                list(CAST(sxi AS DOUBLE) / (CAST(n AS DOUBLE) * ${QScale}e0)
+         |                     ORDER BY d) AS cv
+         |         FROM (
+         |           SELECT cell, d,
+         |                  SUM(CAST(floor(CAST(x AS DOUBLE) * ${QScale}e0 + 0.5) AS BIGINT)) AS sxi,
+         |                  COUNT(*) AS n
+         |           FROM (
+         |             SELECT cell, unnest(range(0, $dim)) AS d, unnest(v) AS x
+         |             FROM (
+         |               SELECT vec_id, v, cell FROM (
+         |                 SELECT x.vec_id, x.v, c.cell,
+         |                        row_number() OVER (PARTITION BY x.vec_id
+         |                          ORDER BY ${sqlQDot("x.v", "c.cv")} / (x.nrm * c.cnrm) DESC,
+         |                                   c.cell ASC) AS rn
+         |                 FROM vecs x CROSS JOIN (
+         |                   SELECT u.cell, u.cv, sqrt(${sqlQDot("u.cv", "u.cv")}) AS cnrm
+         |                   FROM unnest(it.st) AS t(u)) c) z
+         |               WHERE rn = 1) a) u
+         |           GROUP BY cell, d) sums
+         |         GROUP BY cell) m USING (cell)
+         |       LEFT JOIN (SELECT u.cell, u.cv FROM unnest(it.st) AS t(u)) p USING (cell)
+         |      ) AS nxt
+         |    FROM it
+         |  ) WHERE nxt <> st AND i < 40
+         |),
+         |fin AS (SELECT i, st FROM it ORDER BY i DESC LIMIT 1),
+         |cf AS (SELECT u.cell, u.cv, sqrt(${sqlQDot("u.cv", "u.cv")}) AS cnrm
+         |       FROM fin, unnest(fin.st) AS t(u))
+         |SELECT vec_id, cell, ccos,
+         |       (SELECT CAST(i + 1 AS INTEGER) FROM fin) AS iters,
+         |       CAST(0 AS DOUBLE) AS delta
+         |FROM (
+         |  SELECT x.vec_id, c.cell,
+         |         ${sqlQDot("x.v", "c.cv")} / (x.nrm * c.cnrm) AS ccos,
+         |         row_number() OVER (PARTITION BY x.vec_id
+         |           ORDER BY ${sqlQDot("x.v", "c.cv")} / (x.nrm * c.cnrm) DESC,
+         |                    c.cell ASC) AS rn
+         |  FROM vecs x CROSS JOIN cf c) z
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin)
   )
 
   /** SemDeDup-style semantic dedup over an embeddings table (vec_id,
@@ -791,30 +884,44 @@ object EmbeddingQueries {
     cents.map { case (k, v) => k -> (v.toArray, norms(k)) }.toMap
   }
 
-  /** The inverse: rebuild the 1-row pack as LITERALS. This is the
-    * lineage truncation of the convergence loop — the values are the
-    * exact collected doubles (no re-quantization, no recomputation),
-    * and the resulting plan is one sweep deep no matter how many
-    * sweeps ran. Centroids are the one piece of k-means state small
-    * enough that the driver IS the right checkpoint medium; the
-    * corpus-scale frames never checkpoint at all (each sweep re-reads
-    * the persisted base). */
+  /** The inverse: rebuild the 1-row pack as a LOCAL RELATION. This is
+    * the lineage truncation of the convergence loop — the values are
+    * the exact collected doubles (no re-quantization, no
+    * recomputation), and the resulting plan is one sweep deep no
+    * matter how many sweeps ran. Centroids are the one piece of
+    * k-means state small enough that the driver IS the right
+    * checkpoint medium; the corpus-scale frames never checkpoint at
+    * all (each sweep re-reads the persisted base). The pack is DATA
+    * (one Row), not literal expressions: a literal pack changes the
+    * plan text every sweep and forces a fresh whole-stage codegen
+    * compile per sweep, while the local-relation plan is shape-stable
+    * so sweep 2..N reuse sweep 1's generated classes. */
   private def literalPack(s: SparkSession,
                           pack: Map[Long, (Array[Double], Double)]): DataFrame = {
     val keys = pack.keys.toSeq.sorted
-    s.range(1).select(
-      map_from_arrays(
-        array(keys.map(lit(_)): _*),
-        array(keys.map(k => array(pack(k)._1.map(lit(_)).toIndexedSeq: _*)): _*)).as("cents"),
-      map_from_arrays(
-        array(keys.map(lit(_)): _*),
-        array(keys.map(k => lit(pack(k)._2)): _*)).as("cnorms"))
+    val row = org.apache.spark.sql.Row(
+      keys.map(k => k -> pack(k)._1.toSeq).toMap,
+      keys.map(k => k -> pack(k)._2).toMap)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cents",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))),
+      org.apache.spark.sql.types.StructField("cnorms",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.DoubleType))))
+    s.createDataFrame(java.util.Collections.singletonList(row), schema)
   }
 
   /** Driver-loop Lloyd convergence — the production harness the
     * unrolled [[kmeansAssign]] (plan-bounded at 4 sweeps) points to:
-    * run one [[refineOnce]] sweep at a time, materialize the centroid
-    * pack to the driver after each (k·dim doubles — see
+    * run one Lloyd sweep at a time ([[refineOnce]]'s assignment +
+    * quantized sums as the one Spark job, the mean/fallback/norm tail
+    * as driver arithmetic on the collected k·dim state — see the loop
+    * body), materialize the centroid pack to the driver after each
+    * (k·dim doubles — see
     * [[literalPack]] for why that IS the per-sweep checkpoint), and
     * stop when the largest centroid-coordinate movement is <= `tol`
     * (default 0.0: exact fixpoint — meaningful because every
@@ -850,7 +957,36 @@ object EmbeddingQueries {
     var iters = 0
     var delta = Double.PositiveInfinity
     while (iters < maxIters && delta > tol) {
-      val next = collectPack(refineOnce(base, literalPack(s, cur), nSeeds))
+      // one job per sweep: the fused assignment + per-(cell, dim)
+      // quantized-long sums, collected as the nSeeds·dim pack-scale
+      // rows (map-side combined, so the exchange and the collect are
+      // pack-sized regardless of corpus scale). The mean, the
+      // empty-cell fallback, and the norm are then DRIVER arithmetic
+      // on that state — bit-identical to [[refineOnce]]'s Column forms
+      // (same IEEE ops in the same order; the norm goes through the
+      // one shared [[graft.expressions.QuantDot.dot]] definition), but
+      // without refineOnce's two extra pack-assembly exchanges per
+      // sweep. SemDedupSpec pins loop == unrolled, q107's oracle pins
+      // every coordinate transitively, so a drift here is caught twice.
+      val sums = base.crossJoin(broadcast(literalPack(s, cur)))
+        .withColumn("best", array_max(scoredCells(nSeeds, qdotCol)))
+        .select((-col("best.negk")).cast("long").as("cell"), posexplode(col("v")))
+        .toDF("cell", "d", "x")
+        .groupBy(col("cell"), col("d"))
+        .agg(sum(floor(col("x") * lit(QScale.toDouble) + lit(0.5e0)).cast("long")).as("sxi"),
+          count(lit(1)).as("n"))
+        .collect()
+      val means = sums.groupBy(_.getLong(0)).map { case (cell, rows) =>
+        val cv = new Array[Double](rows.length)
+        rows.foreach { r =>
+          cv(r.getInt(1)) = r.getLong(2).toDouble / (r.getLong(3).toDouble * QScale.toDouble)
+        }
+        cell -> cv
+      }
+      val next = (0L until nSeeds.toLong).map { k =>
+        val cv = means.getOrElse(k, cur(k)._1)
+        k -> (cv, math.sqrt(graft.expressions.QuantDot.dot(cv, cv)))
+      }.toMap
       delta = next.map { case (k, (cv, _)) =>
         val prev = cur(k)._1
         cv.indices.map(i => math.abs(cv(i) - prev(i))).max

@@ -364,6 +364,92 @@ object TextQueries {
       .limit(k)
   }
 
+  /** Full BPE tokenizer TRAINING (q108) — the driver loop whose single
+    * step q90's [[bpePairCounts]] statistic is (Sennrich et al.,
+    * arXiv:1508.07909 §3.2): repeatedly take the most frequent
+    * adjacent symbol pair over the word-frequency table (count DESC,
+    * then (s1, s2) ASC — a total order, so every step is
+    * deterministic) and merge it everywhere, left-to-right
+    * non-overlapping within each word, until `maxMerges` merges have
+    * been learned or the best pair's count drops below `minCount`
+    * (the data-dependent stop — Sennrich's frequency threshold).
+    * Returns the learned merge table (step, s1, s2, n): THE tokenizer
+    * artifact — applying it in order reproduces the segmentation.
+    *
+    * Symbol sequences are carried as bracket-encoded strings
+    * ( sym  per symbol): a merge is then ONE
+    * `replace(enc, ␁s1␂␁s2␂, ␁s1s2␂)` — and `replace`'s left-to-right
+    * non-overlapping scan IS the reference merge rule ("aaa" under
+    * (a,a) → ("aa", "a"); the per-symbol brackets share no characters
+    * between adjacent occurrences, so the scan never skips a legal
+    * merge the way delimiter-sharing encodings do). Pair counting
+    * splits the brackets back off and counts per POSITION (overlaps
+    * included, exactly `get_stats`). Words containing the bracket
+    * code points are dropped up front (they would corrupt the
+    * encoding; real tokenizers byte-fallback such input).
+    *
+    * Scale shape — why BPE training runs at 100 TB: the corpus
+    * collapses to its VOCABULARY (one map-side-combined word count)
+    * before the loop, so every sweep touches vocabulary-sized state
+    * only: one narrow `replace` map + one map-side-combined pair
+    * count whose exchange carries distinct-pair keys. The driver
+    * holds the argmax scalar and the merge list (both tokenizer-
+    * sized), never the vocab; per-sweep state truncates lineage
+    * through [[graft.ext.Graph.checkpointers]] (localCheckpoint, or
+    * reliable files via `checkpointDir` on a real cluster — the
+    * [[graft.ext.Graph.pageRankConverge]] discipline; an unbroken
+    * persist chain blows the driver past a few dozen sweeps). */
+  def bpeTrain(docs: DataFrame, maxMerges: Int = 12, minCount: Long = 2L,
+               checkpointDir: Option[String] = None): DataFrame = {
+    require(maxMerges >= 1, s"need at least one merge step, got $maxMerges")
+    require(minCount >= 1, s"minCount must be positive, got $minCount")
+    val s = docs.sparkSession
+    import s.implicits._
+    val (bl, br) = ("\u0001", "\u0002")
+    val vocab = docs.select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+      .where(length(col("word")) > 1 &&
+        !col("word").contains(bl) && !col("word").contains(br))
+      .select(expr(
+        "concat_ws('', transform(sequence(1, length(word)), " +
+          "i -> concat(char(1), substring(word, i, 1), char(2))))")
+        .as("enc"), col("wn"))
+    val cks = graft.ext.Graph.checkpointers(vocab, checkpointDir)
+    var cur = cks.ckptNow(vocab)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < maxMerges && !done) {
+      // symbols back out of the brackets; adjacent pairs per position
+      val best = cur.select(expr(
+          "split(substring(enc, 2, length(enc) - 2), concat(char(2), char(1)))").as("syms"),
+          col("wn"))
+        // a fully-merged word is ONE symbol: no pairs (and Spark's
+        // sequence(1, 0) would DESCEND, not come back empty)
+        .where(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS s1, syms[i] AS s2))"))
+          .as("p"), col("wn"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("wn")).as("n"))
+        .orderBy(col("n").desc, col("s1"), col("s2"))
+        .limit(1).as[(String, String, Long)].collect()
+      best.headOption.filter(_._3 >= minCount) match {
+        case None => done = true
+        case Some((s1, s2, n)) =>
+          step += 1
+          merges += ((step, s1, s2, n))
+          // eager truncation: the next sweep's pair count must read a
+          // flat checkpointed state, not a replace-chain over every
+          // prior step
+          cur = cks.ckptNow(cur.select(
+            replace(col("enc"), lit(s"$bl$s1$br$bl$s2$br"), lit(s"$bl$s1$s2$br")).as("enc"),
+            col("wn")))
+      }
+    }
+    merges.toSeq.toDF("step", "s1", "s2", "n")
+  }
+
   /** Bigram-LM successor table (q91): for every context token seen at
     * least `minCtx` times, the `topK` successors by exact occurrence
     * count with the conditional probability n_pair/n_ctx (one IEEE
@@ -430,6 +516,46 @@ object TextQueries {
       .withColumn("mean_surprisal",
         col("sum_surprisal").cast("double") / col("n_bigrams"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The band cut over [[lmSurprisal]] scores with caller-supplied
+    * tertile thresholds — the shared tail of q101's exact path and the
+    * approx at-scale path below. `th` must be a ONE-ROW frame with
+    * `t1 <= t2` threshold columns; it broadcasts, so the cut is a
+    * narrow map + one band-keyed aggregate over the doc frame. */
+  def surprisalBandCut(scores: DataFrame, th: DataFrame): DataFrame =
+    scores.crossJoin(broadcast(th)) // one-row threshold pack
+      .withColumn("band",
+        when(col("mean_surprisal") <= col("t1"), "head")
+          .when(col("mean_surprisal") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("band")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        min(col("mean_surprisal")).as("min_ms"),
+        max(col("mean_surprisal")).as("max_ms"))
+      .orderBy(col("band"))
+
+  /** q101's documented 100 TB path: the SAME band cut with the tertile
+    * thresholds from `approx_percentile` (t-digest; rank error <=
+    * 1/`accuracy`) instead of the exact distributed sort — the q59
+    * exact-vs-sketch contract applied to the CCNet cut. The sketch
+    * folds map-side and merges associatively, so the threshold step
+    * moves one digest per partition at any corpus size; the cut
+    * itself is unchanged. Exactness trade: up to `n_docs / accuracy`
+    * docs per boundary can land in the adjacent band (the scores near
+    * a tertile are interchangeable for curation purposes — CCNet's
+    * own bands are heuristic thirds); LmSpec pins the rank-error
+    * bound against the exact path. */
+  def surprisalBandsApprox(docs: DataFrame, accuracy: Int = 10000,
+                           scope: graft.engine.CacheScope =
+                             graft.engine.CacheScope.untracked): DataFrame = {
+    val scores = scope.persist(lmSurprisal(docs, scope))
+    val th = scores.agg(
+      expr(s"approx_percentile(mean_surprisal, array(${1.0 / 3}, ${2.0 / 3}), $accuracy)")
+        .as("ts"))
+      .select(element_at(col("ts"), 1).as("t1"), element_at(col("ts"), 2).as("t2"))
+    surprisalBandCut(scores, th)
   }
 
   /** Quantized TF-IDF top terms (q102): per source, the k terms with
@@ -1918,17 +2044,9 @@ object TextQueries {
           val th = scores.agg(
             expr(s"percentile(mean_surprisal, $p1)").as("t1"),
             expr(s"percentile(mean_surprisal, $p2)").as("t2"))
-          scores.crossJoin(broadcast(th)) // one-row threshold pack
-            .withColumn("band",
-              when(col("mean_surprisal") <= col("t1"), "head")
-                .when(col("mean_surprisal") <= col("t2"), "middle")
-                .otherwise("tail"))
-            .groupBy(col("band")).agg(
-              count(lit(1)).as("n_docs"),
-              sum(col("n_bigrams")).as("n_bigrams"),
-              min(col("mean_surprisal")).as("min_ms"),
-              max(col("mean_surprisal")).as("max_ms"))
-            .orderBy(col("band"))
+          // the cut itself is shared with [[surprisalBandsApprox]] —
+          // exact and at-scale paths differ ONLY in the threshold agg
+          surprisalBandCut(scores, th)
         },
         s"""WITH $sqlLmScores,
            |th AS (SELECT quantile_cont(mean_surprisal, $p1) AS t1,
@@ -1963,7 +2081,67 @@ object TextQueries {
          |                                   ORDER BY score DESC, term ASC) AS rk
          |      FROM sc)
          |SELECT source, term, tf, df, qidf, score, CAST(rk AS INTEGER) AS rk
-         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin)
+         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin),
+
+    // Full BPE tokenizer training under the oracle (see [[bpeTrain]]):
+    // the driver loop whose single step q90 pins, run 24 merges deep.
+    // EVERY row is a data-dependent argmax over the state every prior
+    // merge rewrote — the three SFs produce entirely different merge
+    // tables from step ~6 on. The oracle replays the trainer as a
+    // recursive CTE whose working row is the whole bracket-encoded
+    // vocabulary (one list of (enc, wn) structs): per step, the SAME
+    // (count DESC, pair ASC) argmax over per-position pairs, then ONE
+    // string replace per word — both engines' `replace` scans
+    // left-to-right non-overlapping, which IS Sennrich's merge rule,
+    // and the per-symbol brackets make the match exact (no shared
+    // delimiters between adjacent occurrences). A wrong count anywhere
+    // (overlap handling, the tie order, a merge that leaked across
+    // symbol boundaries) diverges the merge table from that step on.
+    "q108_bpe_train" -> Q(
+      (s, d) => bpeTrain(Tables.documents(s, d), maxMerges = 24, minCount = 2L)
+        .orderBy(col("step")),
+      s"""WITH RECURSIVE
+         |w AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wn
+         |  FROM (SELECT unnest($sqlToks) AS word FROM documents)
+         |  GROUP BY 1
+         |  HAVING length(word) > 1
+         |     AND NOT contains(word, chr(1)) AND NOT contains(word, chr(2))),
+         |enc0 AS (
+         |  SELECT list(struct_pack(
+         |           e := chr(1) || array_to_string(str_split(word, ''), chr(2) || chr(1)) || chr(2),
+         |           wn := wn) ORDER BY word) AS st
+         |  FROM w),
+         |it AS (
+         |  SELECT 0 AS i, st,
+         |         CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
+         |         CAST(NULL AS BIGINT) AS n
+         |  FROM enc0
+         |  UNION ALL
+         |  SELECT i + 1,
+         |         list_transform(st, r -> struct_pack(
+         |           e := replace(r.e,
+         |                        chr(1) || b.s1 || chr(2) || chr(1) || b.s2 || chr(2),
+         |                        chr(1) || b.s1 || b.s2 || chr(2)),
+         |           wn := r.wn)),
+         |         b.s1, b.s2, b.n
+         |  FROM (
+         |    SELECT i, st,
+         |      (SELECT struct_pack(s1 := q.s1, s2 := q.s2, n := q.n) FROM (
+         |         SELECT p.s1, p.s2, CAST(SUM(p.wn) AS BIGINT) AS n FROM (
+         |           SELECT syms[k] AS s1, syms[k + 1] AS s2, wn FROM (
+         |             SELECT syms, wn, unnest(range(1, len(syms))) AS k
+         |             FROM (SELECT string_split(substring(u.e, 2, length(u.e) - 2),
+         |                                       chr(2) || chr(1)) AS syms,
+         |                          u.wn AS wn
+         |                   FROM unnest(it.st) AS t(u)))) p
+         |         GROUP BY 1, 2) q
+         |       ORDER BY q.n DESC, q.s1, q.s2 LIMIT 1) AS b
+         |    FROM it) z
+         |  WHERE b.n >= 2 AND i < 24
+         |)
+         |SELECT CAST(i AS INTEGER) AS step, s1, s2, n
+         |FROM it WHERE i >= 1 ORDER BY step""".stripMargin)
   )
 
   /** [[lmSurprisal]]'s oracle chain as a reusable CTE block ending in

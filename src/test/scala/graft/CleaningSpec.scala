@@ -648,6 +648,80 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("surprisalBandsApprox (q101's 100 TB path): sketch thresholds and band counts honor the rank-error contract") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val exact = SparkEntry.queries("q101_surprisal_bands")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val scores = graft.queries.TextQueries.lmSurprisal(docs).persist()
+    val n = scores.count()
+    for (accuracy <- Seq(25, 10000)) {
+      // the q59 window: rank guarantee is 1/accuracy — plus ONE
+      // interpolation grid step (1/(n-1)), because the sketch returns a
+      // SAMPLE while the exact path interpolates between two samples
+      val eps = 2.0 / accuracy + 1.0 / (n - 1)
+      val out = graft.queries.TextQueries.surprisalBandsApprox(docs, accuracy)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // bands partition the doc frame whatever the thresholds did
+      assert(out.values.sum == n, s"acc=$accuracy: bands must partition the $n docs: $out")
+      // each approx threshold must land inside the exact-percentile
+      // window at p -+ 2/accuracy, and the docs that can legitimately
+      // flip bands are exactly those whose score falls in a window —
+      // count them and bound each band's drift by its boundaries' mass
+      val Seq(p1, p2) = Seq(1.0 / 3, 2.0 / 3)
+      val w = scores.agg(
+        expr(s"percentile(mean_surprisal, array(${p1 - eps}, ${p1 + eps}, ${p2 - eps}, ${p2 + eps}))")
+          .as("w")).collect()(0).getSeq[Double](0)
+      val Seq(t1, t2) = {
+        val r = scores.agg(
+          expr(s"approx_percentile(mean_surprisal, array($p1, $p2), $accuracy)").as("ts"))
+          .collect()(0).getSeq[Double](0)
+        r.toSeq
+      }
+      assert(t1 >= w(0) && t1 <= w(1), s"acc=$accuracy: t1=$t1 outside exact window [${w(0)},${w(1)}]")
+      assert(t2 >= w(2) && t2 <= w(3), s"acc=$accuracy: t2=$t2 outside exact window [${w(2)},${w(3)}]")
+      val slack1 = scores.where(col("mean_surprisal").between(w(0), w(1))).count()
+      val slack2 = scores.where(col("mean_surprisal").between(w(2), w(3))).count()
+      assert(math.abs(out("head") - exact("head")) <= slack1,
+        s"acc=$accuracy: head ${out("head")} vs exact ${exact("head")} beyond boundary mass $slack1")
+      assert(math.abs(out.getOrElse("tail", 0L) - exact("tail")) <= slack2,
+        s"acc=$accuracy: tail ${out.getOrElse("tail", 0L)} vs exact ${exact("tail")} beyond boundary mass $slack2")
+      assert(math.abs(out.getOrElse("middle", 0L) - exact("middle")) <= slack1 + slack2,
+        s"acc=$accuracy: middle drift beyond both boundaries' mass")
+    }
+    scores.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("bpeTrain: Sennrich merge rules on a hand corpus — overlap counting, left-to-right non-overlap merge, minCount stop") {
+    import spark.implicits._
+    // corpus: "aaab" x3, "ab" x2 -> pair counts step 1 (per POSITION,
+    // overlaps included): (a,a) 2*3=6, (a,b) 3+2=5 -> merge (a,a).
+    // "aaab" under (a,a) merges LEFT-TO-RIGHT NON-OVERLAPPING:
+    // [a,a,a,b] -> [aa,a,b] (NOT [aa,aa...]); step 2 counts over the
+    // rewritten vocab: (aa,a) 3, (a,b) 3+2=5 -> merge (a,b); step 3:
+    // (aa,ab) 3 -> merge; step 4: no pair left with count >= 2 except
+    // ... vocab now ["aaab"->aa+ab merged? after (aa,ab): [aaab] one
+    // symbol; "ab" one symbol] -> NO pairs at all -> stop at 3 steps.
+    val docs = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m = graft.queries.TextQueries.bpeTrain(docs, maxMerges = 10, minCount = 2L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(m == Seq((1, "a", "a", 6L), (2, "a", "b", 5L), (3, "aa", "ab", 3L)),
+      s"merge table mismatch: $m")
+    // minCount binds: with the bar above every pair count, nothing merges
+    val none = graft.queries.TextQueries.bpeTrain(docs, maxMerges = 10, minCount = 7L)
+      .collect()
+    assert(none.isEmpty, s"minCount=7 must learn no merges: ${none.toSeq}")
+    // the tie order is (count DESC, s1 ASC, s2 ASC): "xy" x2, "xz" x2
+    // both give count-2 first pairs (x,y)/(x,z) -> (x,y) wins
+    val tie = Seq((1L, "xy xz"), (2L, "xy xz")).toDF("doc_id", "text")
+    val t1 = graft.queries.TextQueries.bpeTrain(tie, maxMerges = 1, minCount = 2L)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(t1 == Seq(("x", "y")), s"tie must break to the ASC pair: $t1")
+  }
+
   test("tfidfTopTerms: hand-computed quantized idf; everywhere-terms self-suppress") {
     import spark.implicits._
     // N = 3; df: apple 3, banana/cherry/date 1
