@@ -36,7 +36,7 @@ object ScaleSoak {
     "q95_hll_distinct", "q96_host_pagerank", "q97_lm_surprisal",
     "q99_interleave_manifest", "q100_pretraining_recipe",
     "q101_surprisal_bands", "q102_tfidf_terms",
-    "q107_kmeans_fixpoint", "q108_bpe_train",
+    "q107_kmeans_fixpoint", "q108_bpe_train", "q109_bpe_encode",
     "q43_capped_df64", "q42_capped_b64")
 
   /** Non-registry soak subjects: the q43 df-cap path (maxDf=64) and the

@@ -450,6 +450,50 @@ object TextQueries {
     merges.toSeq.toDF("step", "s1", "s2", "n")
   }
 
+  /** Tokenizer APPLICATION (q109): replay a learned merge table (from
+    * [[bpeTrain]]) over the corpus and account the result per source —
+    * word occurrences, the character-symbol baseline, the post-merge
+    * BPE token count, and the compression ratio (one IEEE division of
+    * two exact longs). Encoding runs on the DISTINCT-WORD frame: the
+    * merge replay is `merges.length` chained `replace`s in ONE narrow
+    * projection (a single pass, no loop — application is
+    * order-sensitive but stateless), and the corpus-scale side only
+    * joins the per-(source, word) counts against that vocabulary-sized
+    * encoding. Untrainable words — single-char (no pairs) or
+    * bracket-containing (would corrupt the encoding; real tokenizers
+    * byte-fallback) — count their characters.
+    *
+    * Scale shape: the encode side is vocabulary-sized end to end; the
+    * corpus appears only as a map-side-combined (source, word) count
+    * and a keyed join against the broadcast-able vocabulary frame. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val (bl, br) = ("\u0001", "\u0002")
+    val sw = docs.select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+    val enc0 = sw.select(col("word")).distinct()
+      .where(length(col("word")) > 1 &&
+        !col("word").contains(bl) && !col("word").contains(br))
+      .withColumn("enc", expr(
+        "concat_ws('', transform(sequence(1, length(word)), " +
+          "i -> concat(char(1), substring(word, i, 1), char(2))))"))
+    val encoded = merges.foldLeft(enc0) { case (df, (s1, s2)) =>
+      df.withColumn("enc",
+        replace(col("enc"), lit(s"$bl$s1$br$bl$s2$br"), lit(s"$bl$s1$s2$br")))
+    }
+    val venc = encoded.select(col("word"), size(expr(
+      "split(substring(enc, 2, length(enc) - 2), concat(char(2), char(1)))"))
+      .cast("long").as("n_syms"))
+    sw.join(venc, Seq("word"), "left")
+      .withColumn("ns", coalesce(col("n_syms"), length(col("word")).cast("long")))
+      .groupBy(col("source")).agg(
+        sum(col("cnt")).as("n_words"),
+        sum(length(col("word")).cast("long") * col("cnt")).as("n_chars"),
+        sum(col("ns") * col("cnt")).as("n_bpe_tokens"))
+      .withColumn("compression",
+        col("n_bpe_tokens").cast("double") / col("n_chars").cast("double"))
+      .orderBy(col("source"))
+  }
+
   /** Bigram-LM successor table (q91): for every context token seen at
     * least `minCtx` times, the `topK` successors by exact occurrence
     * count with the conditional probability n_pair/n_ctx (one IEEE
@@ -2101,48 +2145,100 @@ object TextQueries {
       (s, d) => bpeTrain(Tables.documents(s, d), maxMerges = 24, minCount = 2L)
         .orderBy(col("step")),
       s"""WITH RECURSIVE
-         |w AS (
-         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wn
-         |  FROM (SELECT unnest($sqlToks) AS word FROM documents)
-         |  GROUP BY 1
-         |  HAVING length(word) > 1
-         |     AND NOT contains(word, chr(1)) AND NOT contains(word, chr(2))),
-         |enc0 AS (
-         |  SELECT list(struct_pack(
-         |           e := chr(1) || array_to_string(str_split(word, ''), chr(2) || chr(1)) || chr(2),
-         |           wn := wn) ORDER BY word) AS st
-         |  FROM w),
-         |it AS (
-         |  SELECT 0 AS i, st,
-         |         CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
-         |         CAST(NULL AS BIGINT) AS n
-         |  FROM enc0
-         |  UNION ALL
-         |  SELECT i + 1,
-         |         list_transform(st, r -> struct_pack(
-         |           e := replace(r.e,
-         |                        chr(1) || b.s1 || chr(2) || chr(1) || b.s2 || chr(2),
-         |                        chr(1) || b.s1 || b.s2 || chr(2)),
-         |           wn := r.wn)),
-         |         b.s1, b.s2, b.n
-         |  FROM (
-         |    SELECT i, st,
-         |      (SELECT struct_pack(s1 := q.s1, s2 := q.s2, n := q.n) FROM (
-         |         SELECT p.s1, p.s2, CAST(SUM(p.wn) AS BIGINT) AS n FROM (
-         |           SELECT syms[k] AS s1, syms[k + 1] AS s2, wn FROM (
-         |             SELECT syms, wn, unnest(range(1, len(syms))) AS k
-         |             FROM (SELECT string_split(substring(u.e, 2, length(u.e) - 2),
-         |                                       chr(2) || chr(1)) AS syms,
-         |                          u.wn AS wn
-         |                   FROM unnest(it.st) AS t(u)))) p
-         |         GROUP BY 1, 2) q
-         |       ORDER BY q.n DESC, q.s1, q.s2 LIMIT 1) AS b
-         |    FROM it) z
-         |  WHERE b.n >= 2 AND i < 24
-         |)
+         |$sqlBpeIt
          |SELECT CAST(i AS INTEGER) AS step, s1, s2, n
-         |FROM it WHERE i >= 1 ORDER BY step""".stripMargin)
+         |FROM it WHERE i >= 1 ORDER BY step""".stripMargin),
+
+    // Tokenizer APPLICATION + compression accounting (see [[bpeEncode]]):
+    // train q108's merge table, replay it over the corpus vocabulary,
+    // and account per source — total word occurrences, the
+    // character-symbol baseline, the post-merge BPE token count, and
+    // the compression ratio (one IEEE division of exact longs). The
+    // oracle shares q108's recursive trainer verbatim (the
+    // sqlSigCtesFrom drift-prevention rule) and reads the final
+    // state's encodings back per word: the TRAINER's end state IS the
+    // 24-merge replay for every trainable word, and untrainable words
+    // (single-char; bracket-containing, none in this data) fall back
+    // to their character count on both engines. A single wrong merge
+    // ANYWHERE in training shifts some source's token count.
+    "q109_bpe_encode" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = bpeTrain(docs, maxMerges = 24, minCount = 2L)
+          .orderBy(col("step")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        bpeEncode(docs, merges).orderBy(col("source"))
+      },
+      s"""WITH RECURSIVE
+         |$sqlBpeIt,
+         |fin AS (SELECT st FROM it ORDER BY i DESC LIMIT 1),
+         |venc AS (
+         |  SELECT u.w AS word,
+         |         CAST(len(string_split(substring(u.e, 2, length(u.e) - 2),
+         |                               chr(2) || chr(1))) AS BIGINT) AS n_syms
+         |  FROM fin, unnest(fin.st) AS t(u)),
+         |sw AS (
+         |  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT source, unnest($sqlToks) AS word FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT sw.source,
+         |       CAST(SUM(sw.cnt) AS BIGINT) AS n_words,
+         |       CAST(SUM(length(sw.word) * sw.cnt) AS BIGINT) AS n_chars,
+         |       CAST(SUM(COALESCE(v.n_syms, length(sw.word)) * sw.cnt) AS BIGINT)
+         |         AS n_bpe_tokens,
+         |       CAST(SUM(COALESCE(v.n_syms, length(sw.word)) * sw.cnt) AS DOUBLE)
+         |         / CAST(SUM(length(sw.word) * sw.cnt) AS DOUBLE) AS compression
+         |FROM sw LEFT JOIN venc v ON v.word = sw.word
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
+
+  /** q108's recursive BPE trainer as a reusable CTE block ending in
+    * `it` (i, st, s1, s2, n) — the state carries (w := original word,
+    * e := bracket-encoded symbols, wn := count) so composing oracles
+    * (q109) can read the final encodings back per word. Stated ONCE,
+    * the sqlSigCtesFrom rule. */
+  private def sqlBpeIt: String =
+    s"""w AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wn
+       |  FROM (SELECT unnest($sqlToks) AS word FROM documents)
+       |  GROUP BY 1
+       |  HAVING length(word) > 1
+       |     AND NOT contains(word, chr(1)) AND NOT contains(word, chr(2))),
+       |enc0 AS (
+       |  SELECT list(struct_pack(
+       |           w := word,
+       |           e := chr(1) || array_to_string(str_split(word, ''), chr(2) || chr(1)) || chr(2),
+       |           wn := wn) ORDER BY word) AS st
+       |  FROM w),
+       |it AS (
+       |  SELECT 0 AS i, st,
+       |         CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
+       |         CAST(NULL AS BIGINT) AS n
+       |  FROM enc0
+       |  UNION ALL
+       |  SELECT i + 1,
+       |         list_transform(st, r -> struct_pack(
+       |           w := r.w,
+       |           e := replace(r.e,
+       |                        chr(1) || b.s1 || chr(2) || chr(1) || b.s2 || chr(2),
+       |                        chr(1) || b.s1 || b.s2 || chr(2)),
+       |           wn := r.wn)),
+       |         b.s1, b.s2, b.n
+       |  FROM (
+       |    SELECT i, st,
+       |      (SELECT struct_pack(s1 := q.s1, s2 := q.s2, n := q.n) FROM (
+       |         SELECT p.s1, p.s2, CAST(SUM(p.wn) AS BIGINT) AS n FROM (
+       |           SELECT syms[k] AS s1, syms[k + 1] AS s2, wn FROM (
+       |             SELECT syms, wn, unnest(range(1, len(syms))) AS k
+       |             FROM (SELECT string_split(substring(u.e, 2, length(u.e) - 2),
+       |                                       chr(2) || chr(1)) AS syms,
+       |                          u.wn AS wn
+       |                   FROM unnest(it.st) AS t(u)))) p
+       |         GROUP BY 1, 2) q
+       |       ORDER BY q.n DESC, q.s1, q.s2 LIMIT 1) AS b
+       |    FROM it) z
+       |  WHERE b.n >= 2 AND i < 24
+       |)""".stripMargin
 
   /** [[lmSurprisal]]'s oracle chain as a reusable CTE block ending in
     * `docscore` (doc_id, n_bigrams, sum_surprisal, mean_surprisal) —

@@ -722,6 +722,31 @@ class CleaningSpec extends SparkSpec {
     assert(t1 == Seq(("x", "y")), s"tie must break to the ASC pair: $t1")
   }
 
+  test("bpeEncode: replayed merges compress the hand corpus to hand-counted symbols; untrainable words count chars") {
+    import spark.implicits._
+    // same corpus as the trainer test: merges (a,a), (a,b), (aa,ab).
+    // encode: "aaab" -> [aa,a,b] -> [aa,ab] -> [aaab] = 1 symbol;
+    // "ab" -> [ab] after merge 2 = 1 symbol; "x" is 1-char
+    // (untrainable) -> counts its 1 char
+    val docs = (Seq.fill(3)(("aaab", "s1")) ++ Seq.fill(2)(("ab", "s2")) :+ (("x", "s2")))
+      .zipWithIndex.map { case ((t, src), i) => (i.toLong, t, src) }
+      .toDF("doc_id", "text", "source")
+    val merges = graft.queries.TextQueries.bpeTrain(docs, maxMerges = 10, minCount = 2L)
+      .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = graft.queries.TextQueries.bpeEncode(docs, merges)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    // s1: 3 words, 12 chars, 3 bpe tokens; s2: "ab"x2 + "x" = 3 words,
+    // 5 chars, 2 + 1 = 3 bpe tokens
+    assert(out == Seq(("s1", 3L, 12L, 3L, 3.0 / 12.0), ("s2", 3L, 5L, 3L, 3.0 / 5.0)),
+      s"encode accounting mismatch: $out")
+    // order sensitivity: replaying the merges in REVERSE must not reach
+    // the same compression ((aa,ab) fires only after (a,a) and (a,b))
+    val rev = graft.queries.TextQueries.bpeEncode(docs, merges.reverse)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(rev("s1") > 3L, s"reversed merges must compress worse on s1: $rev")
+  }
+
   test("tfidfTopTerms: hand-computed quantized idf; everywhere-terms self-suppress") {
     import spark.implicits._
     // N = 3; df: apple 3, banana/cherry/date 1
