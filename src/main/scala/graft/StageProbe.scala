@@ -136,7 +136,7 @@ object StageProbe {
         .option("maxFilesPerTrigger", 1).parquet(in)
       t("q106 stage1: drain (4 triggers)") {
         graft.streaming.Streaming.incrementalCurationSink(stream, curated, sig,
-            numBuckets = 16)
+            numBuckets = 4) // match q106's sizing so the staged account decomposes FULL
           .option("checkpointLocation", s"$dir/ck").start().awaitTermination()
       }
       t("q106 stage2: compact")(
@@ -160,7 +160,7 @@ object StageProbe {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       t("q106 stage1-AQE-OFF: drain (4 triggers)") {
         graft.streaming.Streaming.incrementalCurationSink(stream2,
-            s"$dir2/curated", s"$dir2/sig", numBuckets = 16)
+            s"$dir2/curated", s"$dir2/sig", numBuckets = 4)
           .option("checkpointLocation", s"$dir2/ck").start().awaitTermination()
       }
       t("q106 stage2-AQE-OFF: compact")(

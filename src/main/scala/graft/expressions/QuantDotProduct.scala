@@ -30,6 +30,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * engine ships.
   */
 object QuantDot {
+  // THE quantization arithmetic, defined once: both fold loops (the
+  // executor ArrayData path and the driver Array path) and both
+  // finishers go through these two, so the grid/rounding cannot drift
+  // between them
+  @inline private def term(x: Double, y: Double): Long =
+    Math.floor(x * y * 1e12 + 0.5).toLong
+  @inline private def finish(acc: Long): Double = acc.toDouble / 1e12
+
   def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
@@ -38,25 +46,26 @@ object QuantDot {
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
       // exactly the Column form: floor(x * y * 1e12 + 0.5) as long
-      acc += Math.floor(a.getDouble(i) * b.getDouble(i) * 1e12 + 0.5).toLong
+      acc += term(a.getDouble(i), b.getDouble(i))
       i += 1
     }
-    java.lang.Double.valueOf(acc.toDouble / 1e12)
+    java.lang.Double.valueOf(finish(acc))
   }
 
   /** The same fold over plain arrays — for DRIVER-side consumers of the
     * numeric contract (kmeansConverge recomputes centroid norms on the
-    * collected k·dim pack; the arithmetic must stay defined ONCE, here,
-    * or the loop and the executor kernel could drift bit-wise). */
+    * collected k·dim pack; [[term]]/[[finish]] keep the arithmetic
+    * defined once, so the loop and the executor kernel cannot drift
+    * bit-wise). */
   def dot(a: Array[Double], b: Array[Double]): Double = {
     require(a.length == b.length, s"length mismatch: ${a.length} vs ${b.length}")
     var acc = 0L
     var i = 0
     while (i < a.length) {
-      acc += Math.floor(a(i) * b(i) * 1e12 + 0.5).toLong
+      acc += term(a(i), b(i))
       i += 1
     }
-    acc.toDouble / 1e12
+    finish(acc)
   }
 }
 

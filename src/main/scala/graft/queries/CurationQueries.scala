@@ -555,18 +555,13 @@ object CurationQueries {
     // DISTINCT is explicit.)
     "q103_pagerank_fixpoint" -> Q(
       (s, d) => {
-        // AQE off for the loop: the rank state is NODE-scale (11 hosts
-        // here), so every AQE stage materialization inside a 4-sweep
-        // block is a pure driver barrier on trivial data — measured
-        // 10.0 -> 5.7 s at sf0.1. Scoped to this entry: the operator
-        // itself keeps the session default, because a billion-node rank
-        // state WANTS runtime re-planning (skew, partition coalescing).
-        val aqe = s.conf.get("spark.sql.adaptive.enabled")
-        s.conf.set("spark.sql.adaptive.enabled", "false")
-        val r = try {
+        // AQE off for the loop (see [[graft.Q.withAqeOff]]): the rank
+        // state is NODE-scale (11 hosts here) — measured 10.0 -> 5.7 s
+        // at sf0.1.
+        val r = graft.Q.withAqeOff(s) {
           graft.ext.Graph.pageRankConverge(hostEdges(s, d), prScale,
             maxIters = 60, tol = 0L, checkEvery = 4)
-        } finally s.conf.set("spark.sql.adaptive.enabled", aqe)
+        }
         r.ranks.select(col("node"), col("rank"),
             lit(r.iters).as("iters"), lit(r.delta).as("delta"))
           .orderBy(col("node"))

@@ -502,23 +502,22 @@ object EmbeddingQueries {
     // verbatim), stepping while next <> current. Spark's `iters`
     // includes the final no-change confirmation sweep; the CTE's last
     // row is the first index whose state stopped changing, so iters =
-    // fin.i + 1. delta = 0.0 asserts the loop stopped ON convergence,
-    // not at maxIters. One wrong quantized mean in ANY sweep, an
+    // fin.i + 1 (LEAST-capped at maxIters so a hypothetical unconverged
+    // run fails the compare ONLY on delta, without a spurious off-by-one
+    // iters disagreement muddying the diagnosis). delta = 0.0 asserts
+    // the loop stopped ON convergence, not at maxIters. One wrong quantized mean in ANY sweep, an
     // empty-cell rule slip, or a loop that stops a sweep early or late
     // shifts the assignment or the count and breaks the hash.
     //
-    // AQE off, scoped to the entry exactly like q103: per-sweep state
-    // is k*dim doubles and the corpus side is a broadcast-join narrow
-    // map, so every AQE stage materialization inside a sweep is a pure
-    // driver barrier; a corpus needing runtime re-planning would keep
-    // the session default.
+    // AQE off, scoped to the entry exactly like q103 (see
+    // [[graft.Q.withAqeOff]]): per-sweep state is k*dim doubles and
+    // the corpus side is a broadcast-join narrow map, so every AQE
+    // stage materialization inside a sweep is a pure driver barrier.
     "q107_kmeans_fixpoint" -> Q(
       (s, d) => {
-        val aqe = s.conf.get("spark.sql.adaptive.enabled")
-        s.conf.set("spark.sql.adaptive.enabled", "false")
-        val r = try {
+        val r = graft.Q.withAqeOff(s) {
           kmeansConverge(Tables.embeddings(s, d), nSeeds, maxIters = 40)
-        } finally s.conf.set("spark.sql.adaptive.enabled", aqe)
+        }
         r.assign.select(col("vec_id"), col("cell"), col("ccos"),
             lit(r.iters).as("iters"), lit(r.delta).as("delta"))
           .orderBy(col("vec_id"))
@@ -572,7 +571,7 @@ object EmbeddingQueries {
          |cf AS (SELECT u.cell, u.cv, sqrt(${sqlQDot("u.cv", "u.cv")}) AS cnrm
          |       FROM fin, unnest(fin.st) AS t(u))
          |SELECT vec_id, cell, ccos,
-         |       (SELECT CAST(i + 1 AS INTEGER) FROM fin) AS iters,
+         |       (SELECT CAST(LEAST(i + 1, 40) AS INTEGER) FROM fin) AS iters,
          |       CAST(0 AS DOUBLE) AS delta
          |FROM (
          |  SELECT x.vec_id, c.cell,

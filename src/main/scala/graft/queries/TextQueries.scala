@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.engine.{Parity, Tables}
@@ -399,31 +399,51 @@ object TextQueries {
     * reliable files via `checkpointDir` on a real cluster — the
     * [[graft.ext.Graph.pageRankConverge]] discipline; an unbroken
     * persist chain blows the driver past a few dozen sweeps). */
+  // The BPE bracket-encoding pieces, defined ONCE for training and
+  // application (an edit to one that missed the other would silently
+  // diverge the tokenizer the trainer learned from the tokenizer the
+  // encoder applies — the Scala-side counterpart of sqlBpeIt's rule)
+  private val bpeBl = "\u0001"
+  private val bpeBr = "\u0002"
+  /** Words the trainer/encoder can bracket-encode: multi-char (a
+    * single char has no pairs) and free of the bracket code points
+    * (real tokenizers byte-fallback such input). */
+  private def bpeTrainable(word: Column): Column =
+    length(word) > 1 && !word.contains(bpeBl) && !word.contains(bpeBr)
+  /** `word` (string col) -> its bracket-encoded symbol string. */
+  private val bpeEncSql: String =
+    "concat_ws('', transform(sequence(1, length(word)), " +
+      "i -> concat(char(1), substring(word, i, 1), char(2))))"
+  /** `enc` (bracket string col) -> its symbol array. */
+  private val bpeSymsSql: String =
+    "split(substring(enc, 2, length(enc) - 2), concat(char(2), char(1)))"
+  private def bpeMergeFrom(s1: String, s2: String): String =
+    s"$bpeBl$s1$bpeBr$bpeBl$s2$bpeBr"
+  private def bpeMergeTo(s1: String, s2: String): String =
+    s"$bpeBl$s1$s2$bpeBr"
+
   def bpeTrain(docs: DataFrame, maxMerges: Int = 12, minCount: Long = 2L,
                checkpointDir: Option[String] = None): DataFrame = {
     require(maxMerges >= 1, s"need at least one merge step, got $maxMerges")
     require(minCount >= 1, s"minCount must be positive, got $minCount")
     val s = docs.sparkSession
     import s.implicits._
-    val (bl, br) = ("\u0001", "\u0002")
     val vocab = docs.select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wn"))
-      .where(length(col("word")) > 1 &&
-        !col("word").contains(bl) && !col("word").contains(br))
-      .select(expr(
-        "concat_ws('', transform(sequence(1, length(word)), " +
-          "i -> concat(char(1), substring(word, i, 1), char(2))))")
-        .as("enc"), col("wn"))
+      .where(bpeTrainable(col("word")))
+      .select(expr(bpeEncSql).as("enc"), col("wn"))
     val cks = graft.ext.Graph.checkpointers(vocab, checkpointDir)
-    var cur = cks.ckptNow(vocab)
+    // lazy truncation, ONE computation per sweep: each sweep's argmax
+    // collect is the action that materializes that sweep's state (the
+    // pageRankConverge discipline — ckptNow here would add an extra
+    // vocab-scale job per sweep to a loop that is job-overhead bound)
+    var (cur, release) = cks.lazyOnce(vocab)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 0
     var done = false
     while (step < maxMerges && !done) {
       // symbols back out of the brackets; adjacent pairs per position
-      val best = cur.select(expr(
-          "split(substring(enc, 2, length(enc) - 2), concat(char(2), char(1)))").as("syms"),
-          col("wn"))
+      val best = cur.select(expr(bpeSymsSql).as("syms"), col("wn"))
         // a fully-merged word is ONE symbol: no pairs (and Spark's
         // sequence(1, 0) would DESCEND, not come back empty)
         .where(size(col("syms")) >= 2)
@@ -434,19 +454,22 @@ object TextQueries {
         .agg(sum(col("wn")).as("n"))
         .orderBy(col("n").desc, col("s1"), col("s2"))
         .limit(1).as[(String, String, Long)].collect()
+      release() // the collect above materialized cur's checkpoint
       best.headOption.filter(_._3 >= minCount) match {
         case None => done = true
         case Some((s1, s2, n)) =>
           step += 1
           merges += ((step, s1, s2, n))
-          // eager truncation: the next sweep's pair count must read a
-          // flat checkpointed state, not a replace-chain over every
-          // prior step
-          cur = cks.ckptNow(cur.select(
-            replace(col("enc"), lit(s"$bl$s1$br$bl$s2$br"), lit(s"$bl$s1$s2$br")).as("enc"),
+          // the next sweep's pair count reads a flat checkpointed
+          // state, not a replace-chain over every prior step
+          val (next, rel) = cks.lazyOnce(cur.select(
+            replace(col("enc"), lit(bpeMergeFrom(s1, s2)), lit(bpeMergeTo(s1, s2))).as("enc"),
             col("wn")))
+          cur = next
+          release = rel
       }
     }
+    release() // idempotent; covers the maxMerges exit's unconsumed state
     merges.toSeq.toDF("step", "s1", "s2", "n")
   }
 
@@ -467,22 +490,17 @@ object TextQueries {
     * corpus appears only as a map-side-combined (source, word) count
     * and a keyed join against the broadcast-able vocabulary frame. */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val (bl, br) = ("\u0001", "\u0002")
     val sw = docs.select(col("source"), explode(tokens(col("text"))).as("word"))
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
     val enc0 = sw.select(col("word")).distinct()
-      .where(length(col("word")) > 1 &&
-        !col("word").contains(bl) && !col("word").contains(br))
-      .withColumn("enc", expr(
-        "concat_ws('', transform(sequence(1, length(word)), " +
-          "i -> concat(char(1), substring(word, i, 1), char(2))))"))
+      .where(bpeTrainable(col("word")))
+      .withColumn("enc", expr(bpeEncSql))
     val encoded = merges.foldLeft(enc0) { case (df, (s1, s2)) =>
       df.withColumn("enc",
-        replace(col("enc"), lit(s"$bl$s1$br$bl$s2$br"), lit(s"$bl$s1$s2$br")))
+        replace(col("enc"), lit(bpeMergeFrom(s1, s2)), lit(bpeMergeTo(s1, s2))))
     }
-    val venc = encoded.select(col("word"), size(expr(
-      "split(substring(enc, 2, length(enc) - 2), concat(char(2), char(1)))"))
-      .cast("long").as("n_syms"))
+    val venc = encoded.select(col("word"),
+      size(expr(bpeSymsSql)).cast("long").as("n_syms"))
     sw.join(venc, Seq("word"), "left")
       .withColumn("ns", coalesce(col("n_syms"), length(col("word")).cast("long")))
       .groupBy(col("source")).agg(
