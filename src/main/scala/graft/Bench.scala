@@ -83,6 +83,7 @@ object Bench {
       "q107_kmeans_fixpoint", // 35 driver-loop Lloyd sweeps at sf0.1 (r16)
       "q108_bpe_train", // 24 driver-loop merge sweeps over the vocab (r16)
       "q109_bpe_encode", // trains q108's table, then the vocab replay join (r16)
+      "q110_mmr_topk", // 5 greedy driver steps over the retrieval pool (r16)
       "q21_top_revenue_orders",
       "q22_region_revenue", "q16_flatten_arrays", "q12_upsert_latest",
       "q39_topk_aggregator", "q14_summary_metrics", "q26_priority_top3",

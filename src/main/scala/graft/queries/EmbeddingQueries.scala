@@ -580,8 +580,72 @@ object EmbeddingQueries {
          |           ORDER BY ${sqlQDot("x.v", "c.cv")} / (x.nrm * c.cnrm) DESC,
          |                    c.cell ASC) AS rn
          |  FROM vecs x CROSS JOIN cf c) z
-         |WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+
+    // MMR diversified re-ranking (see [[mmrTopK]]): 4 queries, each
+    // with a 16-candidate exact-cosine pool (q45's retrieval shape),
+    // greedily picking 5 by lambda*rel - mu*max-sim-to-selected. The
+    // oracle unrolls the 5 greedy steps as CTEs (the q75 device): each
+    // step's argmax, its max-similarity term against the accumulated
+    // selection, and the selected-set exclusion are all restated
+    // declaratively — a single wrong greedy pick anywhere cascades
+    // into every later step's selection and breaks the hash.
+    "q110_mmr_topk" -> Q(
+      (s, d) => mmrTopK(Tables.embeddings(s, d)),
+      s"""WITH $sqlVecsQ,
+         |pool AS (
+         |  SELECT query_id, cand_id, cv, cn, rel FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.v AS cv, c.nrm AS cn,
+         |           ${sqlQDot("q.v", "c.v")} / (q.nrm * c.nrm) AS rel,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${sqlQDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS pr
+         |    FROM vecs q JOIN vecs c ON q.vec_id < 4 AND c.vec_id <> q.vec_id) z
+         |  WHERE pr <= 16),
+         |${(1 to 5).map(sqlMmrStep).mkString(",\n")}
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id AS vec_id,
+         |       rel, maxsim, score
+         |FROM (${(1 to 5).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")})
+         |ORDER BY query_id, rank""".stripMargin)
   )
+
+  /** One unrolled MMR greedy step as oracle CTEs: `ms\$j` is each pool
+    * candidate's max quantized-cosine to the selections accumulated in
+    * `u\${j-1}`, `s\$j` the step's per-query argmax under the
+    * (score DESC, cand_id ASC) total order with selected candidates
+    * excluded, and `u\$j` the updated selection. Step 1 has no
+    * similarity term (maxsim = 0). Mirrors [[mmrTopK]]'s loop body. */
+  private def sqlMmrStep(j: Int): String =
+    if (j == 1)
+      s"""s1 AS (
+         |  SELECT query_id, cand_id, cv, cn, rel,
+         |         CAST(0 AS DOUBLE) AS maxsim,
+         |         0.7e0 * rel AS score, 1 AS rank
+         |  FROM (SELECT p.*, row_number() OVER (PARTITION BY p.query_id
+         |          ORDER BY 0.7e0 * p.rel DESC, p.cand_id ASC) AS rn FROM pool p) z
+         |  WHERE rn = 1),
+         |u1 AS (SELECT query_id, cand_id, cv, cn FROM s1)""".stripMargin
+    else {
+      val p = j - 1
+      s"""ms$j AS (
+         |  SELECT p.query_id, p.cand_id,
+         |         MAX(${sqlQDot("p.cv", "s.cv")} / (p.cn * s.cn)) AS maxsim
+         |  FROM pool p JOIN u$p s USING (query_id)
+         |  GROUP BY 1, 2),
+         |s$j AS (
+         |  SELECT query_id, cand_id, cv, cn, rel, maxsim,
+         |         0.7e0 * rel - 0.3e0 * maxsim AS score, $j AS rank
+         |  FROM (
+         |    SELECT p.*, m.maxsim,
+         |           row_number() OVER (PARTITION BY p.query_id
+         |             ORDER BY (0.7e0 * p.rel - 0.3e0 * m.maxsim) DESC, p.cand_id ASC) AS rn
+         |    FROM pool p
+         |    JOIN ms$j m ON m.query_id = p.query_id AND m.cand_id = p.cand_id
+         |    LEFT JOIN u$p su ON su.query_id = p.query_id AND su.cand_id = p.cand_id
+         |    WHERE su.cand_id IS NULL) z
+         |  WHERE rn = 1),
+         |u$j AS (SELECT query_id, cand_id, cv, cn FROM u$p
+         |        UNION ALL SELECT query_id, cand_id, cv, cn FROM s$j)""".stripMargin
+    }
 
   /** SemDeDup-style semantic dedup over an embeddings table (vec_id,
     * embedding). Assigns every vector to its nearest centroid cell (the
@@ -864,6 +928,87 @@ object EmbeddingQueries {
       .withColumn("best", array_max(scoredCells(nSeeds, qdotCol)))
       .select(col("vec_id"), col("v"), col("nrm"),
         (-col("best.negk")).cast("long").as("cell"), col("best.ccos").as("ccos"))
+  }
+
+  /** MMR diversified top-k (q110; Carbonell & Goldstein, SIGIR 1998):
+    * re-rank each query's ANN candidate pool by Maximal Marginal
+    * Relevance — greedily pick argmax of
+    * `lambda·rel − (1−lambda)·max_sim_to_already_selected`, k times —
+    * the diversity-aware selection step retrieval and curation
+    * pipelines run AFTER nearest-neighbor retrieval (picking the k
+    * most relevant-but-mutually-distinct exemplars instead of k
+    * near-copies of the best hit). `mu` is passed as its own literal
+    * (not derived as 1−lambda) so both engines use the same bit
+    * pattern. Ties break to the lowest candidate id; rel and sim both
+    * go through the tie-free quantized [[qdotCol]] cosine, so every
+    * greedy decision is deterministic and engine-identical.
+    *
+    * Scale shape: the pool is poolSize rows per query (the ANN
+    * retrieval output — corpus-scale work happens THERE, in
+    * q45/q47/q87's bounded forms); each greedy step joins the pool
+    * against a broadcast driver-sized selection pack (k·dim per
+    * query) and collects one row per query. The corpus itself is
+    * touched once, by the pool construction. */
+  def mmrTopK(emb: DataFrame, nQueries: Int = 4, poolSize: Int = 16, k: Int = 5,
+              lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need 1 <= k <= poolSize, got k=$k pool=$poolSize")
+    val s = emb.sparkSession
+    import s.implicits._
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(qdotCol(col("v"), col("v"))))
+    val q = base.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .where(col("query_id") < nQueries)
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("cand_id").asc)
+    val pool = base.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("rel", qdotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("pr", row_number().over(pw)).where(col("pr") <= poolSize)
+      .select(col("query_id"), col("cand_id"), col("cv"), col("cn"), col("rel"))
+      .persist()
+    pool.count()
+    // driver state: per query, the picked (id, vector, norm) in order —
+    // k·dim doubles per query, the literalPack argument again
+    val sel = scala.collection.mutable.Map.empty[Long, Vector[(Long, Seq[Double], Double)]]
+      .withDefaultValue(Vector.empty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double, Double, Double)]
+    val packSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("picked",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("sels",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))),
+      org.apache.spark.sql.types.StructField("snrms",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    for (rank <- 1 to k) {
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList((0L until nQueries.toLong).map { qid =>
+          org.apache.spark.sql.Row(qid, sel(qid).map(_._1), sel(qid).map(_._2),
+            sel(qid).map(_._3))
+        }: _*)
+      val pack = s.createDataFrame(rows, packSchema)
+      val sw = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand_id").asc)
+      val picked = pool.join(broadcast(pack), Seq("query_id"))
+        .where(!array_contains(col("picked"), col("cand_id")))
+        .withColumn("maxsim", when(size(col("sels")) === 0, lit(0.0))
+          .otherwise(array_max(zip_with(col("sels"), col("snrms"),
+            (sv, sn) => qdotCol(col("cv"), sv) / (col("cn") * sn)))))
+        .withColumn("score", lit(lambda) * col("rel") - lit(mu) * col("maxsim"))
+        .withColumn("rn", row_number().over(sw)).where(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), col("cv"), col("cn"),
+          col("rel"), col("maxsim"), col("score"))
+        .collect()
+      picked.foreach { r =>
+        val qid = r.getLong(0)
+        sel(qid) = sel(qid) :+ ((r.getLong(1), r.getSeq[Double](2), r.getDouble(3)))
+        out += ((qid, rank, r.getLong(1), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      }
+    }
+    pool.unpersist(false)
+    out.toSeq.toDF("query_id", "rank", "vec_id", "rel", "maxsim", "score")
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Result of [[kmeansConverge]]: the assignment under the converged

@@ -63,4 +63,29 @@ class IvfProbeSpec extends SparkSpec {
       EmbeddingQueries.ivfTopK(emb, nQueries = 10, nSeeds = 8, nprobe = 9)
     }
   }
+
+  test("mmrTopK: the diversity term demotes a duplicate that relevance-only ranking would keep") {
+    import spark.implicits._
+    // query direction (1,0); two EXACT-duplicate near hits (ids 1,2,
+    // rel ~.98) and one equally-relevant but DIFFERENT vector (id 3,
+    // rel ~.98, sim-to-id-1 ~.92). Relevance-only top-2 = (1, 2) —
+    // tie to the lower id. MMR at lambda=.7 picks 1, then id 2 scores
+    // .7*.98 - .3*1.0 (a duplicate) vs id 3's .7*.98 - .3*.92 — the
+    // diverse vector wins rank 2.
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.98, 0.199)),
+      (2L, Seq(0.98, 0.199)), (3L, Seq(0.98, -0.199)))
+      .toDF("vec_id", "embedding")
+    val mmr = EmbeddingQueries.mmrTopK(emb, nQueries = 1, poolSize = 3, k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(4)))
+    assert(mmr.map(x => (x._1, x._2)).toSeq == Seq((1, 1L), (2, 3L)),
+      s"MMR must pick the diverse vector at rank 2: ${mmr.toSeq}")
+    assert(mmr(0)._3 == 0.0, s"rank 1 has no selected set: maxsim ${mmr(0)._3}")
+    assert(mmr(1)._3 < 0.99, s"rank 2's maxsim must be the non-duplicate sim: ${mmr(1)._3}")
+    // relevance-only ranking on the same pool keeps the duplicate
+    val rel2 = EmbeddingQueries.mmrTopK(emb, nQueries = 1, poolSize = 3, k = 2,
+      lambda = 1.0, mu = 0.0)
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(rel2 == Seq(1L, 2L), s"lambda=1 degenerates to pure relevance: $rel2")
+  }
 }
