@@ -158,30 +158,55 @@ object Bench {
       case scala.util.control.NonFatal(t) =>
         System.err.println(s"bench: table/machinery warmup failed (timings will carry init cost): $t")
     }
-    // Queries themselves are NOT warmed wholesale: running all ~60
-    // untimed at sf0.001 was measured at ~30 s of extra wall (AQE picks
-    // different join strategies at that scale, so even the codegen
-    // cache misses). Only the heaviest dedup/span queries pre-run at
-    // sf0.001 (~2 s total): they own the pass's first positions, and
-    // their residual first-position cost is classloading (TextQueries +
-    // kernel Expression classes) and C2-JIT of the prefix-expand /
-    // posting-table codepaths — which only executing those functions
-    // compiles. Data is sf0.001, results uncached (clearCache below),
-    // so nothing result-shaped leaks into timed readings. q71 joined
-    // the set in r15: its r14 driver reading (4.22 s) was 2.2x its own
-    // same-session canary (2.15 s) with ext_cpu 0 — pure first-execution
-    // cost of the positional-gram/span-reconstruction codepaths, which
-    // none of the other prewarmed queries touch.
-    try {
-      // q106/q105 joined in r16: their first execution pays the whole
-      // Structured-Streaming stack's classload (FileStreamSource,
-      // foreachBatch runner, state/commit logs) plus the partitioned-
-      // store writer paths, which no batch query touches.
+    // Discard-first warm pass (r16 verdict #1): the committed driver
+    // artifact ran +41% above the same code's clean medians, the excess
+    // concentrated in the early heavy-first window (q78 43.8 s vs a
+    // 4.18 s same-pass canary) with EVERY standing gauge flat — the
+    // residue of a fresh 8g JVM executing a 110-query registry for the
+    // first time (tiered JIT + deopt + interpreter time + classload,
+    // of which jit_ms counts only the compiler-thread half). Rather
+    // than keep adding gauges for cost that is definitionally not plan
+    // cost, the billed pass is now preceded by ONE full untimed pass
+    // over the same queries at the same SF: pass 0 absorbs the
+    // session's first-execution costs, the billed pass reads plan
+    // cost. Pass-0 durations are recorded per query in BENCH_DETAIL
+    // (`pass0_s`) so the discarded readings stay auditable, and
+    // SPARK_GRAFT_BENCH_WARMPASS=0 restores the old cold-first-pass
+    // behavior for session-pressure archaeology (subset_ab-style
+    // batteries). Results are uncached between queries (clearCache
+    // below), so nothing result-shaped leaks into billed readings.
+    val warmPass = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMPASS", "1") != "0"
+    val pass0 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    if (warmPass) {
+      names.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          materialize(fn(spark, sfDir))
+          pass0(name) = (System.nanoTime() - t0) / 1e9
+        } catch {
+          // a broken query fails (and is recorded) in the billed pass;
+          // pass 0 just moves on so one failure can't unwarm the rest
+          case scala.util.control.NonFatal(t) =>
+            System.err.println(s"bench: warm pass failed on $name (billed pass will record it): $t")
+        }
+        spark.catalog.clearCache()
+      }
+      System.gc()
+    } else try {
+      // cold mode keeps the old targeted prewarm: only the heaviest
+      // dedup/span/streaming queries pre-run at sf0.001 (~2 s) to shed
+      // classload + C2-JIT of the codepaths only they touch. Filtered
+      // by the SPARK_GRAFT_BENCH_ONLY subset (r16 ADVICE): a subset
+      // session must only ever execute subset queries, or the excluded
+      // ones partially reintroduce the session-size effects the A/B
+      // exists to isolate.
       Seq("q69_curation_stages", "q60_capped_jaccard_pairs",
         "q43_ngram_jaccard_pairs", "q49_dup_clusters",
-        "q71_span_dedup", "q106_stream_curation", "q105_stream_hll_state").foreach { n =>
-        materialize(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
-      }
+        "q71_span_dedup", "q106_stream_curation", "q105_stream_hll_state")
+        .filter(n => only.forall(_.contains(n)))
+        .foreach { n =>
+          materialize(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
+        }
     } catch {
       case scala.util.control.NonFatal(t) =>
         System.err.println(s"bench: heavy-query prewarm failed (first timed positions will carry JIT/classload cost): $t")
@@ -437,12 +462,12 @@ object Bench {
         val ss = samples(n).map(fmt).mkString("[", ",", "]")
         val (sd, sm, sw) = spillQ.getOrElse(n, (-1.0, -1.0, -1.0))
         val (gq, jq) = gcJitQ.getOrElse(n, (-1L, -1L))
-        s"""  {"order":$i,"name":"$n","t0_s":${"%.2f".format(offsets.getOrElse(n, -1.0))},"dur_s":${fmt(median(samples(n).toSeq))},"load":${"%.1f".format(loads.getOrElse(n, -1.0))},"rq_ms":${"%.1f".format(rqMs.getOrElse(n, -1.0))},"ext_cpu":${"%.2f".format(extCpu.getOrElse(n, -1.0))},"spill_mb":${"%.1f".format(sd)},"mem_spill_mb":${"%.1f".format(sm)},"shuf_w_mb":${"%.1f".format(sw)},"gc_ms":$gq,"jit_ms":$jq,"samples":$ss}"""
+        s"""  {"order":$i,"name":"$n","t0_s":${"%.2f".format(offsets.getOrElse(n, -1.0))},"dur_s":${fmt(median(samples(n).toSeq))},"pass0_s":${fmt(pass0.getOrElse(n, -1.0))},"load":${"%.1f".format(loads.getOrElse(n, -1.0))},"rq_ms":${"%.1f".format(rqMs.getOrElse(n, -1.0))},"ext_cpu":${"%.2f".format(extCpu.getOrElse(n, -1.0))},"spill_mb":${"%.1f".format(sd)},"mem_spill_mb":${"%.1f".format(sm)},"shuf_w_mb":${"%.1f".format(sw)},"gc_ms":$gq,"jit_ms":$jq,"samples":$ss}"""
       }.mkString("[\n", ",\n", "\n]")
       val canaryJson = canary.map { case (n, (d, e, st, sd)) =>
         s"""{"name":"$n","dur_s":${fmt(d)},"ext_cpu":${"%.2f".format(e)},"storage_mb_at_start":${"%.0f".format(st)},"spill_mb":${"%.1f".format(sd)}}"""
       }.mkString("[", ",", "]")
-      val body = s"""{"total_s":${fmt(total)},"wall_s":${fmt(wallS)},"iters":$iters,"sf":"$sfDir","note":"t0_s = offset of the query's first timed start from pass start; load = 1-min /proc/loadavg at query start (~32 = this bench alone on 32 threads); rq_ms = run-delay growth of this JVM's threads during the query (first pass); ext_cpu = CPUs held by OTHER processes during the query window (/proc/stat minus /proc/self/stat, first pass; ~0 = quiet box); canary = post-pass re-run of the 3 heaviest queries after a cache-drop + GC reset to clean-session conditions — an externally-contended pass reading does not reproduce there, and storage_mb_at_start records residual storage-memory occupancy so an endogenous-pressure outlier self-explains (r13: a 7x quiet-box canary outlier traced to end-of-pass storage pressure, not contention); stdout line keys are the qNN prefixes of these names; spill_mb/mem_spill_mb/shuf_w_mb = this query's disk-spill / in-memory-spill / shuffle-write deltas from task metrics (first pass, listener-bus best-effort — r15 finding #1 asked for spill visibility to disposition q71-class readings); gc_ms/jit_ms = this JVM's garbage-collection / JIT-compilation time during the query (MXBean deltas, first pass) — the endogenous session-pressure gauges for readings where every exogenous gauge is flat","canary":$canaryJson,"queries":$detail}"""
+      val body = s"""{"total_s":${fmt(total)},"wall_s":${fmt(wallS)},"iters":$iters,"warm_pass":$warmPass,"pass0_total_s":${fmt(pass0.values.sum)},"sf":"$sfDir","note":"pass0_s = this query's duration in the DISCARDED warm pass (r16 verdict #1: billed readings are from a session whose first-execution JIT/classload/deopt costs were absorbed by one full untimed pass; -1.0 = warm pass off or query failed there); t0_s = offset of the query's first timed start from pass start; load = 1-min /proc/loadavg at query start (~32 = this bench alone on 32 threads); rq_ms = run-delay growth of this JVM's threads during the query (first pass); ext_cpu = CPUs held by OTHER processes during the query window (/proc/stat minus /proc/self/stat, first pass; ~0 = quiet box); canary = post-pass re-run of the 3 heaviest queries after a cache-drop + GC reset to clean-session conditions — an externally-contended pass reading does not reproduce there, and storage_mb_at_start records residual storage-memory occupancy so an endogenous-pressure outlier self-explains (r13: a 7x quiet-box canary outlier traced to end-of-pass storage pressure, not contention); stdout line keys are the qNN prefixes of these names; spill_mb/mem_spill_mb/shuf_w_mb = this query's disk-spill / in-memory-spill / shuffle-write deltas from task metrics (first pass, listener-bus best-effort — r15 finding #1 asked for spill visibility to disposition q71-class readings); gc_ms/jit_ms = this JVM's garbage-collection / JIT-compilation time during the query (MXBean deltas, first pass) — the endogenous session-pressure gauges for readings where every exogenous gauge is flat","canary":$canaryJson,"queries":$detail}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         body.getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(_) => () }

@@ -157,15 +157,17 @@ object StageProbe {
           .write.mode("append").parquet(in2))
       val stream2 = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(in2)
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      t("q106 stage1-AQE-OFF: drain (4 triggers)") {
-        graft.streaming.Streaming.incrementalCurationSink(stream2,
-            s"$dir2/curated", s"$dir2/sig", numBuckets = 4)
-          .option("checkpointLocation", s"$dir2/ck").start().awaitTermination()
+      // save/restore via the shared toggle (r16 ADVICE: a hardcoded
+      // "true" restore clobbers whatever the session actually had)
+      Q.withAqeOff(spark) {
+        t("q106 stage1-AQE-OFF: drain (4 triggers)") {
+          graft.streaming.Streaming.incrementalCurationSink(stream2,
+              s"$dir2/curated", s"$dir2/sig", numBuckets = 4)
+            .option("checkpointLocation", s"$dir2/ck").start().awaitTermination()
+        }
+        t("q106 stage2-AQE-OFF: compact")(
+          graft.streaming.Streaming.compactCuratedStore(spark, s"$dir2/curated", s"$dir2/sig"))
       }
-      t("q106 stage2-AQE-OFF: compact")(
-        graft.streaming.Streaming.compactCuratedStore(spark, s"$dir2/curated", s"$dir2/sig"))
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
     // ---- q103 driver-loop PageRank: AQE on vs off. The state is
     // node-scale (11 hosts at sf0.1) so per-block cost is pure
@@ -176,12 +178,12 @@ object StageProbe {
         SparkEntry.queries("q103_pagerank_fixpoint")(spark, sfDir).count())
       t("q103 FULL (AQE on, warm)")(
         SparkEntry.queries("q103_pagerank_fixpoint")(spark, sfDir).count())
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      t("q103 FULL (AQE off)")(
-        SparkEntry.queries("q103_pagerank_fixpoint")(spark, sfDir).count())
-      t("q103 FULL (AQE off, 2nd)")(
-        SparkEntry.queries("q103_pagerank_fixpoint")(spark, sfDir).count())
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      Q.withAqeOff(spark) {
+        t("q103 FULL (AQE off)")(
+          SparkEntry.queries("q103_pagerank_fixpoint")(spark, sfDir).count())
+        t("q103 FULL (AQE off, 2nd)")(
+          SparkEntry.queries("q103_pagerank_fixpoint")(spark, sfDir).count())
+      }
     }
     spark.stop()
   }

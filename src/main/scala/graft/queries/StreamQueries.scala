@@ -26,12 +26,30 @@ import graft.streaming.Streaming
   * — the out-of-order case — and the final state is order-invariant
   * anyway (q105 by max-merge idempotence, q106 by one compact pass).
   *
-  * Per-invocation stores live under a fresh java.io.tmpdir directory;
-  * the returned frame reads them lazily (Verify/Bench consume it
-  * within the invocation). */
+  * Per-invocation stores live under a fresh directory beneath ONE
+  * per-JVM session root that a shutdown hook deletes recursively
+  * (r16 ADVICE: the returned frame reads its store lazily, so the
+  * invocation cannot delete its own directory — but Bench prewarm +
+  * passes, Verify, and the smoke tests each create a set, and
+  * leaving them under java.io.tmpdir accumulated unbounded disk
+  * across sessions). */
 object StreamQueries {
 
   private val nSplits = 4
+
+  /** One tmp root per JVM, removed (recursively) at exit. */
+  private lazy val sessionRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_session")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => try { java.nio.file.Files.deleteIfExists(p); () }
+            catch { case scala.util.control.NonFatal(_) => () })
+      } catch { case scala.util.control.NonFatal(_) => () }))
+    root
+  }
 
   /** Write `docs` as `nSplits` interleaved parquet files under
     * `dir`/in and return a one-file-per-trigger stream over them. */
@@ -45,7 +63,7 @@ object StreamQueries {
   }
 
   private def freshDir(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    java.nio.file.Files.createTempDirectory(sessionRoot, s"graft_$tag").toString
 
   val defs: Map[String, Q] = Map(
 
@@ -131,6 +149,91 @@ object StreamQueries {
          |SELECT c.doc_id, md5(d.text) AS text_hash, c.lang, c.source,
          |       d.n_chars, c.quality
          |FROM cur c JOIN documents d USING (doc_id)
-         |ORDER BY c.doc_id""".stripMargin)
+         |ORDER BY c.doc_id""".stripMargin),
+
+    // Arbitrary-stateful sessionization under the oracle (see
+    // [[Streaming.sessionize]]): the last production streaming path —
+    // flatMapGroupsWithState with event-time timeout — driven over the
+    // events table in FOUR sequential Trigger.AvailableNow drains that
+    // SHARE one checkpoint, so per-key session state must survive three
+    // full query restarts (a strictly stronger device than q105/q106's
+    // one-drain micro-batch split: the state store, not executor
+    // memory, carries the open sessions between admissions). Batch
+    // contents force both hard cases:
+    //
+    //  - regular users (user_id % 37 != 3) arrive as per-user event-
+    //    time TERTILES, one per drain — every session spanning a
+    //    tertile boundary accumulates across restarts;
+    //  - late users (user_id % 37 == 3) arrive ONLY in the 4th drain,
+    //    their entire 30-day history at once — every one of those
+    //    events is far below the stream's high-water mark by then (a
+    //    true late-arrival batch), admitted because the 40-day
+    //    watermark delay covers the corpus span.
+    //
+    // Per-key arrival order is event-time-monotone by construction
+    // (tertiles in order; late keys whole-in-one-batch), so the
+    // incremental state transitions replay exactly the batch
+    // gaps-and-islands recurrence (q34's formulation) — which is what
+    // the oracle states. The 40-day delay also pins which sessions
+    // EMIT: the watermark never reaches any session's gap horizon, so
+    // event-time timeouts never fire and the output is exactly the
+    // data-closed sessions — every session except each key's last
+    // (nothing ever closes it). A lost state row across a restart, a
+    // session split at a batch seam, a late event dropped or misfiled
+    // — any of them changes a session's start/duration/count and
+    // breaks the hash.
+    "q111_stream_sessionize" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.streaming.Trigger
+        val dir = freshDir("q111")
+        val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
+        val gapUs = 30L * 60 * 1000000
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts"))
+        val late = col("user_id") % 37 === 3
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val tert = ev.where(!late).withColumn("_t", ntile(3).over(wOrd))
+        (1 to 4).foreach { i =>
+          val slice =
+            if (i <= 3) tert.where(col("_t") === i).select(col("user_id"), col("ts"))
+            else ev.where(late).select(col("user_id"), col("ts"))
+          slice.coalesce(1).write.mode("append").parquet(in)
+          val stream = s.readStream.schema(slice.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+          Streaming.sessionize(s, stream, "user_id", "ts",
+              watermark = "40 days", gapUs = gapUs)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append").trigger(Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
+        s.read.parquet(out)
+          .select(col("key").cast("long").as("user_id"),
+            col("sessionStartUs").as("session_start_us"),
+            col("durationUs").as("duration_us"),
+            col("nEvents").as("n_events"))
+          .orderBy(col("user_id"), col("session_start_us"))
+      },
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > 30 * 60 * 1000000
+        |              THEN 1 ELSE 0 END AS new_sess,
+        |         ts, event_id
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us,
+        |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g),
+        |per AS (
+        |  SELECT user_id, sess_id, MIN(us) AS session_start_us,
+        |         MAX(us) - MIN(us) AS duration_us, COUNT(*) AS n_events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, session_start_us, duration_us, n_events
+        |FROM (SELECT per.*, MAX(sess_id) OVER (PARTITION BY user_id) AS mx FROM per) z
+        |WHERE sess_id < mx
+        |ORDER BY user_id, session_start_us""".stripMargin)
   )
 }
