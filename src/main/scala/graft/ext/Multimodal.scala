@@ -252,6 +252,58 @@ object Multimodal {
     hsh
   }
 
+  /** Acoustic fingerprint (sign-of-energy-delta, the Haitsma-Kalker
+    * family's public core idea) over decoded PCM samples — the audio
+    * member of the perceptual-hash family, the exact 1-D analogue of
+    * [[dHash]]: mix the interleaved stream down to per-frame energy
+    * (|sum of the frame's channel samples| — integer, no rounding),
+    * nearest-neighbor-sample 65 frame positions with the same floor
+    * mapping [[resizePixels]] uses (position j reads frame
+    * ⌊j·nf/65⌋), and emit 64 bits — bit k set iff
+    * energy(pos k) > energy(pos k+1). Acoustically-near streams differ
+    * in few bits, so the SAME Hamming-banded pairing the image path
+    * runs (q84/q112) finds near-duplicates without an all-pairs scan.
+    * Pure integer arithmetic: deterministic, engine-replayable. */
+  def audioFingerprint(samples: Array[Short], channels: Int): Long = {
+    require(channels >= 1, s"channels must be positive, got $channels")
+    require(samples.nonEmpty && samples.length % channels == 0,
+      s"${samples.length} samples do not form whole non-zero $channels-channel frames")
+    val nf = samples.length / channels
+    val e = new Array[Long](nf)
+    var f = 0
+    while (f < nf) {
+      var s = 0L
+      var c = 0
+      while (c < channels) { s += samples(f * channels + c); c += 1 }
+      e(f) = math.abs(s)
+      f += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 64) {
+      if (e(k * nf / 65) > e((k + 1) * nf / 65)) fp |= 1L << k
+      k += 1
+    }
+    fp
+  }
+
+  /** Per-payload acoustic fingerprint row: null afp = payload not a
+    * decodable (non-empty) canonical WAV — only real decodes get a
+    * perceptual fingerprint, the [[ImageHashRow]] convention. */
+  final case class AudioHashRow(doc_id: Long, afp: Option[Long])
+
+  /** Decode + acoustic-fingerprint stage: one narrow per-partition
+    * batch map, same dispatch totality as [[decodeAudio]]. */
+  def audioHashes(spark: SparkSession, media: DataFrame): Dataset[AudioHashRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      batch.map(r => AudioHashRow(r.doc_id,
+        WavDecoder.tryDecode(r.media).collect {
+          case (ch, _, samples) if samples.nonEmpty => audioFingerprint(samples, ch)
+        }))
+    }
+  }
+
   /** Per-image perceptual hash row: null dhash = payload not decodable
     * (only real decodes get a perceptual hash; there is nothing
     * perceptual about stub bytes). */

@@ -171,6 +171,32 @@ object MultimodalQueries {
       |         CASE WHEN doc_id % 4 < 2 THEN 2 ELSE 4 END AS w
       |  FROM documents)""".stripMargin
 
+  /** Deterministic variable-length audio corpus for the acoustic
+    * near-dup queries (q112/q113): same routing rule as [[bmpCorpus]],
+    * but the WAV length follows the DOCUMENT — decodable docs become
+    * canonical PCM WAVs of nf = min(⌊len / (2·ch)⌋, 64) frames (1 or 2
+    * channels by parity), samples = the first 2·nf·ch text bytes read
+    * little-endian. Unlike [[wavCorpus]]'s fixed 12 samples (enough to
+    * pin q86's decode), the fingerprint path needs REAL frame counts:
+    * [[Multimodal.audioFingerprint]]'s 65-position resample over a
+    * 12-sample clip would leave ≤ 11 informative bits and collapse the
+    * banded join's key space; at up to 64 frames the fingerprint
+    * carries up to 63 informative bits, the image family's regime. */
+  private def wavFpCorpus(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    Multimodal.mediaTable(docs).as[Multimodal.MediaRow].mapPartitions { it =>
+      it.map { r =>
+        if (r.media.length >= 48 && r.doc_id % 5 != 0) {
+          val ch = 1 + (r.doc_id % 2).toInt
+          val n = math.min(r.media.length / (2 * ch), 64) * ch
+          val samples = Array.tabulate(n)(i =>
+            ((r.media(2 * i) & 0xff) | ((r.media(2 * i + 1) & 0xff) << 8)).toShort)
+          Multimodal.MediaRow(r.doc_id, Multimodal.encodeWav(samples, ch, 8000))
+        } else Multimodal.MediaRow(r.doc_id, 0.toByte +: r.media)
+      }
+    }.toDF()
+  }
+
   /** Perceptual hashes of the decodable slice of the BMP corpus —
     * q84/q104's shared input (real decode path only; non-BMPs yield
     * null and sit out). */
@@ -178,16 +204,26 @@ object MultimodalQueries {
     Multimodal.imageHashes(s, bmpCorpus(s, Tables.documents(s, d)))
       .toDF().where(col("dhash").isNotNull)
 
-  /** q84's Hamming-banded pair join over a (doc_id, dhash) frame,
-    * stated once for q84 and the q104 cluster composition: four 16-bit
-    * bands of the 64-bit hash key the candidate join, a per-bucket
-    * occupancy cap (q62's pattern) bounds the one quadratic unit
-    * (templated corpora collapse to few distinct perceptual hashes, so
-    * hot buckets are the NORM here, not a tail case), and the exact
-    * Hamming distance over the full hash filters candidates. Never
-    * all-pairs: pair volume is bounded at C(cap,2)·buckets by
+  /** Acoustic fingerprints of the decodable slice of the WAV corpus —
+    * q112/q113's shared input, normalized to the (doc_id, dhash)
+    * shape [[bandedHashPairs]] consumes (real decode path only;
+    * non-WAVs yield null and sit out). */
+  private def decodedAudioHashes(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioHashes(s, wavFpCorpus(s, Tables.documents(s, d)))
+      .toDF().where(col("afp").isNotNull)
+      .select(col("doc_id"), col("afp").as("dhash"))
+
+  /** The Hamming-banded pair join over ANY (doc_id, dhash) 64-bit
+    * perceptual-hash frame — stated once for the image chain (q84 +
+    * the q104 cluster composition) and the audio chain (q112/q113):
+    * four 16-bit bands of the 64-bit hash key the candidate join, a
+    * per-bucket occupancy cap (q62's pattern) bounds the one quadratic
+    * unit (templated corpora collapse to few distinct perceptual
+    * hashes, so hot buckets are the NORM here, not a tail case), and
+    * the exact Hamming distance over the full hash filters candidates.
+    * Never all-pairs: pair volume is bounded at C(cap,2)·buckets by
     * construction. */
-  private def imagePairsOf(hashes: DataFrame): DataFrame = {
+  private def bandedHashPairs(hashes: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bands = hashes.select(col("doc_id"), col("dhash"),
         explode(array((0 until 4).map(j => struct(lit(j).as("band"),
@@ -208,13 +244,37 @@ object MultimodalQueries {
       .where(col("hamming") <= 4)
   }
 
-  /** Mirror of [[imagePairsOf]] as oracle CTEs (claims h, bk, capped,
-    * ipairs; needs [[sqlBmpBase]]'s `b` in scope). The dHash restates
-    * bit-by-bit from the text hex — only informative bits (cells whose
-    * floor-mapped source positions differ, per constructed width:
-    * w=2 one transition per row, w=4 three) are emitted; every other
-    * bit compares a cell to itself and is 0 by construction, in the
-    * Spark kernel and here alike. */
+  /** The banding / occupancy-cap / Hamming-filter tail of
+    * [[bandedHashPairs]] as oracle CTEs, parameterized by the hash CTE
+    * it reads (columns doc_id, dhash) and a name prefix so the image
+    * and audio chains can both claim an instance in one oracle without
+    * colliding — the shift/mask band arithmetic, the windowed
+    * occupancy cap, and bit_count(xor) restate the Spark side
+    * one-for-one. Claims `<p>bk`, `<p>capped`, `<p>pairs`. */
+  private def sqlBandPairTail(hashCte: String, p: String): String =
+    s"""${p}bk AS (
+       |  SELECT doc_id, dhash, CAST(j AS INTEGER) AS band,
+       |         (dhash >> CAST(16 * j AS INTEGER)) & 65535 AS bkey
+       |  FROM $hashCte CROSS JOIN (SELECT unnest(range(0, 4)) AS j) bands),
+       |${p}capped AS (
+       |  SELECT doc_id, dhash, band, bkey FROM (
+       |    SELECT ${p}bk.*, count(*) OVER (PARTITION BY band, bkey) AS n FROM ${p}bk) z
+       |  WHERE n <= 8),
+       |${p}pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |         CAST(bit_count(xor(a.dhash, c.dhash)) AS INTEGER) AS hamming
+       |  FROM ${p}capped a JOIN ${p}capped c ON a.band = c.band AND a.bkey = c.bkey
+       |    AND a.doc_id < c.doc_id
+       |  WHERE bit_count(xor(a.dhash, c.dhash)) <= 4)""".stripMargin
+
+  /** Mirror of [[bandedHashPairs]] over the image hashes as oracle
+    * CTEs (claims h + [[sqlBandPairTail]]'s `i` instance: ibk,
+    * icapped, ipairs; needs [[sqlBmpBase]]'s `b` in scope). The dHash
+    * restates bit-by-bit from the text hex — only informative bits
+    * (cells whose floor-mapped source positions differ, per
+    * constructed width: w=2 one transition per row, w=4 three) are
+    * emitted; every other bit compares a cell to itself and is 0 by
+    * construction, in the Spark kernel and here alike. */
   private val sqlImagePairCtes: String = {
     def hashExpr(w: Int): String = {
       def pos(tx: Int, ty: Int): Int = {
@@ -232,20 +292,48 @@ object MultimodalQueries {
        |  SELECT doc_id,
        |         CAST(CASE WHEN w = 2 THEN ${hashExpr(2)} ELSE ${hashExpr(4)} END AS BIGINT) AS dhash
        |  FROM b WHERE isbmp),
-       |bk AS (
-       |  SELECT doc_id, dhash, CAST(j AS INTEGER) AS band,
-       |         (dhash >> CAST(16 * j AS INTEGER)) & 65535 AS bkey
-       |  FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS j) bands),
-       |capped AS (
-       |  SELECT doc_id, dhash, band, bkey FROM (
-       |    SELECT bk.*, count(*) OVER (PARTITION BY band, bkey) AS n FROM bk) z
-       |  WHERE n <= 8),
-       |ipairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
-       |         CAST(bit_count(xor(a.dhash, c.dhash)) AS INTEGER) AS hamming
-       |  FROM capped a JOIN capped c ON a.band = c.band AND a.bkey = c.bkey
-       |    AND a.doc_id < c.doc_id
-       |  WHERE bit_count(xor(a.dhash, c.dhash)) <= 4)""".stripMargin
+       |${sqlBandPairTail("h", "i")}""".stripMargin
+  }
+
+  /** Mirror of [[bandedHashPairs]] over the acoustic fingerprints as
+    * oracle CTEs (claims ah + [[sqlBandPairTail]]'s `a` instance: abk,
+    * acapped, apairs; needs [[sqlBmpBase]]'s `b` in scope — its isbmp
+    * predicate IS [[wavFpCorpus]]'s routing rule). Unlike the image
+    * hash (unrolled per constructed width), the fingerprint restates
+    * FULLY ARITHMETICALLY from the text hex: per doc, the frame-energy
+    * list e (|channel-sum| of the signed 16-bit LE samples the
+    * encode/decode round trip recovers — q86's two's-complement
+    * device), then the 64 bits as one list_transform over k with the
+    * same ⌊k·nf/65⌋ floor-mapped positions the Spark kernel reads.
+    * Bit 63 lands on the BIGINT sign bit on both sides (subset sums
+    * of distinct powers of two are exactly the signed 64-bit
+    * patterns, so the fold cannot overflow). */
+  private val sqlAudioPairCtes: String = {
+    // signed 16-bit LE sample i from the text hex (bytes 2i, 2i+1)
+    val raw = (i: String) =>
+      s"""('0x' || substr(hx, CAST(4*($i)+1 AS INTEGER), 2))::INTEGER
+         | + 256 * ('0x' || substr(hx, CAST(4*($i)+3 AS INTEGER), 2))::INTEGER""".stripMargin
+    val sv = (i: String) =>
+      s"(CASE WHEN (${raw(i)}) < 32768 THEN (${raw(i)}) ELSE (${raw(i)}) - 65536 END)"
+    s"""ae AS (
+       |  SELECT doc_id, nf,
+       |         list_transform(range(0, nf), f -> abs(
+       |           CASE WHEN ch = 1 THEN ${sv("f")}
+       |                ELSE ${sv("2*f")} + ${sv("2*f+1")} END)) AS e
+       |  FROM (SELECT doc_id, hx, ch, LEAST(len // (2 * ch), 64) AS nf
+       |        FROM (SELECT b.*, CAST(doc_id % 2 + 1 AS INTEGER) AS ch FROM b)
+       |        WHERE isbmp)),
+       |ah AS (
+       |  SELECT doc_id,
+       |         CAST(list_sum(list_transform(range(0, 64), k ->
+       |           CASE WHEN e[CAST((k * nf) // 65 AS INTEGER) + 1]
+       |                     <= e[CAST(((k + 1) * nf) // 65 AS INTEGER) + 1]
+       |                THEN 0::BIGINT
+       |                WHEN k = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+       |                ELSE (1::BIGINT << CAST(k AS INTEGER)) END))
+       |           AS BIGINT) AS dhash
+       |  FROM ae),
+       |${sqlBandPairTail("ah", "a")}""".stripMargin
   }
 
   /** Independent restatement of [[Multimodal.encodeBmp]]'s 54-byte
@@ -467,7 +555,7 @@ object MultimodalQueries {
     // rest are provably 0), the banding as shift/mask arithmetic, the
     // cap as a window count, and the Hamming as bit_count(xor).
     "q84_image_neardup_pairs" -> Q(
-      (s, d) => imagePairsOf(decodedHashes(s, d))
+      (s, d) => bandedHashPairs(decodedHashes(s, d))
         .orderBy(col("doc_a"), col("doc_b")),
       s"""WITH $sqlBmpBase,
          |$sqlImagePairCtes
@@ -494,7 +582,7 @@ object MultimodalQueries {
     "q104_image_dup_clusters" -> Q(
       (s, d) => {
         val hashes = decodedHashes(s, d).persist()
-        val pairs = imagePairsOf(hashes).persist()
+        val pairs = bandedHashPairs(hashes).persist()
         val comps = graft.ext.Graph.connectedComponents(pairs, "doc_a", "doc_b")
           .select(col("node").as("doc_id"), col("component").as("cluster_id"))
         val mem = comps.join(hashes, Seq("doc_id"))
@@ -610,6 +698,80 @@ object MultimodalQueries {
            |  CASE WHEN isbmp AND ch = 2 THEN ${stat("list_min", "1", "2", "INTEGER")} END AS c1_min,
            |  CASE WHEN isbmp AND ch = 2 THEN ${stat("list_max", "1", "2", "INTEGER")} END AS c1_max
            |FROM w2 ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Acoustic near-dup pairs — the audio member of the dedup bridge
+    // (r16 verdict ask #3: WAV stopped at q86's decode; images got the
+    // full chain). The variable-length WAV corpus decodes
+    // ([[Multimodal.WavDecoder]]), fingerprints over the DECODED
+    // samples ([[Multimodal.audioFingerprint]] — sign-of-energy-delta
+    // over 65 floor-mapped frame positions, dHash's 1-D analogue), and
+    // pairs through the SAME Hamming-banded join the image path runs
+    // ([[bandedHashPairs]]): never all-pairs, pair volume bounded at
+    // C(cap,2)·buckets. The oracle restates the fingerprint
+    // arithmetically from the text hex (frame energies via q86's
+    // two's-complement device, positions via the same ⌊k·nf/65⌋
+    // mapping), the banding as shift/mask arithmetic, the cap as a
+    // window count, and the Hamming as bit_count(xor).
+    "q112_audio_neardup_pairs" -> Q(
+      (s, d) => bandedHashPairs(decodedAudioHashes(s, d))
+        .orderBy(col("doc_a"), col("doc_b")),
+      s"""WITH $sqlBmpBase,
+         |$sqlAudioPairCtes
+         |SELECT doc_a, doc_b, hamming FROM apairs
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Acoustic duplicate-CLUSTER formation — q104's closure step over
+    // the audio fingerprint pairs: q112's Hamming-banded pairs feed the
+    // distributed connected-components loop (A~B, B~C collapse to one
+    // cluster even when A,C never share a band), closing the audio
+    // branch of the multimodal->dedup bridge end-to-end with the same
+    // per-cluster accounting as the image chain (member count, distinct
+    // fingerprints, observed pair count, banded max pair distance) and
+    // the same min-id canonical convention. The oracle restates the
+    // closure as a recursive CTE over the shared pair fragment
+    // (explicit DISTINCT subselects — the q104 device: under WITH
+    // RECURSIVE, DuckDB gives non-self-referencing set-op CTEs
+    // recursive-anchor semantics and stops deduplicating them).
+    "q113_audio_dup_clusters" -> Q(
+      (s, d) => {
+        val hashes = decodedAudioHashes(s, d).persist()
+        val pairs = bandedHashPairs(hashes).persist()
+        val comps = graft.ext.Graph.connectedComponents(pairs, "doc_a", "doc_b")
+          .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        val mem = comps.join(hashes, Seq("doc_id"))
+          .groupBy(col("cluster_id")).agg(
+            count(lit(1)).as("n_members"),
+            countDistinct(col("dhash")).as("n_distinct_hashes"))
+        val edges = pairs
+          .join(comps.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+          .groupBy(col("cluster_id")).agg(
+            count(lit(1)).as("n_pairs"),
+            max(col("hamming")).as("max_hamming"))
+        mem.join(edges, Seq("cluster_id")).orderBy(col("cluster_id"))
+      },
+      s"""WITH RECURSIVE $sqlBmpBase,
+         |$sqlAudioPairCtes,
+         |aedges AS (SELECT DISTINCT a, b FROM (
+         |  SELECT doc_a AS a, doc_b AS b FROM apairs
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM apairs)),
+         |areach AS (
+         |  SELECT a AS node, a AS lbl FROM aedges
+         |  UNION
+         |  SELECT e.b AS node, r.lbl FROM areach r JOIN aedges e ON e.a = r.node),
+         |acl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM areach GROUP BY 1),
+         |amem AS (
+         |  SELECT acl.cluster_id, COUNT(*) AS n_members,
+         |         COUNT(DISTINCT h.dhash) AS n_distinct_hashes
+         |  FROM acl JOIN ah h ON h.doc_id = acl.doc_id GROUP BY 1),
+         |aed AS (
+         |  SELECT acl.cluster_id, COUNT(*) AS n_pairs,
+         |         CAST(MAX(p.hamming) AS INTEGER) AS max_hamming
+         |  FROM apairs p JOIN acl ON acl.doc_id = p.doc_a GROUP BY 1)
+         |SELECT m.cluster_id, m.n_members, m.n_distinct_hashes,
+         |       e.n_pairs, e.max_hamming
+         |FROM amem m JOIN aed e USING (cluster_id)
+         |ORDER BY m.cluster_id""".stripMargin)
   )
 }

@@ -141,6 +141,47 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash(px.clone(), 9, 8) == h)
   }
 
+  test("audioFingerprint: sign-of-energy-delta bits at the engineered drops, 1-D dHash laws") {
+    // 65 mono frames (identity resample: position j reads frame j):
+    // energy ramps UP with f except one engineered zero at f = 13 — so
+    // exactly ONE comparison e(k) > e(k+1) holds, at k = 12
+    val up = Array.tabulate(65)(f => if (f == 13) 0 else (f + 1) * 10)
+    val fp = Multimodal.audioFingerprint(up.map(_.toShort), 1)
+    assert(fp == (1L << 12),
+      s"expected the single engineered-drop bit: got ${fp.toBinaryString}")
+    // one-frame perturbation moves few bits (each frame joins <= 2
+    // positions x 2 sides = <= 4 comparisons at nf = 65) — the
+    // perceptual property the Hamming banding exploits
+    val up2 = up.clone(); up2(40) = 0
+    val d = java.lang.Long.bitCount(
+      fp ^ Multimodal.audioFingerprint(up2.map(_.toShort), 1))
+    assert(d >= 1 && d <= 4, s"one-frame perturbation moved $d bits")
+    // determinism + amplitude-scale invariance (ordering-preserving
+    // gain leaves every sign-of-delta bit unchanged)
+    assert(Multimodal.audioFingerprint(up.map(_.toShort), 1) == fp)
+    assert(Multimodal.audioFingerprint(up.map(v => (v * 3).toShort), 1) == fp)
+    // stereo mixdown: per-frame CHANNEL SUM is the energy — a stereo
+    // stream whose frames sum to the mono stream fingerprints equally
+    val stereo = up.flatMap(v => Array((v - 3).toShort, 3.toShort))
+    assert(Multimodal.audioFingerprint(stereo, 2) == fp)
+    // energy is |sum|: a negated stream fingerprints identically
+    assert(Multimodal.audioFingerprint(up.map(v => (-v).toShort), 1) == fp)
+  }
+
+  test("audioHashes: real WAV decodes get a fingerprint, stubs and empty WAVs get null") {
+    import spark.implicits._
+    val samples = Array.tabulate(24)(i => ((i * 37) % 100 - 50).toShort)
+    val wav = Multimodal.encodeWav(samples, 2, 8000)
+    val empty = Multimodal.encodeWav(Array.empty[Short], 1, 8000)
+    val text = "not audio".getBytes("UTF-8")
+    val got = Multimodal.audioHashes(spark,
+        Seq(1L -> wav, 2L -> text, 3L -> empty).toDF("doc_id", "media"))
+      .collect().map(r => r.doc_id -> r.afp).toMap
+    assert(got(1L).contains(Multimodal.audioFingerprint(samples, 2)))
+    assert(got(2L).isEmpty, "non-decodable payloads must carry a null fingerprint")
+    assert(got(3L).isEmpty, "a zero-frame WAV has no energy sequence to fingerprint")
+  }
+
   test("imageHashes: real decodes get a perceptual hash, stubs get null") {
     import spark.implicits._
     val img = Array.tabulate(2, 3)((r, c) => (r * 40 + c * 10, 0, 0))

@@ -547,6 +547,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), "bucket occupancy cap must be a window count (q84's shape)")
   }
 
+  test("q112 audio near-dup: banded pair join only, occupancy as a window, never all-pairs") {
+    val p = plan("q112_audio_neardup_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "never an all-pairs stage")
+    assert(p.contains("Window"), "bucket occupancy cap must be a window count (q84's shape)")
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(p).length
+    assert(joins == 1, s"the banded pair join must be the ONLY join, got $joins")
+  }
+
+  test("q113 audio dup clusters: banded pairs + keyed closure joins, never all-pairs") {
+    val p = plan("q113_audio_dup_clusters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "never an all-pairs stage — the closure and the accounting are keyed equi-joins")
+    assert(p.contains("Window"), "bucket occupancy cap must be a window count (q84's shape)")
+  }
+
   test("q66 url filter: narrow map — no join, no aggregate, only the output sort exchanges") {
     val p = plan("q66_url_filter")
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
