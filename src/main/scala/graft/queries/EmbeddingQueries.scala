@@ -605,6 +605,51 @@ object EmbeddingQueries {
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id AS vec_id,
          |       rel, maxsim, score
          |FROM (${(1 to 5).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")})
+         |ORDER BY query_id, rank""".stripMargin),
+
+    // MMR over the BOUNDED retrieval stage (see [[mmrTopKIvf]]; r16
+    // verdict ask #6): the production composition — q47's IVF coarse
+    // quantizer supplies each query's candidates from its top-2 probed
+    // cells only, exact-cosine-ranked and cut to the 16-candidate pool,
+    // then q110's greedy MMR re-rank runs UNCHANGED over it (one
+    // mmrGreedy definition; one sqlMmrStep fragment — both oracles
+    // replay the identical greedy arithmetic, differing only in the
+    // `pool` CTE they hand it). The oracle restates the assignment,
+    // each query's nprobe-cell probe ranking, the in-cell pool cut,
+    // and the 5 unrolled greedy steps; a wrong cell, a candidate leaked
+    // from an unprobed cell, or one greedy slip anywhere breaks the
+    // hash transitively.
+    "q115_mmr_ivf_topk" -> Q(
+      (s, d) => mmrTopKIvf(Tables.embeddings(s, d)),
+      s"""WITH $sqlVecsQ,
+         |ccos AS (
+         |  SELECT x.vec_id AS v, c.vec_id AS cent,
+         |         ${sqlQDot("x.v", "c.v")} / (x.nrm * c.nrm) AS ccos
+         |  FROM vecs x JOIN vecs c ON c.vec_id < $nSeeds),
+         |assign AS (
+         |  SELECT v AS vec_id, cell
+         |  FROM (SELECT v, cent AS cell, row_number() OVER (PARTITION BY v ORDER BY ccos DESC, cent ASC) AS rn FROM ccos) z
+         |  WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT v AS query_id, cell
+         |  FROM (SELECT v, cent AS cell, row_number() OVER (PARTITION BY v ORDER BY ccos DESC, cent ASC) AS rn
+         |        FROM ccos WHERE v < 4) z
+         |  WHERE rn <= 2),
+         |pool AS (
+         |  SELECT query_id, cand_id, cv, cn, rel FROM (
+         |    SELECT p.query_id, a.vec_id AS cand_id, cv.v AS cv, cv.nrm AS cn,
+         |           ${sqlQDot("qv.v", "cv.v")} / (qv.nrm * cv.nrm) AS rel,
+         |           row_number() OVER (PARTITION BY p.query_id
+         |             ORDER BY ${sqlQDot("qv.v", "cv.v")} / (qv.nrm * cv.nrm) DESC, a.vec_id ASC) AS pr
+         |    FROM qprobe p
+         |    JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+         |    JOIN vecs qv ON qv.vec_id = p.query_id
+         |    JOIN vecs cv ON cv.vec_id = a.vec_id) z
+         |  WHERE pr <= 16),
+         |${(1 to 5).map(sqlMmrStep).mkString(",\n")}
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id AS vec_id,
+         |       rel, maxsim, score
+         |FROM (${(1 to 5).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")})
          |ORDER BY query_id, rank""".stripMargin)
   )
 
@@ -952,8 +997,6 @@ object EmbeddingQueries {
   def mmrTopK(emb: DataFrame, nQueries: Int = 4, poolSize: Int = 16, k: Int = 5,
               lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
     require(k >= 1 && poolSize >= k, s"need 1 <= k <= poolSize, got k=$k pool=$poolSize")
-    val s = emb.sparkSession
-    import s.implicits._
     val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(qdotCol(col("v"), col("v"))))
     val q = base.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -964,7 +1007,74 @@ object EmbeddingQueries {
       .withColumn("rel", qdotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("pr", row_number().over(pw)).where(col("pr") <= poolSize)
       .select(col("query_id"), col("cand_id"), col("cv"), col("cn"), col("rel"))
-      .persist()
+    mmrGreedy(pool, nQueries, k, lambda, mu)
+  }
+
+  /** [[mmrTopK]] over an IVF-BOUNDED retrieval pool (q115) — the
+    * production composition: the brute-force q45-shaped pool scans the
+    * whole corpus per query, while here each query's candidates come
+    * only from its `nprobe` nearest coarse cells ([[ivfTopK]]'s
+    * quantizer, same deterministic seeds), ranked by exact quantized
+    * cosine within the probed slice and cut to `poolSize` BEFORE the
+    * greedy re-rank. Retrieval recall becomes the nprobe knob;
+    * the MMR stage is byte-identical ([[mmrGreedy]], one definition).
+    *
+    * Scale shape: the corpus is touched once by the narrow assignment
+    * map; the probe fan-out multiplies only the BROADCAST query side
+    * of the cell join (never the corpus — [[ivfTopK]]'s argument); the
+    * greedy steps join the poolSize·nQueries frame against a broadcast
+    * driver-sized selection pack. No corpus self-join anywhere
+    * (PlanAuditSpec pins it). */
+  def mmrTopKIvf(emb: DataFrame, nQueries: Int = 4, nSeeds: Int = 8,
+                 nprobe: Int = 2, poolSize: Int = 16, k: Int = 5,
+                 lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need 1 <= k <= poolSize, got k=$k pool=$poolSize")
+    mmrGreedy(ivfPool(emb, nQueries, nSeeds, nprobe, poolSize), nQueries, k, lambda, mu)
+  }
+
+  /** The nprobe-bounded retrieval pool feeding [[mmrTopKIvf]] —
+    * private[graft] so PlanAuditSpec can pin ITS plan (the registry
+    * entry's executed plan is the post-loop local relation): the
+    * corpus appears exactly once, as the narrow assignment map joined
+    * against the BROADCAST probe side — never a corpus self-join. */
+  private[graft] def ivfPool(emb: DataFrame, nQueries: Int, nSeeds: Int,
+                             nprobe: Int, poolSize: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nSeeds, s"nprobe must be in [1, $nSeeds]")
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(qdotCol(col("v"), col("v"))))
+    val cents = centsPack(base, nSeeds)
+    def scored = scoredCells(nSeeds, qdotCol)
+    val cands = base.crossJoin(broadcast(cents))
+      .withColumn("best", array_max(scored))
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"),
+        (-col("best.negk")).cast("long").as("cell"))
+    // query side re-derives its centroid scores on the filtered (tiny)
+    // scan and explodes its top-nprobe cells — ivfTopK's shape
+    val qs = base.where(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("probe", explode(slice(reverse(array_sort(scored)), 1, nprobe)))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        (-col("probe.negk")).cast("long").as("cell"))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("cand_id").asc)
+    cands.join(broadcast(qs), Seq("cell"))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("rel", qdotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("pr", row_number().over(pw)).where(col("pr") <= poolSize)
+      .select(col("query_id"), col("cand_id"), col("cv"), col("cn"), col("rel"))
+  }
+
+  /** The shared MMR greedy loop over a PRECOMPUTED candidate pool
+    * (columns query_id, cand_id, cv, cn, rel) — factored out of
+    * [[mmrTopK]] so the brute-force (q110) and IVF-bounded (q115)
+    * retrieval stages re-rank through ONE definition. Each of the `k`
+    * steps joins the pool against a broadcast driver-sized selection
+    * pack and collects one row per query; the pool is persisted here
+    * because every step re-reads it. */
+  private def mmrGreedy(poolDf: DataFrame, nQueries: Int, k: Int,
+                        lambda: Double, mu: Double): DataFrame = {
+    val s = poolDf.sparkSession
+    import s.implicits._
+    val pool = poolDf.persist()
     pool.count()
     // driver state: per query, the picked (id, vector, norm) in order —
     // k·dim doubles per query, the literalPack argument again

@@ -613,12 +613,19 @@ object TextQueries {
                            scope: graft.engine.CacheScope =
                              graft.engine.CacheScope.untracked): DataFrame = {
     val scores = scope.persist(lmSurprisal(docs, scope))
-    val th = scores.agg(
+    surprisalBandCut(scores, surprisalApproxThresholds(scores, accuracy))
+  }
+
+  /** The t-digest/GK tertile thresholds of [[surprisalBandsApprox]] as
+    * their own one-row (t1, t2) frame — factored out so the q114
+    * oracle row and the production band cut consume the SAME sketch
+    * computation (one definition; the gate and the pipeline cannot
+    * drift). */
+  def surprisalApproxThresholds(scores: DataFrame, accuracy: Int): DataFrame =
+    scores.agg(
       expr(s"approx_percentile(mean_surprisal, array(${1.0 / 3}, ${2.0 / 3}), $accuracy)")
         .as("ts"))
       .select(element_at(col("ts"), 1).as("t1"), element_at(col("ts"), 2).as("t2"))
-    surprisalBandCut(scores, th)
-  }
 
   /** Quantized TF-IDF top terms (q102): per source, the k terms with
     * the highest tf·qidf, where tf is the term's exact occurrence count
@@ -2122,6 +2129,67 @@ object TextQueries {
            |SELECT band, COUNT(*) AS n_docs, CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
            |       MIN(mean_surprisal) AS min_ms, MAX(mean_surprisal) AS max_ms
            |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    // The at-scale CCNet band cut under the oracle (r16 verdict ask
+    // #5): [[surprisalBandsApprox]]'s sketch-threshold path — until now
+    // spec-gated only (CleaningSpec's rank-error contract) — driven
+    // inside a hash-gated row via the q59 device. Each engine computes
+    // its OWN approx tertiles (Spark: Greenwald-Khanna at accuracy
+    // 10000; DuckDB: t-digest), runs the production band cut over
+    // them, and emits (a) threshold-independent exact facts — total
+    // docs and bigrams REASSEMBLED FROM THE CUT'S OUTPUT, so a band
+    // that lost or double-counted docs breaks the compare even though
+    // the per-band split is engine-specific — plus the exact
+    // interpolated tertiles, and (b) the q59 containment booleans:
+    // this engine's approx threshold must land inside the exact
+    // percentile window at p -/+ 2% rank. A sketch outside its error
+    // bound, a cut that drops a doc, or a drifted exact tertile all
+    // break the hash.
+    "q114_surprisal_bands_approx" -> {
+      val eps = 0.02
+      val (p1, p2) = (1.0 / 3, 2.0 / 3)
+      Q(
+        (s, d) => {
+          val scores = lmSurprisal(Tables.documents(s, d)).persist()
+          val thA = surprisalApproxThresholds(scores, accuracy = 10000)
+          val totals = surprisalBandCut(scores, thA).agg(
+            sum(col("n_docs")).as("n_docs"),
+            sum(col("n_bigrams")).as("n_bigrams"))
+          val ex = scores.agg(expr(
+            s"percentile(mean_surprisal, array(${p1 - eps}, $p1, ${p1 + eps}, ${p2 - eps}, $p2, ${p2 + eps}))")
+            .as("ex"))
+          totals.crossJoin(broadcast(ex)).crossJoin(broadcast(thA)) // one-row packs
+            .select(col("n_docs"), col("n_bigrams"),
+              element_at(col("ex"), 2).as("t1_exact"),
+              element_at(col("ex"), 5).as("t2_exact"),
+              col("t1").between(element_at(col("ex"), 1), element_at(col("ex"), 3)).as("t1_ok"),
+              col("t2").between(element_at(col("ex"), 4), element_at(col("ex"), 6)).as("t2_ok"))
+        },
+        s"""WITH $sqlLmScores,
+           |ta AS (SELECT approx_quantile(mean_surprisal, $p1) AS t1,
+           |              approx_quantile(mean_surprisal, $p2) AS t2
+           |       FROM docscore),
+           |cut AS (SELECT CASE WHEN mean_surprisal <= t1 THEN 'head'
+           |                    WHEN mean_surprisal <= t2 THEN 'middle'
+           |                    ELSE 'tail' END AS band,
+           |               n_bigrams
+           |        FROM docscore, ta),
+           |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+           |               CAST(SUM(nb) AS BIGINT) AS n_bigrams
+           |        FROM (SELECT band, COUNT(*) AS n, SUM(n_bigrams) AS nb
+           |              FROM cut GROUP BY 1) z),
+           |ex AS (SELECT quantile_cont(mean_surprisal, ${p1 - eps}) AS e1lo,
+           |              quantile_cont(mean_surprisal, $p1) AS e1,
+           |              quantile_cont(mean_surprisal, ${p1 + eps}) AS e1hi,
+           |              quantile_cont(mean_surprisal, ${p2 - eps}) AS e2lo,
+           |              quantile_cont(mean_surprisal, $p2) AS e2,
+           |              quantile_cont(mean_surprisal, ${p2 + eps}) AS e2hi
+           |       FROM docscore)
+           |SELECT tot.n_docs, tot.n_bigrams, ex.e1 AS t1_exact, ex.e2 AS t2_exact,
+           |       ta.t1 BETWEEN ex.e1lo AND ex.e1hi AS t1_ok,
+           |       ta.t2 BETWEEN ex.e2lo AND ex.e2hi AS t2_ok
+           |FROM tot, ta, ex""".stripMargin)
     },
 
     // Quantized TF-IDF (see [[tfidfTopTerms]]): the oracle restates tf,

@@ -88,4 +88,20 @@ class IvfProbeSpec extends SparkSpec {
       .collect().map(r => r.getLong(2)).toSeq
     assert(rel2 == Seq(1L, 2L), s"lambda=1 degenerates to pure relevance: $rel2")
   }
+
+  test("mmrTopKIvf at nprobe = nSeeds degrades gracefully to the brute-force MMR") {
+    // every candidate lives in exactly one cell and a full probe visits
+    // all cells, so the nprobe = nSeeds pool IS the brute-force pool —
+    // and the shared greedy loop then produces identical rankings (the
+    // ivfTopK-vs-q45 equivalence contract, lifted to the composition)
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val brute = EmbeddingQueries.mmrTopK(emb).collect().map(_.toSeq).toSeq
+    val full = EmbeddingQueries.mmrTopKIvf(emb, nprobe = 8).collect().map(_.toSeq).toSeq
+    assert(full == brute, "full-probe IVF MMR must equal brute-force MMR")
+    // a narrow probe still answers every (query, rank) slot here, from
+    // the reduced candidate slice
+    val narrow = EmbeddingQueries.mmrTopKIvf(emb, nprobe = 1).collect()
+    assert(narrow.length == brute.length)
+    spark.catalog.clearCache()
+  }
 }

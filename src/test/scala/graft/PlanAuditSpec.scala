@@ -556,6 +556,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins == 1, s"the banded pair join must be the ONLY join, got $joins")
   }
 
+  test("q115 IVF MMR pool: corpus appears once against broadcast probes, never a corpus self-join") {
+    // the registry entry's executed plan is the post-greedy-loop local
+    // relation, so the pin targets the POOL stage itself (the only
+    // corpus-scale plan in the composition)
+    spark.catalog.clearCache()
+    val pool = graft.queries.EmbeddingQueries.ivfPool(
+      graft.engine.Tables.embeddings(spark, sf), nQueries = 4, nSeeds = 8,
+      nprobe = 2, poolSize = 16)
+    pool.count()
+    val p = pool.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "never an all-pairs stage")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus must never shuffle for a join — probe side broadcasts")
+    assert(p.contains("BroadcastHashJoin"), "the cell join must broadcast the probe side")
+  }
+
   test("q113 audio dup clusters: banded pairs + keyed closure joins, never all-pairs") {
     val p = plan("q113_audio_dup_clusters")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
