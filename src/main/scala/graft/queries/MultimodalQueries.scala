@@ -772,6 +772,75 @@ object MultimodalQueries {
          |SELECT m.cluster_id, m.n_members, m.n_distinct_hashes,
          |       e.n_pairs, e.max_hamming
          |FROM amem m JOIN aed e USING (cluster_id)
-         |ORDER BY m.cluster_id""".stripMargin)
+         |ORDER BY m.cluster_id""".stripMargin),
+
+    // The multimodal pretraining recipe end-to-end (r16 stretch ask
+    // #7) — the image analogue of q100's composed chain, closing
+    // "cluster formation without consumption" for the visual family:
+    // q84's banded pairs -> q104's connected components -> per-cluster
+    // REPRESENTATIVE selection (q67's device: keep the best member,
+    // here the most DETAILED one — highest dHash popcount, the
+    // gradient-richness proxy an image curation pass prefers over
+    // near-blank variants; ties to the smaller doc_id) -> the kept
+    // manifest: every unclustered decodable image as a 'singleton'
+    // plus one 'cluster_rep' per cluster carrying how many near-dups
+    // it absorbed. The rep choice is ONE partial-aggregable max over
+    // (detail, -doc_id) structs — q67's argument: a pathological giant
+    // cluster streams through map-side combines instead of sorting in
+    // a single window reducer. The oracle restates the closure
+    // (recursive CTE), the popcount-ranked rep window, and the
+    // singleton anti-join.
+    "q116_image_curation_manifest" -> Q(
+      (s, d) => {
+        val hashes = decodedHashes(s, d).persist()
+        val pairs = bandedHashPairs(hashes)
+        val comps = graft.ext.Graph.connectedComponents(pairs, "doc_a", "doc_b")
+          .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        val best = max(struct(bit_count(col("dhash")).as("detail"),
+          (-col("doc_id")).as("negid")))
+        val reps = comps.join(hashes, Seq("doc_id"))
+          .groupBy(col("cluster_id")).agg(
+            count(lit(1)).as("n_members"), best.as("best"))
+          .select((-col("best.negid")).cast("long").as("doc_id"),
+            lit("cluster_rep").as("provenance"), col("cluster_id"),
+            (col("n_members") - 1).as("n_absorbed"),
+            col("best.detail").cast("int").as("detail_bits"))
+        val singles = hashes.join(comps, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit("singleton").as("provenance"),
+            lit(null).cast("long").as("cluster_id"),
+            lit(0L).as("n_absorbed"),
+            bit_count(col("dhash")).cast("int").as("detail_bits"))
+        singles.unionByName(reps).orderBy(col("doc_id"))
+      },
+      s"""WITH RECURSIVE $sqlBmpBase,
+         |$sqlImagePairCtes,
+         |iedges AS (SELECT DISTINCT a, b FROM (
+         |  SELECT doc_a AS a, doc_b AS b FROM ipairs
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM ipairs)),
+         |ireach AS (
+         |  SELECT a AS node, a AS lbl FROM iedges
+         |  UNION
+         |  SELECT e.b AS node, r.lbl FROM ireach r JOIN iedges e ON e.a = r.node),
+         |icl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM ireach GROUP BY 1),
+         |im AS (SELECT icl.cluster_id, icl.doc_id,
+         |              CAST(bit_count(h.dhash) AS INTEGER) AS detail
+         |       FROM icl JOIN h USING (doc_id)),
+         |ir AS (SELECT im.*,
+         |              row_number() OVER (PARTITION BY cluster_id
+         |                                 ORDER BY detail DESC, doc_id ASC) AS rk,
+         |              COUNT(*) OVER (PARTITION BY cluster_id) AS nm
+         |       FROM im),
+         |reps AS (
+         |  SELECT doc_id, 'cluster_rep' AS provenance, cluster_id,
+         |         CAST(nm - 1 AS BIGINT) AS n_absorbed, detail AS detail_bits
+         |  FROM ir WHERE rk = 1),
+         |singles AS (
+         |  SELECT h.doc_id, 'singleton' AS provenance,
+         |         CAST(NULL AS BIGINT) AS cluster_id, CAST(0 AS BIGINT) AS n_absorbed,
+         |         CAST(bit_count(h.dhash) AS INTEGER) AS detail_bits
+         |  FROM h WHERE h.doc_id NOT IN (SELECT doc_id FROM icl))
+         |SELECT * FROM (SELECT * FROM singles UNION ALL SELECT * FROM reps) u
+         |ORDER BY doc_id""".stripMargin)
   )
 }
