@@ -78,6 +78,7 @@ object Bench {
       "q89_edit_verified_pairs", // LSH + banded levenshtein verify, ~3.2 s (r15)
       "q94_bloom_decontamination", // shingle kernel + probe pass, ~3.2 s (r15)
       "q106_stream_curation", // 4 streaming triggers + store compact (r16)
+      "q111_stream_sessionize", // 4 sequential stream RESTARTS sharing a checkpoint (r17)
       "q105_stream_hll_state", // 4 streaming triggers into the register store (r16)
       "q103_pagerank_fixpoint", // 44 driver-loop sweeps, job-overhead bound (r16)
       "q107_kmeans_fixpoint", // 35 driver-loop Lloyd sweeps at sf0.1 (r16)

@@ -36,15 +36,32 @@ object ScaleSoak {
     "q95_hll_distinct", "q96_host_pagerank", "q97_lm_surprisal",
     "q99_interleave_manifest", "q100_pretraining_recipe",
     "q101_surprisal_bands", "q102_tfidf_terms",
+    "q103_pagerank_fixpoint", "q104_image_dup_clusters",
+    "q105_stream_hll_state", "q106_stream_curation",
+    "q111_stream_sessionize",
     "q107_kmeans_fixpoint", "q108_bpe_train", "q109_bpe_encode",
-    "q43_capped_df64", "q42_capped_b64")
+    "q110_mmr_topk", "q112_audio_neardup_pairs", "q113_audio_dup_clusters",
+    "q114_surprisal_bands_approx", "q115_mmr_ivf_topk",
+    "q116_image_curation_manifest",
+    "q43_capped_df64", "q42_capped_b64", "q112_cap256", "q84_cap256")
 
   /** Non-registry soak subjects: the q43 df-cap path (maxDf=64) and the
     * q42 band-bucket cap — the bounded-curve evidence for the
     * dense-corpus mitigations. Oracle queries stay cap-off (exact). */
   private val extraRunners: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_capped_df64" -> ((s, d) => graft.queries.TextQueries.ngramJaccardPairs(s, d, Some(64))),
-    "q42_capped_b64" -> ((s, d) => graft.queries.TextQueries.lshCappedPairs(s, d, 64)))
+    "q42_capped_b64" -> ((s, d) => graft.queries.TextQueries.lshCappedPairs(s, d, 64)),
+    // multiplicity-sized banded caps for the perceptual family: a pure
+    // replica storm multiplies every bucket's occupancy by `reps`, so
+    // cap 8 (the registry default) drops the very buckets holding the
+    // duplicates — these variants size the cap to the storm (8 * 32)
+    // and measure the bounded recovery curve
+    "q112_cap256" -> ((s, d) => graft.queries.MultimodalQueries.bandedHashPairs(
+      graft.queries.MultimodalQueries.decodedAudioHashes(s, d), cap = 256)
+      .orderBy(col("doc_a"), col("doc_b"))),
+    "q84_cap256" -> ((s, d) => graft.queries.MultimodalQueries.bandedHashPairs(
+      graft.queries.MultimodalQueries.decodedHashes(s, d), cap = 256)
+      .orderBy(col("doc_a"), col("doc_b"))))
 
   /** Tables replicated with a per-replica key offset; dimension tables
     * are shared (the realistic shape: facts grow, dims don't). */
@@ -52,7 +69,14 @@ object ScaleSoak {
     "lineitem" -> ("l_orderkey", 100000000L),
     "orders" -> ("o_orderkey", 100000000L),
     "documents" -> ("doc_id", 10000000L),
-    "embeddings" -> ("vec_id", 10000000L))
+    "embeddings" -> ("vec_id", 10000000L),
+    // events replicate on event_id with user_id/ts SHARED: every user's
+    // timeline gains reps-1 co-timestamped copies of each event, so
+    // session BOUNDARIES are invariant (duplicate timestamps open no
+    // gaps) while per-session event volume multiplies — the q111 soak
+    // isolates per-row stateful-processing cost from the fixed
+    // restart/trigger overhead
+    "events" -> ("event_id", 100000000L))
 
   private def generate(spark: SparkSession, src: String, out: String, reps: Int,
                        tables: Seq[String]): Unit =

@@ -200,7 +200,7 @@ object MultimodalQueries {
   /** Perceptual hashes of the decodable slice of the BMP corpus —
     * q84/q104's shared input (real decode path only; non-BMPs yield
     * null and sit out). */
-  private def decodedHashes(s: SparkSession, d: String): DataFrame =
+  private[graft] def decodedHashes(s: SparkSession, d: String): DataFrame =
     Multimodal.imageHashes(s, bmpCorpus(s, Tables.documents(s, d)))
       .toDF().where(col("dhash").isNotNull)
 
@@ -208,7 +208,7 @@ object MultimodalQueries {
     * q112/q113's shared input, normalized to the (doc_id, dhash)
     * shape [[bandedHashPairs]] consumes (real decode path only;
     * non-WAVs yield null and sit out). */
-  private def decodedAudioHashes(s: SparkSession, d: String): DataFrame =
+  private[graft] def decodedAudioHashes(s: SparkSession, d: String): DataFrame =
     Multimodal.audioHashes(s, wavFpCorpus(s, Tables.documents(s, d)))
       .toDF().where(col("afp").isNotNull)
       .select(col("doc_id"), col("afp").as("dhash"))
@@ -222,16 +222,22 @@ object MultimodalQueries {
     * hashes, so hot buckets are the NORM here, not a tail case), and
     * the exact Hamming distance over the full hash filters candidates.
     * Never all-pairs: pair volume is bounded at C(cap,2)·buckets by
-    * construction. */
-  private def bandedHashPairs(hashes: DataFrame): DataFrame = {
+    * construction. `cap` is the production knob: size it to the
+    * expected duplicate MULTIPLICITY (a corpus where every item has m
+    * near-copies needs cap >~ m or the very buckets holding the
+    * duplicates exceed occupancy and drop — ScaleSoak's replica storms
+    * measure exactly that collapse at cap 8 and the bounded recovery
+    * at a multiplicity-sized cap). */
+  private[graft] def bandedHashPairs(hashes: DataFrame, cap: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(cap >= 2, s"a pair needs bucket occupancy >= 2, got cap $cap")
     val bands = hashes.select(col("doc_id"), col("dhash"),
         explode(array((0 until 4).map(j => struct(lit(j).as("band"),
           shiftright(col("dhash"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("bk"))
       .select(col("doc_id"), col("dhash"), col("bk.band"), col("bk.bkey"))
     val capped = bands.withColumn("_n",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
-      .where(col("_n") <= 8).drop("_n")
+      .where(col("_n") <= cap).drop("_n")
     val a = capped.select(col("doc_id").as("doc_a"), col("dhash").as("ha"),
       col("band"), col("bkey"))
     val b = capped.select(col("doc_id").as("doc_b"), col("dhash").as("hb"),
