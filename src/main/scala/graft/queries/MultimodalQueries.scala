@@ -847,6 +847,70 @@ object MultimodalQueries {
          |         CAST(bit_count(h.dhash) AS INTEGER) AS detail_bits
          |  FROM h WHERE h.doc_id NOT IN (SELECT doc_id FROM icl))
          |SELECT * FROM (SELECT * FROM singles UNION ALL SELECT * FROM reps) u
+         |ORDER BY doc_id""".stripMargin),
+
+    // The audio curation manifest — q116's composition over the
+    // acoustic chain, closing the modality symmetry end-to-end (both
+    // families now run pairs -> clusters -> representative ->
+    // manifest): q112's banded fingerprint pairs -> q113's connected
+    // components -> per-cluster rep via the same partial-aggregable
+    // (popcount, -doc_id) struct-max (popcount of the sign-of-delta
+    // fingerprint = how much amplitude MOVEMENT the clip carries — the
+    // audio analogue of gradient richness, preferring the liveliest
+    // member over near-silent variants) -> singletons + reps with
+    // absorbed-duplicate accounting. Same oracle device as q116 over
+    // the audio CTEs.
+    "q117_audio_curation_manifest" -> Q(
+      (s, d) => {
+        val hashes = decodedAudioHashes(s, d).persist()
+        val pairs = bandedHashPairs(hashes)
+        val comps = graft.ext.Graph.connectedComponents(pairs, "doc_a", "doc_b")
+          .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        val best = max(struct(bit_count(col("dhash")).as("detail"),
+          (-col("doc_id")).as("negid")))
+        val reps = comps.join(hashes, Seq("doc_id"))
+          .groupBy(col("cluster_id")).agg(
+            count(lit(1)).as("n_members"), best.as("best"))
+          .select((-col("best.negid")).cast("long").as("doc_id"),
+            lit("cluster_rep").as("provenance"), col("cluster_id"),
+            (col("n_members") - 1).as("n_absorbed"),
+            col("best.detail").cast("int").as("detail_bits"))
+        val singles = hashes.join(comps, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit("singleton").as("provenance"),
+            lit(null).cast("long").as("cluster_id"),
+            lit(0L).as("n_absorbed"),
+            bit_count(col("dhash")).cast("int").as("detail_bits"))
+        singles.unionByName(reps).orderBy(col("doc_id"))
+      },
+      s"""WITH RECURSIVE $sqlBmpBase,
+         |$sqlAudioPairCtes,
+         |aedges AS (SELECT DISTINCT a, b FROM (
+         |  SELECT doc_a AS a, doc_b AS b FROM apairs
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM apairs)),
+         |areach AS (
+         |  SELECT a AS node, a AS lbl FROM aedges
+         |  UNION
+         |  SELECT e.b AS node, r.lbl FROM areach r JOIN aedges e ON e.a = r.node),
+         |acl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM areach GROUP BY 1),
+         |am AS (SELECT acl.cluster_id, acl.doc_id,
+         |              CAST(bit_count(h.dhash) AS INTEGER) AS detail
+         |       FROM acl JOIN ah h USING (doc_id)),
+         |ar AS (SELECT am.*,
+         |              row_number() OVER (PARTITION BY cluster_id
+         |                                 ORDER BY detail DESC, doc_id ASC) AS rk,
+         |              COUNT(*) OVER (PARTITION BY cluster_id) AS nm
+         |       FROM am),
+         |reps AS (
+         |  SELECT doc_id, 'cluster_rep' AS provenance, cluster_id,
+         |         CAST(nm - 1 AS BIGINT) AS n_absorbed, detail AS detail_bits
+         |  FROM ar WHERE rk = 1),
+         |singles AS (
+         |  SELECT h.doc_id, 'singleton' AS provenance,
+         |         CAST(NULL AS BIGINT) AS cluster_id, CAST(0 AS BIGINT) AS n_absorbed,
+         |         CAST(bit_count(h.dhash) AS INTEGER) AS detail_bits
+         |  FROM ah h WHERE h.doc_id NOT IN (SELECT doc_id FROM acl))
+         |SELECT * FROM (SELECT * FROM singles UNION ALL SELECT * FROM reps) u
          |ORDER BY doc_id""".stripMargin)
   )
 }

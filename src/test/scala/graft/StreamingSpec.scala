@@ -261,6 +261,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("delhi", 10L, 2L)), rows.mkString(";"))
   }
 
+  test("sessionize state survives a full query restart (q111's device, hand corpus)") {
+    // drain 1 opens a session for delhi (2 events, still open at drain
+    // end); drain 2 RESTARTS the query on the same checkpoint and
+    // delivers an in-gap extension plus a past-gap closer. The closed
+    // session must span BOTH drains: start at drain 1's first event,
+    // 3 events total — provable only if the open-session state was
+    // persisted in the state store and restored on restart (a state
+    // loss would emit a 1-event session starting at drain 2's event).
+    val in = tmpDir("sess_restart_in")
+    val out = tmpDir("sess_restart_out").toString
+    val ck = tmpDir("sess_restart_ck").toString
+    def drain(): Unit = {
+      val stream = Streaming.jsonFileStream(spark, schema, in.toString + "/*.json",
+        multiLine = false)
+      val q = Streaming.sessionize(spark, stream, "city", "ts",
+          watermark = "365 days", gapUs = 30L * 60 * 1000000)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    writeBatch(in, "b1.json", Seq(
+      """{"city":"delhi","ts":"2025-12-11T00:00:00Z","value":1.0}""",
+      """{"city":"delhi","ts":"2025-12-11T00:10:00Z","value":1.0}"""))
+    drain()
+    writeBatch(in, "b2.json", Seq(
+      """{"city":"delhi","ts":"2025-12-11T00:25:00Z","value":1.0}""",
+      """{"city":"delhi","ts":"2025-12-11T09:00:00Z","value":1.0}"""))
+    drain()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("sessionStartUs"),
+        r.getAs[Long]("durationUs") / 60000000L, r.getAs[Long]("nEvents")))
+    val startUs = java.time.Instant.parse("2025-12-11T00:00:00Z").toEpochMilli * 1000L
+    assert(rows.toSeq == Seq(("delhi", startUs, 25L, 3L)),
+      s"the cross-restart session must close as (start=b1, 25 min, 3 events): ${rows.mkString(";")}")
+  }
+
   test("10x soak: streaming dedup + upsert store feeds batch curation identically to pure batch") {
     // end-to-end at 10x duplication: a worst-case corpus (every sf0.001
     // document landed 10 times with offset ids, one slice re-delivered
