@@ -78,6 +78,30 @@ object GraphSoak {
     run("star", star = true)
     run("default", star = false)
     run("star", star = true)
+
+    // ---- PageRank fixpoint sweep count vs graph DENSITY (the r16
+    // verdict's q103 question: corpus replication provably leaves the
+    // host graph invariant — the edge set is distinct()ed — so density
+    // has to be varied HERE, on synthetic graphs). Deterministic
+    // d-regular-ish digraphs on nn nodes: node i points at
+    // (i·37 + j·17 + 1) mod nn for j < d (coprime strides spread
+    // targets; self-loops are dropped by pageRankConverge itself).
+    // Reported: exact-fixpoint sweep count and wall per density — the
+    // evidence for whether a denser crawl graph moves q103's
+    // driver-barrier bill.
+    val nn = 50L
+    Seq(2, 8, 25).foreach { d =>
+      val dense = spark.range(nn).select(col("id").as("src"),
+          explode(org.apache.spark.sql.functions.sequence(lit(0), lit(d - 1))).as("j"))
+        .select(col("src"), ((col("src") * 37 + col("j") * 17 + 1) % nn).as("dst"))
+      val t0 = System.nanoTime()
+      val r = graft.ext.Graph.pageRankConverge(dense, 1000000000000L,
+        maxIters = 200, tol = 0L, checkEvery = 4)
+      r.ranks.count()
+      println(f"GRAPHSOAK pagerank-density n=$nn d=$d%-3d iters=${r.iters}%-4d " +
+        f"delta=${r.delta} wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
