@@ -1556,6 +1556,64 @@ object TextQueries {
          |       MAX(CASE WHEN rk = 1 THEN quality END) AS rep_quality
          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // Cluster-aware train/val/test split — the near-dup-safe form of
+    // q52: hashing each DOC into a split lets near-duplicates straddle
+    // train and test (the classic eval-contamination flaw — the test
+    // set "leaks" through its training-set near-copies). Here the
+    // split key is the doc's q49 DUP-CLUSTER id when it has one (the
+    // closure's min-label canonical), its own id otherwise, pushed
+    // through q52's md5-bucket arithmetic — so a whole near-dup family
+    // lands in ONE split by construction. Output: per-split doc/char/
+    // cluster accounting plus the self-audit column
+    // n_straddling_clusters (clusters seen in >1 split — 0 by
+    // construction, recomputed independently by both engines). Scale
+    // shape: q49's banded closure plus one left join and a split-keyed
+    // aggregate; the straddle audit groups the CLUSTERED slice only.
+    "q118_cluster_aware_split" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cl = dupClusters(s, d)
+        val bucket = conv(substring(md5(col("skey").cast("string")), 1, 2), 16, 10)
+          .cast("int")
+        val keyed = docs.join(cl, Seq("doc_id"), "left")
+          .withColumn("skey", coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("split",
+            when(bucket < 205, "train").when(bucket < 230, "val").otherwise("test"))
+          .persist()
+        val straddle = keyed.where(col("cluster_id").isNotNull)
+          .groupBy(col("cluster_id")).agg(countDistinct(col("split")).as("ns"))
+          .where(col("ns") > 1)
+          .agg(count(lit(1)).as("n_straddling_clusters"))
+        keyed.groupBy(col("split")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            count(col("cluster_id")).as("n_clustered_docs"),
+            countDistinct(col("cluster_id")).as("n_clusters"))
+          .crossJoin(broadcast(straddle)) // one-row audit pack
+          .orderBy(col("split"))
+      },
+      s"""WITH RECURSIVE $sqlSigCtes,
+         |$sqlClusterCtes,
+         |k AS (
+         |  SELECT d.doc_id, d.n_chars, cl.cluster_id,
+         |         COALESCE(cl.cluster_id, d.doc_id) AS skey
+         |  FROM documents d LEFT JOIN cl USING (doc_id)),
+         |kb AS (
+         |  SELECT k.*,
+         |         CASE WHEN ('0x' || substr(md5(CAST(skey AS VARCHAR)), 1, 2))::INTEGER < 205 THEN 'train'
+         |              WHEN ('0x' || substr(md5(CAST(skey AS VARCHAR)), 1, 2))::INTEGER < 230 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM k),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_straddling_clusters
+         |  FROM (SELECT cluster_id FROM kb WHERE cluster_id IS NOT NULL
+         |        GROUP BY 1 HAVING COUNT(DISTINCT split) > 1) z)
+         |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |       COUNT(cluster_id) AS n_clustered_docs,
+         |       COUNT(DISTINCT cluster_id) AS n_clusters,
+         |       (SELECT n_straddling_clusters FROM st) AS n_straddling_clusters
+         |FROM kb GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // The df-capped q43: same pairs, but prefix postings with document
     // frequency > 64 are dropped before expansion — the bounded-work
     // variant for boilerplate-heavy corpora (BENCH_NOTES: x1.4 at 30x
