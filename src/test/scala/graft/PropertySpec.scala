@@ -172,6 +172,43 @@ class PropertySpec extends SparkSpec {
     }, n = 100)
   }
 
+  test("audioFingerprint laws: gain/negation invariance, channel-sum mixdown, bounded perturbation") {
+    import graft.ext.Multimodal.audioFingerprint
+    // bounded samples keep 3x gain inside Short range
+    val samples = Gen.choose(8, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-9000, 9000).map(_.toShort)))
+    check(Prop.forAll(samples) { s =>
+      val a = s.toArray
+      val fp = audioFingerprint(a, 1)
+      // positive gain preserves every energy ORDERING -> identical bits
+      val gained = audioFingerprint(a.map(v => (v * 3).toShort), 1) == fp
+      // energy is |channel sum| -> negation invariant
+      val negated = audioFingerprint(a.map(v => (-v).toShort), 1) == fp
+      // a stereo stream whose frames SUM to the mono stream mixes down
+      // to the same energy sequence
+      val stereo = audioFingerprint(
+        a.flatMap(v => Array((v - 7).toShort, 7.toShort)), 2) == fp
+      // determinism on a defensive copy
+      val det = audioFingerprint(a.clone(), 1) == fp
+      gained && negated && stereo && det
+    }, n = 100)
+    // one-frame perturbation moves at most the comparisons that frame
+    // joins: each frame is read by <= ceil(65/nf) positions, each in
+    // <= 2 comparisons -> hamming bound 2 * (65/nf + 1)
+    val cases = for {
+      n <- Gen.choose(8, 200); i <- Gen.choose(0, n - 1)
+      s <- Gen.listOfN(n, Gen.choose(-9000, 9000).map(_.toShort))
+      v <- Gen.choose(-9000, 9000).map(_.toShort)
+    } yield (s, i, v)
+    check(Prop.forAll(cases) { case (s, i, v) =>
+      val a = s.toArray
+      val b = a.clone(); b(i) = v
+      val d = java.lang.Long.bitCount(
+        audioFingerprint(a, 1) ^ audioFingerprint(b, 1))
+      d <= 2 * (65 / a.length + 1)
+    }, n = 100)
+  }
+
   test("HLL law: merge is commutative, associative, idempotent under random splits") {
     val keys = Gen.choose(0, 100).flatMap(Gen.listOfN(_, word))
     check(Prop.forAll(keys, Gen.choose(0, 100)) { (ks, cut) =>
