@@ -304,6 +304,41 @@ object Multimodal {
     }
   }
 
+  /** Modality-routed perceptual hash row: the format the dispatch
+    * recognized plus that modality's 64-bit perceptual fingerprint —
+    * [[dHash]] over decoded BMP pixels, [[dHash]] over a container's
+    * FIRST decoded frame (the thumbnail convention: the lead frame is
+    * the container's visual identity), [[audioFingerprint]] over
+    * decoded PCM samples. null = undecodable (stub payloads have
+    * nothing perceptual to hash). */
+  final case class MediaHashRow(doc_id: Long, kind: String, fp: Option[Long])
+
+  /** One-pass modality-routed perceptual hashing — the heterogeneous-
+    * corpus stage: each payload is dispatched by its magic bytes
+    * (the [[decodeFeatures]] chain) and fingerprinted with ITS
+    * modality's kernel, so a single narrow batch map prepares a mixed
+    * image/container/audio corpus for the banded dedup family (pairs
+    * then form per modality — fingerprints of different kinds live in
+    * different spaces and must never compare). */
+  def mediaHashes(spark: SparkSession, media: DataFrame): Dataset[MediaHashRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      batch.map { r =>
+        BmpDecoder.tryDecodePixels(r.media)
+          .map { case (w, h, px) => MediaHashRow(r.doc_id, "bmp", Some(dHash(px, w, h))) }
+          .orElse(IcoDecoder.tryDecodeFrames(r.media).map { frames =>
+            val (w, h, px) = frames.head
+            MediaHashRow(r.doc_id, "ico", Some(dHash(px, w, h)))
+          })
+          .orElse(WavDecoder.tryDecode(r.media).collect {
+            case (ch, _, samples) if samples.nonEmpty =>
+              MediaHashRow(r.doc_id, "wav", Some(audioFingerprint(samples, ch)))
+          })
+          .getOrElse(MediaHashRow(r.doc_id, "stub", None))
+      }
+    }
+  }
+
   /** Per-image perceptual hash row: null dhash = payload not decodable
     * (only real decodes get a perceptual hash; there is nothing
     * perceptual about stub bytes). */

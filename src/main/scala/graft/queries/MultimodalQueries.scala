@@ -197,6 +197,39 @@ object MultimodalQueries {
     }.toDF()
   }
 
+  /** Deterministic mixed-format corpus for the SINGLE-PASS multimodal
+    * dedup manifest (q119): [[mixedCorpus]]'s three-way kind routing
+    * (bmp / ico / wav by doc_id % 3, stub for the undecodable rest)
+    * with [[wavFpCorpus]]'s VARIABLE-LENGTH audio rule in the wav
+    * branch — the fingerprint path needs real frame counts (see
+    * [[wavFpCorpus]]), while q50/q51's fixed 12-sample clips only
+    * needed to pin decode. BMP and ICO branches are byte-identical to
+    * [[bmpCorpus]]/[[icoCorpus]]'s constructions. */
+  private def mixedFpCorpus(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    Multimodal.mediaTable(docs).as[Multimodal.MediaRow].mapPartitions { it =>
+      it.map { r =>
+        if (r.media.length >= 48 && r.doc_id % 5 != 0) r.doc_id % 3 match {
+          case 0 =>
+            val w = if (r.doc_id % 4 < 2) 2 else 4
+            Multimodal.MediaRow(r.doc_id,
+              Multimodal.encodeBmp(java.util.Arrays.copyOf(r.media, 12 * w),
+                w, 4, bottomUp = r.doc_id % 2 == 0))
+          case 1 =>
+            def slice(a: Int, b: Int) = java.util.Arrays.copyOfRange(r.media, a, b)
+            Multimodal.MediaRow(r.doc_id, Multimodal.encodeIco(Seq(
+              (slice(0, 12), 2, 2), (slice(12, 24), 4, 1), (slice(24, 36), 1, 4))))
+          case _ =>
+            val ch = 1 + (r.doc_id % 2).toInt
+            val n = math.min(r.media.length / (2 * ch), 64) * ch
+            val samples = Array.tabulate(n)(i =>
+              ((r.media(2 * i) & 0xff) | ((r.media(2 * i + 1) & 0xff) << 8)).toShort)
+            Multimodal.MediaRow(r.doc_id, Multimodal.encodeWav(samples, ch, 8000))
+        } else Multimodal.MediaRow(r.doc_id, 0.toByte +: r.media)
+      }
+    }.toDF()
+  }
+
   /** Perceptual hashes of the decodable slice of the BMP corpus —
     * q84/q104's shared input (real decode path only; non-BMPs yield
     * null and sit out). */
@@ -281,19 +314,29 @@ object MultimodalQueries {
     * constructed width: w=2 one transition per row, w=4 three) are
     * emitted; every other bit compares a cell to itself and is 0 by
     * construction, in the Spark kernel and here alike. */
-  private val sqlImagePairCtes: String = {
-    def hashExpr(w: Int): String = {
-      def pos(tx: Int, ty: Int): Int = {
-        val sx = tx * w / 9; val sy = ty * 4 / 8; (sy * w + sx) * 3
-      }
-      def hb(p: Int) = s"('0x' || substr(hx, ${2 * p + 1}, 2))::INTEGER"
-      def g(p: Int) = s"(${hb(p)} + ${hb(p + 1)} + ${hb(p + 2)})"
-      val terms = for {
-        ty <- 0 until 8; tx <- 0 until 8
-        pa = pos(tx, ty); pb = pos(tx + 1, ty) if pa != pb
-      } yield s"CASE WHEN ${g(pa)} > ${g(pb)} THEN ${1L << (ty * 8 + tx)} ELSE 0 END"
-      terms.mkString("(", " + ", ")")
+  /** The [[Multimodal.dHash]] of a decoded w×h image whose pixel bytes
+    * are the text-hex prefix, restated as one SQL integer expression —
+    * only informative bits (9×8-grid cells whose floor-mapped source
+    * positions differ horizontally) are emitted; every other bit
+    * compares a cell to itself and is 0 by construction, in the Spark
+    * kernel and here alike. Shared by the BMP oracle (h = 4) and the
+    * ICO-first-frame oracle (2×2). Bit 63 cannot arise here (it needs
+    * w ≥ 9 informative columns), so no sign-bit fold is needed. */
+  private def sqlDHashExpr(w: Int, h: Int): String = {
+    def pos(tx: Int, ty: Int): Int = {
+      val sx = tx * w / 9; val sy = ty * h / 8; (sy * w + sx) * 3
     }
+    def hb(p: Int) = s"('0x' || substr(hx, ${2 * p + 1}, 2))::INTEGER"
+    def g(p: Int) = s"(${hb(p)} + ${hb(p + 1)} + ${hb(p + 2)})"
+    val terms = for {
+      ty <- 0 until 8; tx <- 0 until 8
+      pa = pos(tx, ty); pb = pos(tx + 1, ty) if pa != pb
+    } yield s"CASE WHEN ${g(pa)} > ${g(pb)} THEN ${1L << (ty * 8 + tx)} ELSE 0 END"
+    terms.mkString("(", " + ", ")")
+  }
+
+  private val sqlImagePairCtes: String = {
+    def hashExpr(w: Int): String = sqlDHashExpr(w, 4)
     s"""h AS (
        |  SELECT doc_id,
        |         CAST(CASE WHEN w = 2 THEN ${hashExpr(2)} ELSE ${hashExpr(4)} END AS BIGINT) AS dhash
@@ -314,22 +357,31 @@ object MultimodalQueries {
     * Bit 63 lands on the BIGINT sign bit on both sides (subset sums
     * of distinct powers of two are exactly the signed 64-bit
     * patterns, so the fold cannot overflow). */
-  private val sqlAudioPairCtes: String = {
+  /** The [[Multimodal.audioFingerprint]] arithmetic as oracle CTEs
+    * over any relation `src` carrying (doc_id, hx, ch, nf): `<p>e` is
+    * the frame-energy list (|channel sum| of the signed 16-bit LE
+    * samples the encode/decode round trip recovers — q86's
+    * two's-complement device), `<p>h` folds the 64 sign-of-delta bits
+    * with the same ⌊k·nf/65⌋ floor-mapped positions the Spark kernel
+    * reads. Bit 63 lands on the BIGINT sign bit on both sides (subset
+    * sums of distinct powers of two are exactly the signed 64-bit
+    * patterns, so the fold cannot overflow). Shared by the
+    * single-modality audio oracle (q112/q113/q117) and the mixed
+    * manifest (q119). */
+  private def sqlAudioFpCtes(src: String, p: String): String = {
     // signed 16-bit LE sample i from the text hex (bytes 2i, 2i+1)
     val raw = (i: String) =>
       s"""('0x' || substr(hx, CAST(4*($i)+1 AS INTEGER), 2))::INTEGER
          | + 256 * ('0x' || substr(hx, CAST(4*($i)+3 AS INTEGER), 2))::INTEGER""".stripMargin
     val sv = (i: String) =>
       s"(CASE WHEN (${raw(i)}) < 32768 THEN (${raw(i)}) ELSE (${raw(i)}) - 65536 END)"
-    s"""ae AS (
+    s"""${p}e AS (
        |  SELECT doc_id, nf,
        |         list_transform(range(0, nf), f -> abs(
        |           CASE WHEN ch = 1 THEN ${sv("f")}
        |                ELSE ${sv("2*f")} + ${sv("2*f+1")} END)) AS e
-       |  FROM (SELECT doc_id, hx, ch, LEAST(len // (2 * ch), 64) AS nf
-       |        FROM (SELECT b.*, CAST(doc_id % 2 + 1 AS INTEGER) AS ch FROM b)
-       |        WHERE isbmp)),
-       |ah AS (
+       |  FROM $src),
+       |${p}h AS (
        |  SELECT doc_id,
        |         CAST(list_sum(list_transform(range(0, 64), k ->
        |           CASE WHEN e[CAST((k * nf) // 65 AS INTEGER) + 1]
@@ -338,9 +390,15 @@ object MultimodalQueries {
        |                WHEN k = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
        |                ELSE (1::BIGINT << CAST(k AS INTEGER)) END))
        |           AS BIGINT) AS dhash
-       |  FROM ae),
-       |${sqlBandPairTail("ah", "a")}""".stripMargin
+       |  FROM ${p}e)""".stripMargin
   }
+
+  private val sqlAudioPairCtes: String =
+    s"""${sqlAudioFpCtes(
+         """(SELECT doc_id, hx, ch, LEAST(len // (2 * ch), 64) AS nf
+           |        FROM (SELECT b.*, CAST(doc_id % 2 + 1 AS INTEGER) AS ch FROM b)
+           |        WHERE isbmp)""".stripMargin, "a")},
+       |${sqlBandPairTail("ah", "a")}""".stripMargin
 
   /** Independent restatement of [[Multimodal.encodeBmp]]'s 54-byte
     * header as an uppercase hex literal, assembled field-by-field from
@@ -910,6 +968,101 @@ object MultimodalQueries {
          |         CAST(NULL AS BIGINT) AS cluster_id, CAST(0 AS BIGINT) AS n_absorbed,
          |         CAST(bit_count(h.dhash) AS INTEGER) AS detail_bits
          |  FROM ah h WHERE h.doc_id NOT IN (SELECT doc_id FROM acl))
+         |SELECT * FROM (SELECT * FROM singles UNION ALL SELECT * FROM reps) u
+         |ORDER BY doc_id""".stripMargin),
+
+    // SINGLE-PASS heterogeneous-corpus dedup manifest — the 100 TB
+    // multimodal curation shape: ONE narrow batch map routes every
+    // payload by its magic bytes and fingerprints it with ITS
+    // modality's kernel ([[Multimodal.mediaHashes]]: dHash over decoded
+    // BMP pixels, dHash over a container's FIRST decoded frame — the
+    // lead frame is the container's visual identity — and the
+    // sign-of-energy-delta fingerprint over decoded PCM samples), then
+    // the banded pair join runs PER MODALITY (fingerprints of
+    // different kinds live in different spaces and must never
+    // compare), one connected-components closure unifies the pair
+    // streams (components cannot cross kinds — pairs never do), and
+    // the q116/q117 representative+manifest accounting lands with the
+    // kind attached. The oracle restates all three fingerprints from
+    // the text hex (the shared sqlDHashExpr generator at h=4 and at
+    // the ICO lead frame's 2x2, the shared sqlAudioFpCtes arithmetic),
+    // three banded tails, the unioned closure, and the manifest.
+    "q119_multimodal_dedup_manifest" -> Q(
+      (s, d) => {
+        val hashes = Multimodal.mediaHashes(s,
+            mixedFpCorpus(s, Tables.documents(s, d))).toDF()
+          .where(col("fp").isNotNull)
+          .select(col("doc_id"), col("kind"), col("fp").as("dhash"))
+          .persist()
+        val pairs = Seq("bmp", "ico", "wav")
+          .map(k => bandedHashPairs(
+            hashes.where(col("kind") === k).select(col("doc_id"), col("dhash"))))
+          .reduce(_ unionByName _)
+        val comps = graft.ext.Graph.connectedComponents(pairs, "doc_a", "doc_b")
+          .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        val best = max(struct(bit_count(col("dhash")).as("detail"),
+          (-col("doc_id")).as("negid")))
+        val reps = comps.join(hashes, Seq("doc_id"))
+          .groupBy(col("cluster_id")).agg(
+            count(lit(1)).as("n_members"), best.as("best"),
+            min(col("kind")).as("kind")) // pairs are per-kind, so members agree
+          .select((-col("best.negid")).cast("long").as("doc_id"), col("kind"),
+            lit("cluster_rep").as("provenance"), col("cluster_id"),
+            (col("n_members") - 1).as("n_absorbed"),
+            col("best.detail").cast("int").as("detail_bits"))
+        val singles = hashes.join(comps, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("kind"), lit("singleton").as("provenance"),
+            lit(null).cast("long").as("cluster_id"),
+            lit(0L).as("n_absorbed"),
+            bit_count(col("dhash")).cast("int").as("detail_bits"))
+        singles.unionByName(reps).orderBy(col("doc_id"))
+      },
+      s"""WITH RECURSIVE $sqlMixedBase,
+         |mbh AS (
+         |  SELECT doc_id,
+         |         CAST(CASE WHEN w = 2 THEN ${sqlDHashExpr(2, 4)} ELSE ${sqlDHashExpr(4, 4)} END AS BIGINT) AS dhash
+         |  FROM mk WHERE kind = 'bmp'),
+         |mih AS (
+         |  SELECT doc_id, CAST(${sqlDHashExpr(2, 2)} AS BIGINT) AS dhash
+         |  FROM mk WHERE kind = 'ico'),
+         |${sqlAudioFpCtes(
+             "(SELECT doc_id, hx, ch, LEAST(len // (2 * ch), 64) AS nf FROM mk WHERE kind = 'wav')",
+             "mw")},
+         |${sqlBandPairTail("mbh", "mb")},
+         |${sqlBandPairTail("mih", "mi")},
+         |${sqlBandPairTail("mwh", "mv")},
+         |mh AS (SELECT doc_id, 'bmp' AS kind, dhash FROM mbh
+         |       UNION ALL SELECT doc_id, 'ico', dhash FROM mih
+         |       UNION ALL SELECT doc_id, 'wav', dhash FROM mwh),
+         |mp AS (SELECT doc_a, doc_b FROM mbpairs
+         |       UNION ALL SELECT doc_a, doc_b FROM mipairs
+         |       UNION ALL SELECT doc_a, doc_b FROM mvpairs),
+         |medges AS (SELECT DISTINCT a, b FROM (
+         |  SELECT doc_a AS a, doc_b AS b FROM mp
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM mp)),
+         |mreach AS (
+         |  SELECT a AS node, a AS lbl FROM medges
+         |  UNION
+         |  SELECT e.b AS node, r.lbl FROM mreach r JOIN medges e ON e.a = r.node),
+         |mcl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM mreach GROUP BY 1),
+         |mm2 AS (SELECT mcl.cluster_id, mcl.doc_id, h.kind,
+         |               CAST(bit_count(h.dhash) AS INTEGER) AS detail
+         |        FROM mcl JOIN mh h USING (doc_id)),
+         |mr AS (SELECT mm2.*,
+         |              row_number() OVER (PARTITION BY cluster_id
+         |                                 ORDER BY detail DESC, doc_id ASC) AS rk,
+         |              COUNT(*) OVER (PARTITION BY cluster_id) AS nm
+         |       FROM mm2),
+         |reps AS (
+         |  SELECT doc_id, kind, 'cluster_rep' AS provenance, cluster_id,
+         |         CAST(nm - 1 AS BIGINT) AS n_absorbed, detail AS detail_bits
+         |  FROM mr WHERE rk = 1),
+         |singles AS (
+         |  SELECT h.doc_id, h.kind, 'singleton' AS provenance,
+         |         CAST(NULL AS BIGINT) AS cluster_id, CAST(0 AS BIGINT) AS n_absorbed,
+         |         CAST(bit_count(h.dhash) AS INTEGER) AS detail_bits
+         |  FROM mh h WHERE h.doc_id NOT IN (SELECT doc_id FROM mcl))
          |SELECT * FROM (SELECT * FROM singles UNION ALL SELECT * FROM reps) u
          |ORDER BY doc_id""".stripMargin)
   )

@@ -182,6 +182,25 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L).isEmpty, "a zero-frame WAV has no energy sequence to fingerprint")
   }
 
+  test("mediaHashes: one pass routes each payload to its modality's fingerprint") {
+    import spark.implicits._
+    val img = Array.tabulate(2, 3)((r, c) => (r * 40 + c * 10, 0, 0))
+    val bmp = encodeBmp(img.map(_.toArray), bottomUp = true)
+    val fpx = Array.tabulate(12)(i => (i * 17).toByte)
+    val ico = Multimodal.encodeIco(Seq((fpx, 2, 2)))
+    val samples = Array.tabulate(30)(i => ((i * 31) % 200 - 100).toShort)
+    val wav = Multimodal.encodeWav(samples, 1, 8000)
+    val text = "none of the above".getBytes("UTF-8")
+    val got = Multimodal.mediaHashes(spark,
+        Seq(1L -> bmp, 2L -> ico, 3L -> wav, 4L -> text).toDF("doc_id", "media"))
+      .collect().map(r => r.doc_id -> ((r.kind, r.fp))).toMap
+    assert(got(1L) == (("bmp", Some(Multimodal.dHash(bgrBytes(img.map(_.toArray)), 3, 2)))))
+    assert(got(2L) == (("ico", Some(Multimodal.dHash(fpx, 2, 2)))),
+      "a container fingerprints by its FIRST decoded frame")
+    assert(got(3L) == (("wav", Some(Multimodal.audioFingerprint(samples, 1)))))
+    assert(got(4L) == (("stub", None)), "undecodable payloads carry kind=stub, null fp")
+  }
+
   test("imageHashes: real decodes get a perceptual hash, stubs get null") {
     import spark.implicits._
     val img = Array.tabulate(2, 3)((r, c) => (r * 40 + c * 10, 0, 0))

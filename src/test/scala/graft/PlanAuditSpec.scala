@@ -579,6 +579,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), "bucket occupancy cap must be a window count (q84's shape)")
   }
 
+  test("q119 multimodal manifest: keyed joins only, never all-pairs") {
+    // the per-modality pair stages are q84/q112's bandedHashPairs (their
+    // occupancy-cap Window pins live there); the manifest's own plan is
+    // the closure + accounting, which must stay keyed equi-joins
+    val p = plan("q119_multimodal_dedup_manifest")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "never an all-pairs stage in the unified manifest")
+  }
+
   test("q66 url filter: narrow map — no join, no aggregate, only the output sort exchanges") {
     val p = plan("q66_url_filter")
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
