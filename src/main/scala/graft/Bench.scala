@@ -178,6 +178,10 @@ object Bench {
     // below), so nothing result-shaped leaks into billed readings.
     val warmPass = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMPASS", "1") != "0"
     val pass0 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // failed-in-pass-0 is the audit case pass0_s exists for (r17 ADVICE
+    // #4): keep it distinguishable from warm-pass-off in the sidecar
+    // (null vs -1.0) and list the names top-level
+    val pass0Failed = scala.collection.mutable.ArrayBuffer.empty[String]
     if (warmPass) {
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -188,6 +192,7 @@ object Bench {
           // a broken query fails (and is recorded) in the billed pass;
           // pass 0 just moves on so one failure can't unwarm the rest
           case scala.util.control.NonFatal(t) =>
+            pass0Failed += name
             System.err.println(s"bench: warm pass failed on $name (billed pass will record it): $t")
         }
         spark.catalog.clearCache()
@@ -463,12 +468,14 @@ object Bench {
         val ss = samples(n).map(fmt).mkString("[", ",", "]")
         val (sd, sm, sw) = spillQ.getOrElse(n, (-1.0, -1.0, -1.0))
         val (gq, jq) = gcJitQ.getOrElse(n, (-1L, -1L))
-        s"""  {"order":$i,"name":"$n","t0_s":${"%.2f".format(offsets.getOrElse(n, -1.0))},"dur_s":${fmt(median(samples(n).toSeq))},"pass0_s":${fmt(pass0.getOrElse(n, -1.0))},"load":${"%.1f".format(loads.getOrElse(n, -1.0))},"rq_ms":${"%.1f".format(rqMs.getOrElse(n, -1.0))},"ext_cpu":${"%.2f".format(extCpu.getOrElse(n, -1.0))},"spill_mb":${"%.1f".format(sd)},"mem_spill_mb":${"%.1f".format(sm)},"shuf_w_mb":${"%.1f".format(sw)},"gc_ms":$gq,"jit_ms":$jq,"samples":$ss}"""
+        val p0 = pass0.get(n).map(fmt).getOrElse(if (warmPass) "null" else "-1.0")
+        s"""  {"order":$i,"name":"$n","t0_s":${"%.2f".format(offsets.getOrElse(n, -1.0))},"dur_s":${fmt(median(samples(n).toSeq))},"pass0_s":$p0,"load":${"%.1f".format(loads.getOrElse(n, -1.0))},"rq_ms":${"%.1f".format(rqMs.getOrElse(n, -1.0))},"ext_cpu":${"%.2f".format(extCpu.getOrElse(n, -1.0))},"spill_mb":${"%.1f".format(sd)},"mem_spill_mb":${"%.1f".format(sm)},"shuf_w_mb":${"%.1f".format(sw)},"gc_ms":$gq,"jit_ms":$jq,"samples":$ss}"""
       }.mkString("[\n", ",\n", "\n]")
       val canaryJson = canary.map { case (n, (d, e, st, sd)) =>
         s"""{"name":"$n","dur_s":${fmt(d)},"ext_cpu":${"%.2f".format(e)},"storage_mb_at_start":${"%.0f".format(st)},"spill_mb":${"%.1f".format(sd)}}"""
       }.mkString("[", ",", "]")
-      val body = s"""{"total_s":${fmt(total)},"wall_s":${fmt(wallS)},"iters":$iters,"warm_pass":$warmPass,"pass0_total_s":${fmt(pass0.values.sum)},"sf":"$sfDir","note":"pass0_s = this query's duration in the DISCARDED warm pass (r16 verdict #1: billed readings are from a session whose first-execution JIT/classload/deopt costs were absorbed by one full untimed pass; -1.0 = warm pass off or query failed there); t0_s = offset of the query's first timed start from pass start; load = 1-min /proc/loadavg at query start (~32 = this bench alone on 32 threads); rq_ms = run-delay growth of this JVM's threads during the query (first pass); ext_cpu = CPUs held by OTHER processes during the query window (/proc/stat minus /proc/self/stat, first pass; ~0 = quiet box); canary = post-pass re-run of the 3 heaviest queries after a cache-drop + GC reset to clean-session conditions — an externally-contended pass reading does not reproduce there, and storage_mb_at_start records residual storage-memory occupancy so an endogenous-pressure outlier self-explains (r13: a 7x quiet-box canary outlier traced to end-of-pass storage pressure, not contention); stdout line keys are the qNN prefixes of these names; spill_mb/mem_spill_mb/shuf_w_mb = this query's disk-spill / in-memory-spill / shuffle-write deltas from task metrics (first pass, listener-bus best-effort — r15 finding #1 asked for spill visibility to disposition q71-class readings); gc_ms/jit_ms = this JVM's garbage-collection / JIT-compilation time during the query (MXBean deltas, first pass) — the endogenous session-pressure gauges for readings where every exogenous gauge is flat","canary":$canaryJson,"queries":$detail}"""
+      val p0f = pass0Failed.map(n => s""""$n"""").mkString("[", ",", "]")
+      val body = s"""{"total_s":${fmt(total)},"wall_s":${fmt(wallS)},"iters":$iters,"warm_pass":$warmPass,"pass0_total_s":${fmt(pass0.values.sum)},"pass0_failed":$p0f,"sf":"$sfDir","note":"pass0_s = this query's duration in the DISCARDED warm pass (r16 verdict #1: billed readings are from a session whose first-execution JIT/classload/deopt costs were absorbed by one full untimed pass; -1.0 = warm pass deliberately off, null = this query FAILED in pass 0 — names also in pass0_failed); t0_s = offset of the query's first timed start from pass start; load = 1-min /proc/loadavg at query start (~32 = this bench alone on 32 threads); rq_ms = run-delay growth of this JVM's threads during the query (first pass); ext_cpu = CPUs held by OTHER processes during the query window (/proc/stat minus /proc/self/stat, first pass; ~0 = quiet box); canary = post-pass re-run of the 3 heaviest queries after a cache-drop + GC reset to clean-session conditions — an externally-contended pass reading does not reproduce there, and storage_mb_at_start records residual storage-memory occupancy so an endogenous-pressure outlier self-explains (r13: a 7x quiet-box canary outlier traced to end-of-pass storage pressure, not contention); stdout line keys are the qNN prefixes of these names; spill_mb/mem_spill_mb/shuf_w_mb = this query's disk-spill / in-memory-spill / shuffle-write deltas from task metrics (first pass, listener-bus best-effort — r15 finding #1 asked for spill visibility to disposition q71-class readings); gc_ms/jit_ms = this JVM's garbage-collection / JIT-compilation time during the query (MXBean deltas, first pass) — the endogenous session-pressure gauges for readings where every exogenous gauge is flat","canary":$canaryJson,"queries":$detail}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         body.getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(_) => () }

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hot-bucket straggler probe (dev main) — the measurement behind the
+  * r18 skew-safe cap/collapse rewrite (r17 verdict #1).
+  *
+  * Both rewritten sites share one failure shape: a count-over-window
+  * whose partition key is hot BY CONSTRUCTION on templated corpora
+  * (the 16-bit band bucket of [[graft.queries.MultimodalQueries]]'s
+  * perceptual-hash pairing; the exact-replica signature group of
+  * [[graft.queries.TextQueries.dupClustersOfSignatures]]). A window
+  * partition is co-located and buffered in ONE task, and AQE's skew
+  * optimizer cannot split a window — so at 100 TB the hottest bucket's
+  * entire row set serializes through a single straggler task. The
+  * replacement is the partial-aggregable form: groupBy (map-side
+  * combine collapses the hot key BEFORE the shuffle) joined back —
+  * broadcast for the bounded band-bucket keyspace, AQE-skew-splittable
+  * for the unbounded signature space.
+  *
+  * This probe builds corpora with ONE deliberately hot key (`hotN`
+  * copies of a single template among `hotN` distinct rows), runs each
+  * site's OLD window form (inlined here as a clearly-marked control —
+  * it no longer exists in the engine) against the engine's shipped
+  * form, and reports wall plus per-task max/median from a task-end
+  * listener: the straggler is the max/median ratio.
+  *
+  * Usage: runMain graft.SkewProbe [hotN]   (default 2,000,000)
+  * Dev harness — not part of the driver contract surface.
+  */
+object SkewProbe {
+
+  private val taskDurs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+
+  private def measure(spark: SparkSession, name: String)(df: => DataFrame): Unit = {
+    spark.catalog.clearCache()
+    taskDurs.clear()
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    val wall = (System.nanoTime() - t0) / 1e9
+    // let late task-end events land before the read (the public API
+    // has no bus-drain hook; task-end delivery is ms-scale)
+    Thread.sleep(500)
+    import scala.jdk.CollectionConverters._
+    val ds = taskDurs.asScala.toSeq.sorted
+    val mx = if (ds.isEmpty) 0L else ds.last
+    val p50 = if (ds.isEmpty) 0L else ds(ds.size / 2)
+    println(f"SKEWPROBE $name%-34s wall=$wall%7.2f s  tasks=${ds.size}%5d  max_task=$mx%7d ms  p50_task=$p50%6d ms  max/p50=x${if (p50 > 0) mx.toDouble / p50 else 0.0}%.1f")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val hotN = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        taskDurs.add(e.taskInfo.duration)
+    })
+
+    // ---- site 1: the banded occupancy cap -------------------------------
+    // hotN docs share ONE dhash (all four of its band buckets hot: the
+    // replica storm) + hotN docs with distinct hashes (the benign tail).
+    // repartition(32) randomizes placement so map-side combine, not a
+    // lucky pre-grouping, is what collapses the hot key.
+    val hashes = spark.range(hotN).select(col("id").as("doc_id"),
+        lit(0x0123456789ABCDL).as("dhash"))
+      .unionAll(spark.range(hotN, 2 * hotN).select(col("id").as("doc_id"),
+        (xxhash64(col("id")) % 100000000L).as("dhash")))
+      .repartition(32).persist()
+    hashes.count()
+    val bands = hashes.select(col("doc_id"), col("dhash"),
+        explode(array((0 until 4).map(j => struct(lit(j).as("band"),
+          shiftright(col("dhash"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("dhash"), col("bk.band"), col("bk.bkey"))
+    // CONTROL: the pre-r18 shape — count over a window on the hot key.
+    // This code exists ONLY here, as the probe's baseline.
+    measure(spark, "cap_window_CONTROL") {
+      import org.apache.spark.sql.expressions.Window
+      bands.withColumn("_n",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+        .where(col("_n") <= 8).drop("_n")
+    }
+    // ENGINE: the shipped partial-agg + broadcast join-back cap stage,
+    // measured through bandedHashPairs' own cap filter (pair join and
+    // Hamming tail included — on this corpus the hot buckets are
+    // dropped, so the tail is the benign distinct-hash residue).
+    measure(spark, "cap_groupby_ENGINE") {
+      graft.queries.MultimodalQueries.bandedHashPairs(hashes, cap = 8)
+    }
+    hashes.unpersist()
+
+    // ---- site 2: the signature-group collapse ---------------------------
+    // hotN docs share ONE 8-hash signature (the exact-replica storm) +
+    // hotN docs with distinct signatures.
+    val sig = spark.range(hotN).select(col("id").as("doc_id") +:
+        (0 until 8).map(k => lit(k.toLong).as(s"h$k")): _*)
+      .unionAll(spark.range(hotN, 2 * hotN).select(col("id").as("doc_id") +:
+        (0 until 8).map(k => xxhash64(col("id"), lit(k)).as(s"h$k")): _*))
+      .repartition(32).persist()
+    sig.count()
+    val sigCols = (0 until 8).map(k => col(s"h$k"))
+    // CONTROL: the pre-r18 shape — rep + members as window aggregates
+    // over the full-signature partition (the storm dimension).
+    measure(spark, "collapse_window_CONTROL") {
+      import org.apache.spark.sql.expressions.Window
+      sig.withColumn("rep", min(col("doc_id")).over(Window.partitionBy(sigCols: _*)))
+        .withColumn("members", count(lit(1)).over(Window.partitionBy(sigCols: _*)))
+    }
+    // ENGINE: the shipped partial-agg + join-back collapse, isolated to
+    // the same (doc_id, sig, rep, members) frame the window produced.
+    measure(spark, "collapse_groupby_ENGINE") {
+      val stats = sig.groupBy(sigCols: _*)
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("members"))
+        .select((0 until 8).map(k => col(s"h$k").as(s"g$k")) :+
+          col("rep") :+ col("members"): _*)
+      val cond = (0 until 8).map(k => col(s"h$k") <=> col(s"g$k")).reduce(_ && _)
+      sig.join(stats, cond).drop((0 until 8).map(k => s"g$k"): _*)
+    }
+    sig.unpersist()
+    spark.stop()
+  }
+}

@@ -281,7 +281,9 @@ object Multimodal {
     var fp = 0L
     var k = 0
     while (k < 64) {
-      if (e(k * nf / 65) > e((k + 1) * nf / 65)) fp |= 1L << k
+      // long arithmetic in the floor mapping, as resizePixels: k*nf
+      // overflows Int past ~33.5M frames (~13 min of 44.1 kHz mono)
+      if (e((k.toLong * nf / 65).toInt) > e(((k + 1).toLong * nf / 65).toInt)) fp |= 1L << k
       k += 1
     }
     fp

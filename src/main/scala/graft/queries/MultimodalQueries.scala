@@ -205,7 +205,7 @@ object MultimodalQueries {
     * [[wavFpCorpus]]), while q50/q51's fixed 12-sample clips only
     * needed to pin decode. BMP and ICO branches are byte-identical to
     * [[bmpCorpus]]/[[icoCorpus]]'s constructions. */
-  private def mixedFpCorpus(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def mixedFpCorpus(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     Multimodal.mediaTable(docs).as[Multimodal.MediaRow].mapPartitions { it =>
       it.map { r =>
@@ -246,6 +246,29 @@ object MultimodalQueries {
       .toDF().where(col("afp").isNotNull)
       .select(col("doc_id"), col("afp").as("dhash"))
 
+  /** The four 16-bit band keys of every hash, one row per (doc, band) —
+    * the shared head of the pair join, the occupancy count, and the
+    * cap-drop accounting. */
+  private def bandKeys(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id"), col("dhash"),
+        explode(array((0 until 4).map(j => struct(lit(j).as("band"),
+          shiftright(col("dhash"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("dhash"), col("bk.band"), col("bk.bkey"))
+
+  /** Bucket occupancy as a PARTIAL-AGGREGABLE count — the skew-safe
+    * form of the cap stage (r17 verdict #1). The bucket key is 16 bits,
+    * so on a templated corpus (where hot buckets are the norm, not a
+    * tail) a count-over-window would co-locate the hottest bucket's
+    * entire row set in ONE task before the cap could drop it, and AQE
+    * skew splitting cannot help a window. groupBy's map-side combine
+    * collapses the hot key to one partial row per input partition
+    * BEFORE the shuffle, so the straggler never forms — and the output
+    * is bounded at 4·2^16 = 262,144 rows regardless of corpus size,
+    * which is why the join-back below can always broadcast. */
+  private def bandOccupancy(hashes: DataFrame): DataFrame =
+    bandKeys(hashes).groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("_n"))
+
   /** The Hamming-banded pair join over ANY (doc_id, dhash) 64-bit
     * perceptual-hash frame — stated once for the image chain (q84 +
     * the q104 cluster composition) and the audio chain (q112/q113):
@@ -260,17 +283,27 @@ object MultimodalQueries {
     * near-copies needs cap >~ m or the very buckets holding the
     * duplicates exceed occupancy and drop — ScaleSoak's replica storms
     * measure exactly that collapse at cap 8 and the bounded recovery
-    * at a multiplicity-sized cap). */
+    * at a multiplicity-sized cap; q121 gates the cap-256 point under
+    * the oracle).
+    *
+    * Cap mechanics (r17 verdict #1): the surviving-bucket list — a
+    * [[bandOccupancy]] aggregate filtered to `_n <= cap`, bounded at
+    * 262,144 rows by the 16-bit keyspace — BROADCASTS back onto the
+    * band rows, so hot-bucket rows are dropped map-side without ever
+    * shuffling, and every bucket reaching the pair join holds <= cap
+    * rows, making the join skew-free by construction. */
   private[graft] def bandedHashPairs(hashes: DataFrame, cap: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(cap >= 2, s"a pair needs bucket occupancy >= 2, got cap $cap")
-    val bands = hashes.select(col("doc_id"), col("dhash"),
-        explode(array((0 until 4).map(j => struct(lit(j).as("band"),
-          shiftright(col("dhash"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("bk"))
-      .select(col("doc_id"), col("dhash"), col("bk.band"), col("bk.bkey"))
-    val capped = bands.withColumn("_n",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
-      .where(col("_n") <= cap).drop("_n")
+    // the hash frame (a decode pipeline for every caller) now feeds
+    // three subtrees — occupancy, a-side, b-side — so cache it unless
+    // the caller already did (ownership follows the established
+    // Bench/Verify clearCache contract, see CacheScope)
+    val h = if (hashes.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      hashes.persist() else hashes
+    val bands = bandKeys(h)
+    val keep = bandOccupancy(h).where(col("_n") <= cap)
+      .select(col("band"), col("bkey"))
+    val capped = bands.join(broadcast(keep), Seq("band", "bkey"))
     val a = capped.select(col("doc_id").as("doc_a"), col("dhash").as("ha"),
       col("band"), col("bkey"))
     val b = capped.select(col("doc_id").as("doc_b"), col("dhash").as("hb"),
@@ -283,14 +316,41 @@ object MultimodalQueries {
       .where(col("hamming") <= 4)
   }
 
+  /** Cap-drop disclosure for the dedup manifests (r17 verdict #3): one
+    * row of accounting from the SAME occupancy counts the cap derives —
+    * how many band buckets exceeded `cap` (and were therefore excluded
+    * from pair formation) and how many distinct docs sat in at least
+    * one such bucket (docs whose 'singleton' claim the cap weakens). A
+    * manifest that silently overstates uniqueness is the silent-cap
+    * failure mode; these columns make the knob's recall contract
+    * visible in the artifact itself. The hot-bucket list broadcasts
+    * (bounded at 262,144 rows), so the doc count never shuffles the
+    * band rows. */
+  private[graft] def capDropStats(hashes: DataFrame, cap: Int = 8): DataFrame = {
+    val hot = bandOccupancy(hashes).where(col("_n") > cap)
+      .select(col("band"), col("bkey"))
+    val nHot = hot.agg(count(lit(1)).as("n_dropped_buckets"))
+    val nDocs = bandKeys(hashes).join(broadcast(hot), Seq("band", "bkey"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_in_dropped"))
+    // 1 row x 1 row: the established broadcast-scalar-pack idiom (a
+    // constant-key hash join would not survive constant folding — the
+    // optimizer rewrites it to this same nested loop, so the plan pin
+    // recognizes the bounded 1x1 packs explicitly instead)
+    nHot.crossJoin(nDocs)
+  }
+
   /** The banding / occupancy-cap / Hamming-filter tail of
     * [[bandedHashPairs]] as oracle CTEs, parameterized by the hash CTE
     * it reads (columns doc_id, dhash) and a name prefix so the image
     * and audio chains can both claim an instance in one oracle without
-    * colliding — the shift/mask band arithmetic, the windowed
-    * occupancy cap, and bit_count(xor) restate the Spark side
-    * one-for-one. Claims `<p>bk`, `<p>capped`, `<p>pairs`. */
-  private def sqlBandPairTail(hashCte: String, p: String): String =
+    * colliding — the shift/mask band arithmetic, the occupancy cap
+    * (stated as a window count here, which is semantically identical
+    * to the engine's skew-safe partial-agg+join form — DuckDB is the
+    * correctness mirror, not the scale path), and bit_count(xor)
+    * restate the Spark side one-for-one. Claims `<p>bk`, `<p>capped`, `<p>pairs`. `cap` is
+    * threaded as a parameter (default 8) so the Spark knob and the
+    * oracle constant cannot drift (r17 ADVICE #2). */
+  private def sqlBandPairTail(hashCte: String, p: String, cap: Int = 8): String =
     s"""${p}bk AS (
        |  SELECT doc_id, dhash, CAST(j AS INTEGER) AS band,
        |         (dhash >> CAST(16 * j AS INTEGER)) & 65535 AS bkey
@@ -298,13 +358,24 @@ object MultimodalQueries {
        |${p}capped AS (
        |  SELECT doc_id, dhash, band, bkey FROM (
        |    SELECT ${p}bk.*, count(*) OVER (PARTITION BY band, bkey) AS n FROM ${p}bk) z
-       |  WHERE n <= 8),
+       |  WHERE n <= $cap),
        |${p}pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
        |         CAST(bit_count(xor(a.dhash, c.dhash)) AS INTEGER) AS hamming
        |  FROM ${p}capped a JOIN ${p}capped c ON a.band = c.band AND a.bkey = c.bkey
        |    AND a.doc_id < c.doc_id
        |  WHERE bit_count(xor(a.dhash, c.dhash)) <= 4)""".stripMargin
+
+  /** Mirror of [[capDropStats]] as oracle CTEs over an existing
+    * `<p>bk` band-key CTE (so it composes with [[sqlBandPairTail]]'s
+    * claims): the over-cap bucket list and the one-row disclosure pack.
+    * Claims `<p>hot`, `<p>drop`. */
+  private def sqlCapDropCte(p: String, cap: Int = 8): String =
+    s"""${p}hot AS (SELECT band, bkey FROM ${p}bk GROUP BY 1, 2 HAVING count(*) > $cap),
+       |${p}drop AS (
+       |  SELECT (SELECT count(*) FROM ${p}hot) AS n_dropped_buckets,
+       |         (SELECT count(DISTINCT k.doc_id) FROM ${p}bk k
+       |          JOIN ${p}hot t ON k.band = t.band AND k.bkey = t.bkey) AS n_docs_in_dropped)""".stripMargin
 
   /** Mirror of [[bandedHashPairs]] over the image hashes as oracle
     * CTEs (claims h + [[sqlBandPairTail]]'s `i` instance: ibk,
@@ -335,14 +406,64 @@ object MultimodalQueries {
     terms.mkString("(", " + ", ")")
   }
 
-  private val sqlImagePairCtes: String = {
+  /** The three per-modality fingerprint CTEs of the [[mixedFpCorpus]]
+    * oracle (claims mbh, mih, mwe, mwh; needs [[sqlMixedBase]]'s `mk`
+    * in scope) — the shared hash layer of the q119 manifest and the
+    * q122 streaming-ingest gate. */
+  private[graft] val sqlMixedHashCtes: String =
+    s"""mbh AS (
+       |  SELECT doc_id,
+       |         CAST(CASE WHEN w = 2 THEN ${sqlDHashExpr(2, 4)} ELSE ${sqlDHashExpr(4, 4)} END AS BIGINT) AS dhash
+       |  FROM mk WHERE kind = 'bmp'),
+       |mih AS (
+       |  SELECT doc_id, CAST(${sqlDHashExpr(2, 2)} AS BIGINT) AS dhash
+       |  FROM mk WHERE kind = 'ico'),
+       |${sqlAudioFpCtes(
+           "(SELECT doc_id, hx, ch, LEAST(len // (2 * ch), 64) AS nf FROM mk WHERE kind = 'wav')",
+           "mw")}""".stripMargin
+
+  /** Oracle for the q122 streaming media-ingest store (see
+    * [[graft.streaming.Streaming.mediaNearDupSuppressSink]]): the
+    * sink's seen-store equivalence contract says that under monotone
+    * batch ids, admitted(x) = "no same-kind lower-id doc within
+    * Hamming 4 through a shared band over the WHOLE corpus" — so the
+    * oracle states exactly the one-shot UNCAPPED banded pairs per
+    * modality (the sink deliberately runs capless, see its scaladoc)
+    * and flags every doc_b side as suppressed. Stub payloads carry a
+    * null fingerprint and are admitted by definition. */
+  private[graft] val sqlMediaIngestOracle: String =
+    s"""WITH $sqlMixedBase,
+       |$sqlMixedHashCtes,
+       |${sqlBandPairTail("mbh", "sb", cap = Int.MaxValue)},
+       |${sqlBandPairTail("mih", "si", cap = Int.MaxValue)},
+       |${sqlBandPairTail("mwh", "sv", cap = Int.MaxValue)},
+       |losers AS (
+       |  SELECT doc_b AS doc_id FROM sbpairs
+       |  UNION SELECT doc_b FROM sipairs
+       |  UNION SELECT doc_b FROM svpairs),
+       |fps AS (SELECT doc_id, dhash FROM mbh
+       |        UNION ALL SELECT doc_id, dhash FROM mih
+       |        UNION ALL SELECT doc_id, dhash FROM mwh)
+       |SELECT mk.doc_id, mk.kind, f.dhash AS fp,
+       |       (f.doc_id IS NULL
+       |        OR mk.doc_id NOT IN (SELECT doc_id FROM losers)) AS admitted
+       |FROM mk LEFT JOIN fps f USING (doc_id)
+       |ORDER BY mk.doc_id""".stripMargin
+
+  /** The image dHash CTE alone (claims `h`; needs [[sqlBmpBase]]'s `b`
+    * in scope) — shared by the default-cap tail below and q121's
+    * cap-256 instance. */
+  private val sqlImageHashCte: String = {
     def hashExpr(w: Int): String = sqlDHashExpr(w, 4)
     s"""h AS (
        |  SELECT doc_id,
        |         CAST(CASE WHEN w = 2 THEN ${hashExpr(2)} ELSE ${hashExpr(4)} END AS BIGINT) AS dhash
-       |  FROM b WHERE isbmp),
-       |${sqlBandPairTail("h", "i")}""".stripMargin
+       |  FROM b WHERE isbmp)""".stripMargin
   }
+
+  private val sqlImagePairCtes: String =
+    s"""$sqlImageHashCte,
+       |${sqlBandPairTail("h", "i")}""".stripMargin
 
   /** Mirror of [[bandedHashPairs]] over the acoustic fingerprints as
     * oracle CTEs (claims ah + [[sqlBandPairTail]]'s `a` instance: abk,
@@ -626,6 +747,29 @@ object MultimodalQueries {
          |SELECT doc_a, doc_b, hamming FROM ipairs
          |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // The production cap knob under the oracle (r17 verdict #4): q84's
+    // default cap 8 drops nearly all pairs on the shipped templated BMP
+    // corpus (the cap study's 13-of-37,155 point lived only in soak
+    // artifacts) — this row gates the MULTIPLICITY-SIZED cap 256 on the
+    // same corpus, so both ends of the knob's recall contract are
+    // hash-checked: cap 8 = q84 (9 pairs survive at sf0.01 — recall
+    // lost in hot buckets), cap 256 = the replica-pair volume recovered
+    // (18,688 pairs at sf0.01) with pair volume still bounded at
+    // C(256,2)·buckets. The raw listing grows quadratically in replica
+    // multiplicity with sf, so the gate states the HISTOGRAM over
+    // Hamming distance — every pair counted exactly once; a single
+    // lost or phantom pair shifts a bucket and breaks the hash. Same
+    // [[sqlBandPairTail]], cap parameterized (r17 ADVICE #2).
+    "q121_image_neardup_cap256" -> Q(
+      (s, d) => bandedHashPairs(decodedHashes(s, d), cap = 256)
+        .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("hamming")),
+      s"""WITH $sqlBmpBase,
+         |$sqlImageHashCte,
+         |${sqlBandPairTail("h", "c", cap = 256)}
+         |SELECT hamming, count(*) AS n_pairs FROM cpairs
+         |GROUP BY hamming ORDER BY hamming""".stripMargin),
+
     // Image duplicate-CLUSTER formation — the q49 step for the
     // multimodal family: q84's Hamming-banded pairs feed the same
     // distributed connected-components closure the text pipeline runs
@@ -854,10 +998,21 @@ object MultimodalQueries {
     // a single window reducer. The oracle restates the closure
     // (recursive CTE), the popcount-ranked rep window, and the
     // singleton anti-join.
+    //
+    // Cap-drop disclosure (r17 verdict #3): the occupancy cap that
+    // bounds the pair join also DROPS hot buckets — docs reachable only
+    // through dropped buckets surface as plain 'singleton' rows, a
+    // silent overstatement of uniqueness. Two accounting columns from
+    // the SAME occupancy counts ([[capDropStats]]) make the knob's
+    // recall contract visible in the artifact: n_dropped_buckets and
+    // n_docs_in_dropped (docs sitting in >= 1 dropped bucket). On the
+    // shipped templated BMP corpus both are far from zero — exactly the
+    // disclosure the cap study demanded.
     "q116_image_curation_manifest" -> Q(
       (s, d) => {
         val hashes = decodedHashes(s, d).persist()
         val pairs = bandedHashPairs(hashes)
+        val drops = capDropStats(hashes)
         val comps = graft.ext.Graph.connectedComponents(pairs, "doc_a", "doc_b")
           .select(col("node").as("doc_id"), col("component").as("cluster_id"))
         val best = max(struct(bit_count(col("dhash")).as("detail"),
@@ -874,10 +1029,13 @@ object MultimodalQueries {
             lit(null).cast("long").as("cluster_id"),
             lit(0L).as("n_absorbed"),
             bit_count(col("dhash")).cast("int").as("detail_bits"))
-        singles.unionByName(reps).orderBy(col("doc_id"))
+        singles.unionByName(reps)
+          .crossJoin(broadcast(drops)) // 1-row disclosure pack
+          .orderBy(col("doc_id"))
       },
       s"""WITH RECURSIVE $sqlBmpBase,
          |$sqlImagePairCtes,
+         |${sqlCapDropCte("i")},
          |iedges AS (SELECT DISTINCT a, b FROM (
          |  SELECT doc_a AS a, doc_b AS b FROM ipairs
          |  UNION ALL
@@ -904,7 +1062,9 @@ object MultimodalQueries {
          |         CAST(NULL AS BIGINT) AS cluster_id, CAST(0 AS BIGINT) AS n_absorbed,
          |         CAST(bit_count(h.dhash) AS INTEGER) AS detail_bits
          |  FROM h WHERE h.doc_id NOT IN (SELECT doc_id FROM icl))
-         |SELECT * FROM (SELECT * FROM singles UNION ALL SELECT * FROM reps) u
+         |SELECT u.*, d.n_dropped_buckets, d.n_docs_in_dropped
+         |FROM (SELECT * FROM singles UNION ALL SELECT * FROM reps) u
+         |CROSS JOIN idrop d
          |ORDER BY doc_id""".stripMargin),
 
     // The audio curation manifest — q116's composition over the
@@ -922,6 +1082,7 @@ object MultimodalQueries {
       (s, d) => {
         val hashes = decodedAudioHashes(s, d).persist()
         val pairs = bandedHashPairs(hashes)
+        val drops = capDropStats(hashes) // q116's disclosure pack, audio chain
         val comps = graft.ext.Graph.connectedComponents(pairs, "doc_a", "doc_b")
           .select(col("node").as("doc_id"), col("component").as("cluster_id"))
         val best = max(struct(bit_count(col("dhash")).as("detail"),
@@ -938,10 +1099,13 @@ object MultimodalQueries {
             lit(null).cast("long").as("cluster_id"),
             lit(0L).as("n_absorbed"),
             bit_count(col("dhash")).cast("int").as("detail_bits"))
-        singles.unionByName(reps).orderBy(col("doc_id"))
+        singles.unionByName(reps)
+          .crossJoin(broadcast(drops)) // 1-row disclosure pack
+          .orderBy(col("doc_id"))
       },
       s"""WITH RECURSIVE $sqlBmpBase,
          |$sqlAudioPairCtes,
+         |${sqlCapDropCte("a")},
          |aedges AS (SELECT DISTINCT a, b FROM (
          |  SELECT doc_a AS a, doc_b AS b FROM apairs
          |  UNION ALL
@@ -968,7 +1132,9 @@ object MultimodalQueries {
          |         CAST(NULL AS BIGINT) AS cluster_id, CAST(0 AS BIGINT) AS n_absorbed,
          |         CAST(bit_count(h.dhash) AS INTEGER) AS detail_bits
          |  FROM ah h WHERE h.doc_id NOT IN (SELECT doc_id FROM acl))
-         |SELECT * FROM (SELECT * FROM singles UNION ALL SELECT * FROM reps) u
+         |SELECT u.*, d.n_dropped_buckets, d.n_docs_in_dropped
+         |FROM (SELECT * FROM singles UNION ALL SELECT * FROM reps) u
+         |CROSS JOIN adrop d
          |ORDER BY doc_id""".stripMargin),
 
     // SINGLE-PASS heterogeneous-corpus dedup manifest — the 100 TB
@@ -994,9 +1160,15 @@ object MultimodalQueries {
           .where(col("fp").isNotNull)
           .select(col("doc_id"), col("kind"), col("fp").as("dhash"))
           .persist()
-        val pairs = Seq("bmp", "ico", "wav")
-          .map(k => bandedHashPairs(
-            hashes.where(col("kind") === k).select(col("doc_id"), col("dhash"))))
+        val perKind = Seq("bmp", "ico", "wav")
+          .map(k => k -> hashes.where(col("kind") === k)
+            .select(col("doc_id"), col("dhash")).persist())
+        val pairs = perKind.map { case (_, h) => bandedHashPairs(h) }
+          .reduce(_ unionByName _)
+        // per-MODALITY cap-drop disclosure (fingerprint spaces never
+        // mix, so neither may their accounting): 3 rows, joined on kind
+        val drops = perKind
+          .map { case (k, h) => capDropStats(h).withColumn("kind", lit(k)) }
           .reduce(_ unionByName _)
         val comps = graft.ext.Graph.connectedComponents(pairs, "doc_a", "doc_b")
           .select(col("node").as("doc_id"), col("component").as("cluster_id"))
@@ -1015,22 +1187,22 @@ object MultimodalQueries {
             lit(null).cast("long").as("cluster_id"),
             lit(0L).as("n_absorbed"),
             bit_count(col("dhash")).cast("int").as("detail_bits"))
-        singles.unionByName(reps).orderBy(col("doc_id"))
+        singles.unionByName(reps)
+          .join(broadcast(drops), Seq("kind")) // 3-row disclosure pack
+          .orderBy(col("doc_id"))
       },
       s"""WITH RECURSIVE $sqlMixedBase,
-         |mbh AS (
-         |  SELECT doc_id,
-         |         CAST(CASE WHEN w = 2 THEN ${sqlDHashExpr(2, 4)} ELSE ${sqlDHashExpr(4, 4)} END AS BIGINT) AS dhash
-         |  FROM mk WHERE kind = 'bmp'),
-         |mih AS (
-         |  SELECT doc_id, CAST(${sqlDHashExpr(2, 2)} AS BIGINT) AS dhash
-         |  FROM mk WHERE kind = 'ico'),
-         |${sqlAudioFpCtes(
-             "(SELECT doc_id, hx, ch, LEAST(len // (2 * ch), 64) AS nf FROM mk WHERE kind = 'wav')",
-             "mw")},
+         |$sqlMixedHashCtes,
          |${sqlBandPairTail("mbh", "mb")},
          |${sqlBandPairTail("mih", "mi")},
          |${sqlBandPairTail("mwh", "mv")},
+         |${sqlCapDropCte("mb")},
+         |${sqlCapDropCte("mi")},
+         |${sqlCapDropCte("mv")},
+         |mdrop AS (
+         |  SELECT 'bmp' AS kind, n_dropped_buckets, n_docs_in_dropped FROM mbdrop
+         |  UNION ALL SELECT 'ico', n_dropped_buckets, n_docs_in_dropped FROM midrop
+         |  UNION ALL SELECT 'wav', n_dropped_buckets, n_docs_in_dropped FROM mvdrop),
          |mh AS (SELECT doc_id, 'bmp' AS kind, dhash FROM mbh
          |       UNION ALL SELECT doc_id, 'ico', dhash FROM mih
          |       UNION ALL SELECT doc_id, 'wav', dhash FROM mwh),
@@ -1063,7 +1235,9 @@ object MultimodalQueries {
          |         CAST(NULL AS BIGINT) AS cluster_id, CAST(0 AS BIGINT) AS n_absorbed,
          |         CAST(bit_count(h.dhash) AS INTEGER) AS detail_bits
          |  FROM mh h WHERE h.doc_id NOT IN (SELECT doc_id FROM mcl))
-         |SELECT * FROM (SELECT * FROM singles UNION ALL SELECT * FROM reps) u
+         |SELECT u.*, d.n_dropped_buckets, d.n_docs_in_dropped
+         |FROM (SELECT * FROM singles UNION ALL SELECT * FROM reps) u
+         |JOIN mdrop d USING (kind)
          |ORDER BY doc_id""".stripMargin)
   )
 }

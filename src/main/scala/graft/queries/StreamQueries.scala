@@ -190,6 +190,16 @@ object StreamQueries {
         val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
         val gapUs = 30L * 60 * 1000000
         val ev = Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts"))
+        // q111's semantics DEPEND on the corpus span staying under the
+        // 40-day watermark delay (else drain 4's late batch falls below
+        // the state horizon, timeouts fire, and the stream emits
+        // sessions the batch oracle excludes — a hash break far from
+        // its cause). Fail loudly at the source on a testdata change
+        // (r17 ADVICE #3). The timeout-FIRING regime is q120's gate.
+        val span = ev.agg((unix_micros(max(col("ts"))) -
+          unix_micros(min(col("ts")))).as("span_us")).head.getLong(0)
+        require(span + gapUs < 40L * 24 * 3600 * 1000000,
+          s"q111 requires corpus span + gap < the 40-day watermark delay, got ${span}us")
         val late = col("user_id") % 37 === 3
         val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         val tert = ev.where(!late).withColumn("_t", ntile(3).over(wOrd))
@@ -234,6 +244,143 @@ object StreamQueries {
         |SELECT user_id, session_start_us, duration_us, n_events
         |FROM (SELECT per.*, MAX(sess_id) OVER (PARTITION BY user_id) AS mx FROM per) z
         |WHERE sess_id < mx
-        |ORDER BY user_id, session_start_us""".stripMargin)
+        |ORDER BY user_id, session_start_us""".stripMargin),
+
+    // The sessionize TIMEOUT branch under the oracle (r17 verdict #2):
+    // q111 deliberately pins a 40-day watermark so event-time timeouts
+    // never fire — which left `state.hasTimedOut` (the code path that
+    // closes sessions at production watermarks) dead in every gate.
+    // This entry drives the SAME operator with a 1-HOUR watermark
+    // delay, so the watermark genuinely overtakes session horizons
+    // mid-run and the timeout branch must emit-and-remove correctly.
+    //
+    // Device: the events table splits into three GLOBAL event-time
+    // tertiles (boundaries at min + k·span/3), drained oldest-first
+    // through one checkpoint. Global-time slicing (vs q111's per-key
+    // tertiles) is what makes a short watermark sound: every drain
+    // k+1 event is >= the slice boundary, which is strictly above
+    // drain k's high-water mark minus the delay — so nothing is ever
+    // late-dropped, while sessions whose gap horizon the advancing
+    // watermark passes time out and emit between drains. A session
+    // that would CONTINUE (next event within the gap) can never time
+    // out early: its next event would have to be both >= the watermark
+    // (not late) and <= the horizon (in-gap), and the horizon is below
+    // the watermark when the timeout fires — contradiction. So every
+    // emitted row, timeout-closed or data-closed, carries identical
+    // (start, duration, n): exactly the batch gaps-and-islands.
+    //
+    // Drains 4 and 5 append a far-future SENTINEL key (-1) at +100 and
+    // +200 days, pushing the watermark past EVERY real key's horizon:
+    // AvailableNow's trailing NO-DATA batch fires the expired timeouts
+    // under the just-advanced watermark (and drain 5's data batch
+    // re-executes above it even if no-data batches were disabled) — so
+    // each key's FINAL session (which no data event can ever close)
+    // must exit through `hasTimedOut`, or it is missing from the
+    // output.
+    // The oracle is therefore the FULL gaps-and-islands recurrence —
+    // q111's oracle WITHOUT the "minus each key's last session"
+    // clause; the ~|users| extra rows exist ONLY if the timeout branch
+    // emits them (an emit-without-remove slip would double-emit and
+    // also break the hash; a ms-vs-us rounding slip in
+    // setTimeoutTimestamp shifts a boundary session's split). The
+    // sentinel's own rows are filtered by user_id >= 0.
+    "q120_stream_session_timeout" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val dir = freshDir("q120")
+        val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
+        val gapUs = 30L * 60 * 1000000
+        val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+        val mm = ev.agg(unix_micros(min(col("ts"))).as("lo"),
+          unix_micros(max(col("ts"))).as("hi")).head
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val b = (1 to 2).map(k => lo + (hi - lo) * k / 3)
+        val dayUs = 24L * 3600 * 1000000
+        val us = unix_micros(col("ts"))
+        val slices: Seq[DataFrame] = Seq(
+          ev.where(us < b(0)), ev.where(us >= b(0) && us < b(1)), ev.where(us >= b(1)),
+          ev.sparkSession.range(1).select(lit(-1L).as("user_id"),
+            timestamp_micros(lit(hi + 100 * dayUs)).as("ts")),
+          ev.sparkSession.range(1).select(lit(-1L).as("user_id"),
+            timestamp_micros(lit(hi + 200 * dayUs)).as("ts")))
+        slices.foreach { slice =>
+          slice.coalesce(1).write.mode("append").parquet(in)
+          val stream = s.readStream.schema(slice.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+          Streaming.sessionize(s, stream, "user_id", "ts",
+              watermark = "1 hour", gapUs = gapUs)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append").trigger(Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
+        s.read.parquet(out)
+          .select(col("key").cast("long").as("user_id"),
+            col("sessionStartUs").as("session_start_us"),
+            col("durationUs").as("duration_us"),
+            col("nEvents").as("n_events"))
+          .where(col("user_id") >= 0)
+          .orderBy(col("user_id"), col("session_start_us"))
+      },
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > 30 * 60 * 1000000
+        |              THEN 1 ELSE 0 END AS new_sess,
+        |         ts, event_id
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us,
+        |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g),
+        |per AS (
+        |  SELECT user_id, sess_id, MIN(us) AS session_start_us,
+        |         MAX(us) - MIN(us) AS duration_us, COUNT(*) AS n_events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, session_start_us, duration_us, n_events
+        |FROM per
+        |ORDER BY user_id, session_start_us""".stripMargin),
+
+    // Streaming multimodal ingest (r17 verdict #6, stretch): the q119
+    // manifest's admission decision as an INCREMENTAL store — the
+    // mixed-format corpus (BMP/ICO/WAV/stub by magic bytes) drained in
+    // four doc_id-RANGE batches through
+    // [[Streaming.mediaNearDupSuppressSink]]: each batch fingerprints
+    // once per modality kernel, suppresses within-batch and against
+    // the accumulated seen store via ONE kind-keyed banded join each
+    // (never all-pairs), and upserts (doc_id, kind, fp, admitted).
+    // Range batches make ids monotone across triggers, which is the
+    // sink's equivalence contract: the final store must equal the
+    // ONE-SHOT answer — admitted iff no same-kind lower-id fingerprint
+    // within Hamming 4 through a shared band over the whole corpus —
+    // which is what the oracle states (uncapped banded pairs per
+    // modality, doc_b side suppressed). A probe that misses a stored
+    // collision, an upsert that drops a bucket, a batch seam that
+    // leaks a suppression — each flips an `admitted` bit and breaks
+    // the hash.
+    "q122_stream_media_ingest" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val dir = freshDir("q122")
+        val in = s"$dir/in"; val store = s"$dir/store"
+        val media = MultimodalQueries.mixedFpCorpus(s, Tables.documents(s, d))
+        val hi = media.agg(max(col("doc_id"))).head.getLong(0) + 1
+        (0 until 4).foreach { k =>
+          media.where(col("doc_id") >= lit(hi * k / 4) &&
+              col("doc_id") < lit(hi * (k + 1) / 4))
+            .coalesce(1).write.mode("append").parquet(in)
+          val stream = s.readStream.schema(media.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+          Streaming.mediaNearDupSuppressSink(stream, store, numBuckets = 4)
+            .option("checkpointLocation", s"$dir/ck")
+            .start().awaitTermination()
+        }
+        Sinks.readUpsertStore(s, store)
+          .select(col("doc_id"), col("kind"), col("fp"), col("admitted"))
+          .orderBy(col("doc_id"))
+      },
+      MultimodalQueries.sqlMediaIngestOracle)
   )
 }

@@ -203,6 +203,110 @@ object Streaming {
         } finally exactKept.unpersist(false)
       }
 
+  /** The kind-keyed band explosion of a (doc_id, kind, fp) fingerprint
+    * frame — the shared building block of [[mediaNearDupSuppressSink]]'s
+    * within-batch self-join and its store probe. The modality rides the
+    * join key, so fingerprints of different kinds (which live in
+    * different spaces) can never compare, and ONE join covers every
+    * modality. */
+  private def mediaBandKeys(h: DataFrame, idAs: String, fpAs: String): DataFrame =
+    h.select(col("doc_id").as(idAs), col("kind"), col("fp").as(fpAs),
+        explode(array((0 until 4).map(j => struct(lit(j).as("band"),
+          shiftright(col("fp"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("bk"))
+      .select(col(idAs), col("kind"), col(fpAs), col("bk.band"), col("bk.bkey"))
+
+  /** Asymmetric banded probe of a fingerprint batch against the
+    * accumulated seen store: batch docs with a STRICTLY-LOWER-id stored
+    * same-kind fingerprint within Hamming 4 through >= 1 shared band.
+    * One equi-join on (kind, band, bkey) — the multimodal transplant of
+    * [[graft.queries.TextQueries.lshProbe]]; the strict `<` keeps a
+    * crash-replayed batch from being suppressed by its own earlier
+    * attempt's store entries (and makes the suppression decision a
+    * function of the lower-id SET — the order-invariance the q122 gate
+    * states). */
+  private[graft] def mediaBandProbe(batchFp: DataFrame, storeFp: DataFrame): DataFrame =
+    mediaBandKeys(batchFp, "doc_a", "fa")
+      .join(mediaBandKeys(storeFp, "doc_b", "fb"), Seq("kind", "band", "bkey"))
+      .where(col("doc_b") < col("doc_a") &&
+        bit_count(col("fa").bitwiseXOR(col("fb"))) <= 4)
+      .select(col("doc_a").as("doc_id")).distinct()
+
+  /** Streaming multimodal ingest (q122) — the incremental form of the
+    * q119 manifest's admission decision: every micro-batch of opaque
+    * media payloads (columns `doc_id`, `media` BINARY) is fingerprinted
+    * by ITS modality's kernel in one narrow pass
+    * ([[graft.ext.Multimodal.mediaHashes]]), near-dup-checked within
+    * the batch and against the accumulated SEEN store via kind-keyed
+    * banded joins (never all-pairs), and every row lands in the store
+    * with an `admitted` flag. Per batch:
+    *
+    *   1. fingerprint the batch (bmp/ico lead-frame dHash, wav
+    *      sign-of-energy-delta; undecodable payloads get kind 'stub',
+    *      null fp — admitted by definition, nothing perceptual to
+    *      compare);
+    *   2. within-batch suppression: the banded self-join, higher
+    *      doc_id of each Hamming<=4 same-kind pair loses;
+    *   3. store probe ([[mediaBandProbe]]): batch docs with a
+    *      lower-id stored near-dup lose;
+    *   4. ALL batch rows (doc_id, kind, fp, admitted) upsert into the
+    *      partition-scoped store keyed on doc_id.
+    *
+    * The store is a SEEN store (every fingerprint ever observed, not
+    * only admissions) for the same reason incrementalCurationSink's
+    * sig store is: suppressed docs must still suppress THEIR later
+    * near-replicas, or the N-batch result drifts from the one-shot
+    * answer. Equivalence contract (the q122 oracle): with doc_ids
+    * non-decreasing across batches, admitted(x) = "no same-kind doc
+    * with a lower id within Hamming 4 through a shared band, over the
+    * WHOLE corpus" — a pure function of the lower-id set, so batch
+    * boundaries cannot move it. A crash-replayed batch recomputes the
+    * identical decisions (strict-< probe) and re-upserts idempotently.
+    *
+    * No occupancy cap here, deliberately: a capped probe suppresses by
+    * an order-DEPENDENT candidate set (a bucket a one-shot run would
+    * drop forms pairs while it is still small incrementally), which
+    * breaks the equivalence contract the gate hashes. Production
+    * corpora with storm buckets should cap/shard at the batch operator
+    * ([[graft.queries.MultimodalQueries.bandedHashPairs]]'s knob) and
+    * accept the documented recall trade; the probe's per-batch cost is
+    * already bounded by band-collision selectivity times batch size.
+    *
+    * Scale shape: fingerprinting is a narrow map; the probe joins only
+    * the band-colliding store slice (equi-join, shuffle-pruned — the
+    * store is never scanned into memory whole); the upsert rewrites
+    * only the buckets the batch touches. State is the store itself. */
+  def mediaNearDupSuppressSink(stream: DataFrame, storePath: String,
+                               numBuckets: Int = 16): DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val hashes = graft.ext.Multimodal.mediaHashes(s,
+          batch.select(col("doc_id"), col("media"))).toDF().persist()
+        try {
+          val fp = hashes.where(col("fp").isNotNull)
+          val batchLosers = mediaBandKeys(fp, "doc_a", "fa")
+            .join(mediaBandKeys(fp, "doc_b", "fb"), Seq("kind", "band", "bkey"))
+            .where(col("doc_a") < col("doc_b") &&
+              bit_count(col("fa").bitwiseXOR(col("fb"))) <= 4)
+            .select(col("doc_b").as("doc_id")).distinct()
+          val dst = new org.apache.hadoop.fs.Path(storePath)
+          val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val probeHits = if (fs.exists(dst))
+            mediaBandProbe(fp,
+              Sinks.readUpsertStore(s, storePath).where(col("fp").isNotNull))
+          else hashes.limit(0).select(col("doc_id"))
+          val suppressed = batchLosers.unionByName(probeHits).distinct()
+            .withColumn("_s", lit(true))
+          val out = hashes.join(suppressed, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("kind"), col("fp"),
+              coalesce(!col("_s"), lit(true)).as("admitted"))
+          Sinks.upsertParquetPartitioned(s, out, storePath, Seq("doc_id"),
+            orderCol = None, numBuckets = numBuckets)
+        } finally { hashes.unpersist(false); () }
+      }
+
   /** Incremental curation — the staged batch pipeline
     * ([[graft.queries.TextQueries.curatedDocsOf]]) re-expressed as a
     * micro-batch loop: new documents arrive, the stages re-run at the

@@ -531,29 +531,49 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q84 image near-dup: banded pair join only, occupancy as a window, never all-pairs") {
+  /** The r18 skew-safe cap contract, shared by every banded-family pin:
+    * occupancy must be a PARTIAL aggregate on the bucket key (map-side
+    * combine collapses a hot bucket before any shuffle) broadcast back
+    * onto the band rows — never a count-over-window, which buffers the
+    * hottest bucket's entire row set in one task and which AQE cannot
+    * split (r17 verdict #1). */
+  private def assertSkewSafeCap(p: String, q: String): Unit = {
+    val bkeyWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("bkey")).toList
+    assert(bkeyWindows.isEmpty,
+      s"$q: no window may partition by the bucket key:\n${bkeyWindows.mkString("\n")}")
+    val occAgg = p.linesIterator.filter(l =>
+      l.contains("HashAggregate") && l.contains("bkey") && l.contains("partial_count")).toList
+    assert(occAgg.nonEmpty, s"$q: occupancy must be a partial-aggregable count on (band, bkey)")
+    assert(p.contains("BroadcastHashJoin"),
+      s"$q: the surviving-bucket list (bounded at 4*2^16 rows) must broadcast back")
+  }
+
+  test("q84 image near-dup: banded pair join only, skew-safe occupancy cap, never all-pairs") {
     val p = plan("q84_image_neardup_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "never an all-pairs stage")
-    assert(p.contains("Window"), "bucket occupancy cap must be a window count (q62's shape)")
+    assertSkewSafeCap(p, "q84")
+    // the two broadcast cap-filters (a/b sides) plus the one banded
+    // pair join — nothing else may join
     val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(p).length
-    assert(joins == 1, s"the banded pair join must be the ONLY join, got $joins")
+    assert(joins <= 3, s"cap broadcasts + the banded pair join only, got $joins")
   }
 
   test("q104 image dup clusters: banded pairs + keyed closure joins, never all-pairs") {
     val p = plan("q104_image_dup_clusters")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "never an all-pairs stage — the closure and the accounting are keyed equi-joins")
-    assert(p.contains("Window"), "bucket occupancy cap must be a window count (q84's shape)")
+    assertSkewSafeCap(p, "q104")
   }
 
-  test("q112 audio near-dup: banded pair join only, occupancy as a window, never all-pairs") {
+  test("q112 audio near-dup: banded pair join only, skew-safe occupancy cap, never all-pairs") {
     val p = plan("q112_audio_neardup_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "never an all-pairs stage")
-    assert(p.contains("Window"), "bucket occupancy cap must be a window count (q84's shape)")
+    assertSkewSafeCap(p, "q112")
     val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(p).length
-    assert(joins == 1, s"the banded pair join must be the ONLY join, got $joins")
+    assert(joins <= 3, s"cap broadcasts + the banded pair join only, got $joins")
   }
 
   test("q115 IVF MMR pool: corpus appears once against broadcast probes, never a corpus self-join") {
@@ -576,16 +596,22 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q113_audio_dup_clusters")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "never an all-pairs stage — the closure and the accounting are keyed equi-joins")
-    assert(p.contains("Window"), "bucket occupancy cap must be a window count (q84's shape)")
+    assertSkewSafeCap(p, "q113")
   }
 
-  test("q119 multimodal manifest: keyed joins only, never all-pairs") {
+  test("q119 multimodal manifest: keyed joins only; nested loops only as the 1x1 disclosure packs") {
     // the per-modality pair stages are q84/q112's bandedHashPairs (their
-    // occupancy-cap Window pins live there); the manifest's own plan is
-    // the closure + accounting, which must stay keyed equi-joins
+    // skew-safe cap pins live there); the manifest's own plan is the
+    // closure + accounting, which must stay keyed equi-joins. The ONLY
+    // tolerated nested loops are the three per-modality cap-drop
+    // disclosure packs — 1-row x 1-row aggregate products (a
+    // constant-key hash join would be constant-folded back to this
+    // shape), bounded by construction, never corpus x corpus.
     val p = plan("q119_multimodal_dedup_manifest")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("CartesianProduct"),
       "never an all-pairs stage in the unified manifest")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 3, s"nested loops must be exactly the 3 per-kind 1x1 disclosure packs, got $bnlj")
   }
 
   test("q66 url filter: narrow map — no join, no aggregate, only the output sort exchanges") {
@@ -637,6 +663,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins == 1, s"probe must be one banded equi-join, got $joins")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "never an all-pairs stage")
+  }
+
+  test("mediaBandProbe (streaming media ingest): ONE kind-keyed banded join, never all-pairs") {
+    // the multimodal transplant of the lshProbe pin: the store side is
+    // corpus-sized, so the per-batch probe must stay a single equi-join
+    // over (kind, band, bkey) — the modality rides the join key so
+    // fingerprints of different kinds never compare and one join covers
+    // every modality
+    import org.apache.spark.sql.functions._
+    val fp = spark.range(1000).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "bmp").otherwise("wav").as("kind"),
+      xxhash64(col("id")).as("fp"))
+    val probe = graft.streaming.Streaming.mediaBandProbe(fp.limit(10), fp)
+    probe.count()
+    val p = probe.queryExecution.executedPlan.toString
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(p).length
+    assert(joins == 1, s"probe must be one kind-keyed banded equi-join, got $joins")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "never an all-pairs stage")
+    assert(p.contains("kind"), "the modality must ride the join key")
   }
 
   test("q59 approx percentiles: sketches merge map-side (partial aggregation)") {

@@ -298,6 +298,70 @@ class StreamingSpec extends SparkSpec {
       s"the cross-restart session must close as (start=b1, 25 min, 3 events): ${rows.mkString(";")}")
   }
 
+  test("sessionize timeout branch: watermark passage emits-and-removes via hasTimedOut (q120's regime)") {
+    // The branch q111 deliberately never executes: a key with NO data
+    // in the batch whose state horizon the watermark passed must emit
+    // its open session and REMOVE the state. Three drains on one
+    // checkpoint: drain 1 opens delhi's session; drain 2 is a far-
+    // future sentinel (advances the high-water mark past delhi's
+    // horizon AFTER the batch — nothing may emit yet); drain 3 is
+    // another sentinel, and ONLY during its batch does the operator
+    // see a watermark above delhi's horizon with no delhi data — the
+    // exact hasTimedOut invocation. Emit count per drain pins both the
+    // when and the remove (a lost remove would re-emit in drain 3+).
+    val in = tmpDir("sess_timeout_in")
+    val out = tmpDir("sess_timeout_out").toString
+    val ck = tmpDir("sess_timeout_ck").toString
+    // delhi rows only: the sentinel's own sessions data-close along the
+    // way and are not the subject here
+    def drain(): Long = {
+      val stream = Streaming.jsonFileStream(spark, schema, in.toString + "/*.json",
+        multiLine = false)
+      val q = Streaming.sessionize(spark, stream, "city", "ts",
+          watermark = "1 minute", gapUs = 30L * 60 * 1000000)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(out).where(col("key") === "delhi").count()
+    }
+    writeBatch(in, "b1.json", Seq(
+      """{"city":"delhi","ts":"2025-12-11T00:00:00Z","value":1.0}""",
+      """{"city":"delhi","ts":"2025-12-11T00:10:00Z","value":1.0}"""))
+    assert(drain() == 0L, "no gap crossed, no timeout: nothing may emit in drain 1")
+    writeBatch(in, "b2.json", Seq(
+      """{"city":"zz","ts":"2025-12-13T00:00:00Z","value":1.0}"""))
+    // the sentinel batch itself runs with drain 1's watermark (00:09 —
+    // below delhi's 00:40 horizon), but AvailableNow then runs a
+    // NO-DATA batch under the advanced watermark (Dec 13 - 1min, see
+    // spark.sql.streaming.noDataMicroBatches.enabled): delhi has no
+    // data there and its horizon is passed — the exact hasTimedOut
+    // invocation, inside the same drain
+    assert(drain() == 1L, "the no-data batch after the sentinel must fire the timeout emission")
+    val r = spark.read.parquet(out).where(col("key") === "delhi").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("sessionStartUs"),
+        r.getAs[Long]("durationUs") / 60000000L, r.getAs[Long]("nEvents")))
+    val startUs = java.time.Instant.parse("2025-12-11T00:00:00Z").toEpochMilli * 1000L
+    assert(r.toSeq == Seq(("delhi", startUs, 10L, 2L)),
+      s"the timed-out session must carry its true (start, duration, count): ${r.mkString(";")}")
+    // next drain: a NEW delhi event after the removal — state must be
+    // gone (a fresh 1-event session opens; the old one must NOT
+    // re-emit, and its own horizon is above the drain-end watermark)
+    writeBatch(in, "b4.json", Seq(
+      """{"city":"delhi","ts":"2025-12-16T00:00:00Z","value":1.0}"""))
+    assert(drain() == 1L, "removed state must not re-emit on the key's return")
+    // one more sentinel advances the watermark past the new horizon:
+    // its no-data batch times the returned key's session out
+    writeBatch(in, "b5.json", Seq(
+      """{"city":"zz","ts":"2025-12-20T00:00:00Z","value":1.0}"""))
+    assert(drain() == 2L, "the sentinel's no-data batch times the returned key's session out")
+    val finalRows = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("nEvents")))
+      .filter(_._1 == "delhi").sortBy(_._2)
+    assert(finalRows.toSeq == Seq(("delhi", 1L), ("delhi", 2L)),
+      s"exactly the two delhi sessions, each emitted once: ${finalRows.mkString(";")}")
+  }
+
   test("10x soak: streaming dedup + upsert store feeds batch curation identically to pure batch") {
     // end-to-end at 10x duplication: a worst-case corpus (every sf0.001
     // document landed 10 times with offset ids, one slice re-delivered
@@ -1113,5 +1177,76 @@ class StreamingSpec extends SparkSpec {
     Sinks.upsertParquet(spark, b2, target, Seq("city"), Some("seq"))
     // the stranded copy must be restored and merged, not erased
     assert(spark.read.parquet(target).count() == 3)
+  }
+
+  test("mediaNearDupSuppressSink: admission flags across batches; stubs admitted; store is append-only truth") {
+    import graft.ext.Multimodal
+    import spark.implicits._
+    val root = tmpDir("media_ingest")
+    val in = s"$root/in"; val store = s"$root/store"; val ck = s"$root/ck"
+    // fingerprint-controlled WAVs: monotone-increasing energies give
+    // fp = 0 (no positive delta); monotone-decreasing give ~23 set
+    // bits — far beyond the Hamming-4 radius, and (asserted below)
+    // with no band collision against 0
+    val upS = Array.tabulate(24)(i => (i * 10).toShort)
+    val dnS = Array.tabulate(24)(i => (240 - i * 10).toShort)
+    val fpUp = Multimodal.audioFingerprint(upS, 1)
+    val fpDn = Multimodal.audioFingerprint(dnS, 1)
+    assert(java.lang.Long.bitCount(fpUp ^ fpDn) > 4, "precondition: the two clips are not near")
+    assert((0 until 4).forall(j => ((fpUp >> (16 * j)) & 0xFFFF) != ((fpDn >> (16 * j)) & 0xFFFF)),
+      "precondition: no shared band bucket")
+    val wavA = Multimodal.encodeWav(upS, 1, 8000)
+    val wavB = Multimodal.encodeWav(dnS, 1, 8000)
+    val stub = Array[Byte](0, 1, 2, 3, 4, 5, 6, 7)
+    def drain(rows: Seq[(Long, Array[Byte])], name: String): Unit = {
+      rows.toDF("doc_id", "media").coalesce(1).write.mode("append").parquet(in)
+      val stream = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("media", BinaryType))))
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      Streaming.mediaNearDupSuppressSink(stream, store, numBuckets = 2)
+        .option("checkpointLocation", ck)
+        .start().awaitTermination()
+    }
+    // batch 1: doc 2 is doc 1's exact acoustic replica — within-batch
+    // suppression, lower id wins
+    drain(Seq(1L -> wavA, 2L -> wavA), "b1")
+    // batch 2: doc 3 replays the SEEN fingerprint (store probe must
+    // suppress it); doc 4 is acoustically distinct (admitted); doc 5
+    // is undecodable (stub — admitted by definition, null fp)
+    drain(Seq(3L -> wavA, 4L -> wavB, 5L -> stub), "b2")
+    val rows = Sinks.readUpsertStore(spark, store)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("kind"),
+        Option(r.getAs[java.lang.Long]("fp")).map(_.longValue),
+        r.getAs[Boolean]("admitted")))
+    assert(rows.toSeq == Seq(
+      (1L, "wav", Some(fpUp), true),
+      (2L, "wav", Some(fpUp), false),
+      (3L, "wav", Some(fpUp), false),
+      (4L, "wav", Some(fpDn), true),
+      (5L, "stub", None, true)),
+      s"store must carry every seen row with its admission flag: ${rows.mkString(";")}")
+  }
+
+  test("mediaBandProbe: a SUPPRESSED stored doc still suppresses its own later near-replicas (seen-store semantics)") {
+    // fp1 = 0; fp2 = bit 0 (near fp1: shared bands 1-3, Hamming 1 —
+    // doc 2 was suppressed by doc 1 at ingest); fp3 = bits
+    // {0,16,32,48,62}: Hamming 4 from fp2 with a shared band (band 0 =
+    // 0x0001), but NO shared band with fp1 — so an admitted-only store
+    // would wrongly admit doc 3. The probe must run against the full
+    // seen store and suppress it through the suppressed doc 2.
+    import spark.implicits._
+    val fp3 = (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48) | (1L << 62)
+    val mk = (rows: Seq[(Long, Long)]) =>
+      rows.toDF("doc_id", "fp").select(col("doc_id"), lit("wav").as("kind"), col("fp"))
+    val seen = mk(Seq(1L -> 0L, 2L -> 1L))
+    val admittedOnly = mk(Seq(1L -> 0L))
+    val batch = mk(Seq(3L -> fp3))
+    assert(Streaming.mediaBandProbe(batch, admittedOnly).count() == 0,
+      "precondition: the admitted row alone cannot reach doc 3")
+    val hits = Streaming.mediaBandProbe(batch, seen).collect().map(_.getLong(0))
+    assert(hits.toSeq == Seq(3L),
+      s"the suppressed stored fingerprint must suppress the replica: ${hits.mkString(",")}")
   }
 }
