@@ -45,7 +45,8 @@ object ScaleSoak {
     "q116_image_curation_manifest", "q117_audio_curation_manifest",
     "q119_multimodal_dedup_manifest", "q120_stream_session_timeout",
     "q121_image_neardup_cap256", "q122_stream_media_ingest",
-    "q43_capped_df64", "q42_capped_b64", "q112_cap256", "q84_cap256")
+    "q43_capped_df64", "q42_capped_b64", "q112_cap256", "q84_cap256",
+    "q122_cap64")
 
   /** Non-registry soak subjects: the q43 df-cap path (maxDf=64) and the
     * q42 band-bucket cap — the bounded-curve evidence for the
@@ -63,7 +64,13 @@ object ScaleSoak {
       .orderBy(col("doc_a"), col("doc_b"))),
     "q84_cap256" -> ((s, d) => graft.queries.MultimodalQueries.bandedHashPairs(
       graft.queries.MultimodalQueries.decodedHashes(s, d), cap = 256)
-      .orderBy(col("doc_a"), col("doc_b"))))
+      .orderBy(col("doc_a"), col("doc_b"))),
+    // the q122 production knob on the gate's own device: the capped
+    // probe drops storm buckets from both join sides, bounding the
+    // per-trigger quadratic unit the capless (gated) form pays for its
+    // order-invariance contract
+    "q122_cap64" -> ((s, d) =>
+      graft.queries.StreamQueries.mediaIngestStore(s, d, capPerBucket = Some(64))))
 
   /** Tables replicated with a per-replica key offset; dimension tables
     * are shared (the realistic shape: facts grow, dims don't). */

@@ -86,11 +86,19 @@ object SkewProbe {
           count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
         .where(col("_n") <= 8).drop("_n")
     }
-    // ENGINE: the shipped partial-agg + broadcast join-back cap stage,
-    // measured through bandedHashPairs' own cap filter (pair join and
-    // Hamming tail included — on this corpus the hot buckets are
-    // dropped, so the tail is the benign distinct-hash residue).
+    // ENGINE (stage-isolated): the shipped shape — a partial-aggregable
+    // groupBy occupancy count whose <=cap survivor list broadcasts back
+    // onto the band rows, hot-bucket rows dropped map-side.
     measure(spark, "cap_groupby_ENGINE") {
+      val keep = bands.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("_n")).where(col("_n") <= 8)
+        .select(col("band"), col("bkey"))
+      bands.join(broadcast(keep), Seq("band", "bkey"))
+    }
+    // ENGINE (end-to-end): bandedHashPairs' full chain — cap filter +
+    // pair join + Hamming tail (the benign distinct-hash residue; the
+    // hot buckets are dropped before the join).
+    measure(spark, "cap_pairs_ENGINE_e2e") {
       graft.queries.MultimodalQueries.bandedHashPairs(hashes, cap = 8)
     }
     hashes.unpersist()

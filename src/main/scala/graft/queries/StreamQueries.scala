@@ -361,26 +361,34 @@ object StreamQueries {
     // leaks a suppression — each flips an `admitted` bit and breaks
     // the hash.
     "q122_stream_media_ingest" -> Q(
-      (s, d) => {
-        import org.apache.spark.sql.streaming.Trigger
-        val dir = freshDir("q122")
-        val in = s"$dir/in"; val store = s"$dir/store"
-        val media = MultimodalQueries.mixedFpCorpus(s, Tables.documents(s, d))
-        val hi = media.agg(max(col("doc_id"))).head.getLong(0) + 1
-        (0 until 4).foreach { k =>
-          media.where(col("doc_id") >= lit(hi * k / 4) &&
-              col("doc_id") < lit(hi * (k + 1) / 4))
-            .coalesce(1).write.mode("append").parquet(in)
-          val stream = s.readStream.schema(media.schema)
-            .option("maxFilesPerTrigger", 1).parquet(in)
-          Streaming.mediaNearDupSuppressSink(stream, store, numBuckets = 4)
-            .option("checkpointLocation", s"$dir/ck")
-            .start().awaitTermination()
-        }
-        Sinks.readUpsertStore(s, store)
-          .select(col("doc_id"), col("kind"), col("fp"), col("admitted"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => mediaIngestStore(s, d, capPerBucket = None),
       MultimodalQueries.sqlMediaIngestOracle)
   )
+
+  /** The q122 drive loop, cap parameterized — the registry gates the
+    * capless (exact, order-invariant) form; ScaleSoak drives the
+    * capped production knob on the same device to measure the bounded
+    * probe on storm corpora. */
+  private[graft] def mediaIngestStore(s: SparkSession, d: String,
+                                      capPerBucket: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = freshDir("q122")
+    val in = s"$dir/in"; val store = s"$dir/store"
+    val media = MultimodalQueries.mixedFpCorpus(s, Tables.documents(s, d))
+    val hi = media.agg(max(col("doc_id"))).head.getLong(0) + 1
+    (0 until 4).foreach { k =>
+      media.where(col("doc_id") >= lit(hi * k / 4) &&
+          col("doc_id") < lit(hi * (k + 1) / 4))
+        .coalesce(1).write.mode("append").parquet(in)
+      val stream = s.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      Streaming.mediaNearDupSuppressSink(stream, store, numBuckets = 4,
+          capPerBucket = capPerBucket)
+        .option("checkpointLocation", s"$dir/ck")
+        .start().awaitTermination()
+    }
+    Sinks.readUpsertStore(s, store)
+      .select(col("doc_id"), col("kind"), col("fp"), col("admitted"))
+      .orderBy(col("doc_id"))
+  }
 }

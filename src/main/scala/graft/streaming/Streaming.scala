@@ -215,6 +215,18 @@ object Streaming {
           shiftright(col("fp"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("bk"))
       .select(col(idAs), col("kind"), col(fpAs), col("bk.band"), col("bk.bkey"))
 
+  /** Occupancy cap over a kind-keyed band frame, in the r18 skew-safe
+    * shape ([[graft.queries.MultimodalQueries]]'s bandedHashPairs): a
+    * partial-aggregable groupBy count whose <=cap survivor list —
+    * bounded at kinds·4·2^16 rows by the keyspace — broadcasts back,
+    * so hot-bucket rows drop map-side without shuffling. */
+  private def capBands(bands: DataFrame, cap: Int): DataFrame = {
+    val keep = bands.groupBy(col("kind"), col("band"), col("bkey"))
+      .agg(count(lit(1)).as("_n")).where(col("_n") <= cap)
+      .select(col("kind"), col("band"), col("bkey"))
+    bands.join(broadcast(keep), Seq("kind", "band", "bkey"))
+  }
+
   /** Asymmetric banded probe of a fingerprint batch against the
     * accumulated seen store: batch docs with a STRICTLY-LOWER-id stored
     * same-kind fingerprint within Hamming 4 through >= 1 shared band.
@@ -223,13 +235,29 @@ object Streaming {
     * crash-replayed batch from being suppressed by its own earlier
     * attempt's store entries (and makes the suppression decision a
     * function of the lower-id SET — the order-invariance the q122 gate
-    * states). */
-  private[graft] def mediaBandProbe(batchFp: DataFrame, storeFp: DataFrame): DataFrame =
-    mediaBandKeys(batchFp, "doc_a", "fa")
-      .join(mediaBandKeys(storeFp, "doc_b", "fb"), Seq("kind", "band", "bkey"))
+    * states).
+    *
+    * `cap`: the production occupancy knob. The probe's quadratic unit
+    * is (batch bucket occupancy) x (store bucket occupancy), and on a
+    * storm corpus the store side of a hot bucket grows with the corpus;
+    * Some(cap) drops buckets above `cap` on BOTH sides from the same
+    * per-side occupancy counts the pair operators use ([[capBands]] —
+    * computed from the store scan the probe already pays for, no extra
+    * state). Recall trade as documented on every capped-family member:
+    * near-dups reachable only through hot buckets are ADMITTED, and
+    * the N-batch == one-shot equivalence the q122 gate hashes no
+    * longer holds (a bucket a one-shot run would drop forms pairs
+    * while still small incrementally) — size the cap to the expected
+    * duplicate multiplicity, or leave None for the exact contract. */
+  private[graft] def mediaBandProbe(batchFp: DataFrame, storeFp: DataFrame,
+                                    cap: Option[Int] = None): DataFrame = {
+    val cut = (b: DataFrame) => cap.fold(b)(c => capBands(b, c))
+    cut(mediaBandKeys(batchFp, "doc_a", "fa"))
+      .join(cut(mediaBandKeys(storeFp, "doc_b", "fb")), Seq("kind", "band", "bkey"))
       .where(col("doc_b") < col("doc_a") &&
         bit_count(col("fa").bitwiseXOR(col("fb"))) <= 4)
       .select(col("doc_a").as("doc_id")).distinct()
+  }
 
   /** Streaming multimodal ingest (q122) — the incremental form of the
     * q119 manifest's admission decision: every micro-batch of opaque
@@ -262,21 +290,24 @@ object Streaming {
     * boundaries cannot move it. A crash-replayed batch recomputes the
     * identical decisions (strict-< probe) and re-upserts idempotently.
     *
-    * No occupancy cap here, deliberately: a capped probe suppresses by
-    * an order-DEPENDENT candidate set (a bucket a one-shot run would
-    * drop forms pairs while it is still small incrementally), which
-    * breaks the equivalence contract the gate hashes. Production
-    * corpora with storm buckets should cap/shard at the batch operator
-    * ([[graft.queries.MultimodalQueries.bandedHashPairs]]'s knob) and
-    * accept the documented recall trade; the probe's per-batch cost is
-    * already bounded by band-collision selectivity times batch size.
+    * `capPerBucket`: None (default) runs capless — the exact,
+    * order-invariant contract the q122 gate hashes. Some(cap) bounds
+    * the quadratic unit on storm corpora by dropping over-cap band
+    * buckets from the self-join and the probe (the skew-safe
+    * groupBy+broadcast shape, see [[capBands]]/[[mediaBandProbe]]),
+    * trading recall exactly as the batch operator's knob does
+    * ([[graft.queries.MultimodalQueries.bandedHashPairs]]): near-dups
+    * reachable only through hot buckets are admitted, and N-batch ==
+    * one-shot no longer holds. Size it to the expected duplicate
+    * multiplicity.
     *
     * Scale shape: fingerprinting is a narrow map; the probe joins only
     * the band-colliding store slice (equi-join, shuffle-pruned — the
     * store is never scanned into memory whole); the upsert rewrites
     * only the buckets the batch touches. State is the store itself. */
   def mediaNearDupSuppressSink(stream: DataFrame, storePath: String,
-                               numBuckets: Int = 16): DataStreamWriter[Row] =
+                               numBuckets: Int = 16,
+                               capPerBucket: Option[Int] = None): DataStreamWriter[Row] =
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
@@ -286,8 +317,9 @@ object Streaming {
           batch.select(col("doc_id"), col("media"))).toDF().persist()
         try {
           val fp = hashes.where(col("fp").isNotNull)
-          val batchLosers = mediaBandKeys(fp, "doc_a", "fa")
-            .join(mediaBandKeys(fp, "doc_b", "fb"), Seq("kind", "band", "bkey"))
+          val cut = (b: DataFrame) => capPerBucket.fold(b)(c => capBands(b, c))
+          val batchLosers = cut(mediaBandKeys(fp, "doc_a", "fa"))
+            .join(cut(mediaBandKeys(fp, "doc_b", "fb")), Seq("kind", "band", "bkey"))
             .where(col("doc_a") < col("doc_b") &&
               bit_count(col("fa").bitwiseXOR(col("fb"))) <= 4)
             .select(col("doc_b").as("doc_id")).distinct()
@@ -295,7 +327,8 @@ object Streaming {
           val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
           val probeHits = if (fs.exists(dst))
             mediaBandProbe(fp,
-              Sinks.readUpsertStore(s, storePath).where(col("fp").isNotNull))
+              Sinks.readUpsertStore(s, storePath).where(col("fp").isNotNull),
+              capPerBucket)
           else hashes.limit(0).select(col("doc_id"))
           val suppressed = batchLosers.unionByName(probeHits).distinct()
             .withColumn("_s", lit(true))

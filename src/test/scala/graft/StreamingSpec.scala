@@ -1229,6 +1229,46 @@ class StreamingSpec extends SparkSpec {
       s"store must carry every seen row with its admission flag: ${rows.mkString(";")}")
   }
 
+  test("mediaNearDupSuppressSink capPerBucket: hot buckets drop from self-join AND probe (the documented recall trade)") {
+    // a 12-copy acoustic storm: uncapped, one copy is admitted and 11
+    // suppressed; at capPerBucket=8 the storm's buckets exceed the cap
+    // on the batch side (and later the store side), so NO suppression
+    // reaches the storm — every copy is admitted, exactly the recall
+    // trade the knob's scaladoc (and q84's cap study) documents. The
+    // distinct clip is admitted either way.
+    import graft.ext.Multimodal
+    import spark.implicits._
+    val upS = Array.tabulate(24)(i => (i * 10).toShort)
+    val dnS = Array.tabulate(24)(i => (240 - i * 10).toShort)
+    val wavA = Multimodal.encodeWav(upS, 1, 8000)
+    val wavB = Multimodal.encodeWav(dnS, 1, 8000)
+    def run(cap: Option[Int], tag: String): Map[Long, Boolean] = {
+      val root = tmpDir(s"media_cap_$tag")
+      val in = s"$root/in"; val store = s"$root/store"; val ck = s"$root/ck"
+      def drain(rows: Seq[(Long, Array[Byte])]): Unit = {
+        rows.toDF("doc_id", "media").coalesce(1).write.mode("append").parquet(in)
+        val stream = spark.readStream
+          .schema(StructType(Seq(StructField("doc_id", LongType),
+            StructField("media", BinaryType))))
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        Streaming.mediaNearDupSuppressSink(stream, store, numBuckets = 2,
+            capPerBucket = cap)
+          .option("checkpointLocation", ck)
+          .start().awaitTermination()
+      }
+      drain((1L to 12L).map(_ -> wavA) :+ (13L -> wavB))
+      drain(Seq(14L -> wavA)) // store-side hot bucket: probe must also skip it when capped
+      Sinks.readUpsertStore(spark, store).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("admitted")).toMap
+    }
+    val exact = run(None, "off")
+    assert(exact(1L) && exact(13L) && !exact(2L) && !exact(12L) && !exact(14L),
+      s"uncapped: first copy + distinct clip admitted, storm suppressed: $exact")
+    val capped = run(Some(8), "on")
+    assert((1L to 14L).forall(capped(_)),
+      s"capped: the hot bucket is dropped from both joins, so the storm is admitted: $capped")
+  }
+
   test("mediaBandProbe: a SUPPRESSED stored doc still suppresses its own later near-replicas (seen-store semantics)") {
     // fp1 = 0; fp2 = bit 0 (near fp1: shared bands 1-3, Hamming 1 —
     // doc 2 was suppressed by doc 1 at ingest); fp3 = bits
