@@ -150,12 +150,16 @@ object TextQueries {
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("members"))
       .select((0 until nHashes).map(k => col(s"h$k").as(s"g$k")) :+
         col("rep") :+ col("members"): _*)
+      .persist()
     val joinCond = (0 until nHashes).map(k => col(s"h$k") <=> col(s"g$k")).reduce(_ && _)
     val grouped = sigP.join(stats, joinCond)
       .drop((0 until nHashes).map(k => s"g$k"): _*)
       .persist()
-    val repSig = grouped.where(col("doc_id") === col("rep"))
-      .select(col("doc_id") +: sigCols: _*).persist()
+    // the rep-signature table IS the stats table (one row per distinct
+    // signature, rep = its min doc_id) — no filter over the enrichment
+    // join needed, so the band join's input never waits on it
+    val repSig = stats.select(col("rep").as("doc_id") +:
+      (0 until nHashes).map(k => col(s"g$k").as(s"h$k")): _*)
     val repEdges = lshPairsOf(repSig, maxBucket).select(col("doc_a"), col("doc_b"))
     val repComp = graft.ext.Graph.connectedComponents(repEdges, "doc_a", "doc_b")
       .select(col("node").as("rep"), col("component"))
