@@ -167,11 +167,16 @@ object Streaming {
             element_at(col("sig"), k + 1).as(s"h$k")): _*)
           .drop("sig")
           .withColumn("th", md5(col("text")))
-        // 1. exact dedup inside the batch, deterministic winner
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("th")).orderBy(col("doc_id"))
-        val exactKept = sigged.withColumn("_rn", row_number().over(w))
-          .where(col("_rn") === 1).drop("_rn").persist()
+        // 1. exact dedup inside the batch, deterministic winner (min
+        // doc_id per text hash) — the batch pipeline's own canonical
+        // shape (TextQueries' exact_dedup stage): a partial-aggregable
+        // groupBy + semi-join, never a window on the content hash,
+        // which is hot by construction on a storm batch (the r18
+        // skew-safe argument at batch scale)
+        val canon = sigged.select(col("doc_id"), col("th"))
+          .groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val exactKept = sigged.join(canon, Seq("doc_id"), "left_semi").persist()
         try {
           // 2. within-batch near-dups (null-sig docs have no bands to join)
           val batchSig = exactKept.where(col("h0").isNotNull)
@@ -471,11 +476,14 @@ object Streaming {
         element_at(col("sig"), k + 1).as(s"h$k")): _*)
       .drop("sig")
       .withColumn("th", md5(col("text")))
-    // 2. exact dedup inside the batch, deterministic winner (min doc_id)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("th")).orderBy(col("doc_id"))
-    val batchExact = sigged.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1).drop("_rn")
+    // 2. exact dedup inside the batch, deterministic winner (min
+    // doc_id per text hash) — the batch exact_dedup stage's canonical
+    // groupBy + semi-join shape, not a window on the hot content hash
+    // (see nearDupSuppressSink's step 1)
+    val canon = sigged.select(col("doc_id"), col("th"))
+      .groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val batchExact = sigged.join(canon, Seq("doc_id"), "left_semi")
     // committed-store check + crash recovery in one step: a bare
     // fs.exists(dir) would treat a crashed half-creation (no meta, no
     // committed footers) as readable and a store stranded at _old by a
