@@ -131,6 +131,35 @@ object SkewProbe {
       sig.join(stats, cond).drop((0 until 8).map(k => s"g$k"): _*)
     }
     sig.unpersist()
+
+    // ---- site 3: the ANN per-query top-k cut (r18 verdict, fixed r19) --
+    // The partition key here is not "hot" by the sweep's definition — it
+    // is FEW AND HUGE BY CONSTRUCTION: nQueries=10 per-query frames of
+    // hotN scored candidates each (the whole scored corpus), so a rank
+    // window shuffles everything into 10 sort tasks AQE cannot split,
+    // while 22 of the 32 cores idle. The engine form (TopKAgg heap)
+    // folds map-side per-partition heaps and exchanges only k-sized
+    // buffers. Scores are synthetic (xxhash-derived) — the cut's cost
+    // model is independent of how the score was produced.
+    val nQ = 10
+    val scored = spark.range(nQ * hotN).select(
+        (col("id") % nQ).as("query_id"),
+        (col("id") / nQ).as("cand_id"),
+        (xxhash64(col("id")).cast("double") / 1e18).as("score"))
+      .repartition(32).persist()
+    scored.count()
+    // CONTROL: the pre-r19 shape — row_number over the per-query frame.
+    measure(spark, "annrank_window_CONTROL") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand_id").asc)
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+    }
+    // ENGINE: the shipped partial-aggregable heap cut.
+    measure(spark, "annrank_heap_ENGINE") {
+      graft.ext.TopKAgg.perGroupTopK(scored, "query_id", "score", "cand_id", 5)
+    }
+    scored.unpersist()
     spark.stop()
   }
 }

@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.col
 
 /** Typed bounded top-k aggregator (SURVEY.md §2.8's Aggregator path):
   * keeps only the k best (sortKey, payload) pairs per group in the
@@ -23,7 +24,17 @@ class TopKAgg(k: Int) extends Aggregator[TopKAgg.Entry, TopKAgg.Buf, TopKAgg.Buf
   private def trim(l: Seq[Entry]): Seq[Entry] = l.sortWith(better).take(k)
 
   override def zero: Buf = Buf(Vector.empty)
-  override def reduce(buf: Buf, in: Entry): Buf = Buf(trim(in +: buf.items))
+  // Invariant: buf.items is best-first sorted with <= k entries (zero is
+  // empty, trim sorts, the skip path preserves). The threshold check is
+  // the hot path: once the buffer is full, a row that does not beat the
+  // current k-th costs ONE comparison and no allocation — expected
+  // inserts per partition are k·ln(n), so the sort amortizes away and
+  // per-row cost is dominated by the comparison (the difference between
+  // the heap beating and trailing a Tungsten window sort at 32 cores;
+  // SkewProbe's annrank site measures it).
+  override def reduce(buf: Buf, in: Entry): Buf =
+    if (buf.items.length >= k && !better(in, buf.items.last)) buf
+    else Buf(trim(in +: buf.items))
   override def merge(a: Buf, b: Buf): Buf = Buf(trim(a.items ++ b.items))
   override def finish(buf: Buf): Buf = buf
   override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
@@ -33,4 +44,46 @@ class TopKAgg(k: Int) extends Aggregator[TopKAgg.Entry, TopKAgg.Buf, TopKAgg.Buf
 object TopKAgg {
   final case class Entry(sortKey: Double, payload: Long)
   final case class Buf(items: Seq[Entry])
+
+  /** Per-group bounded top-k over a (group, score, id) frame — the
+    * DataFrame-level tail shared by the ANN family (q45 brute force,
+    * q47 IVF, q87 PQ ADC, and the q110/q115 MMR pool cuts). The prior
+    * formulation — `row_number` over `Window.partitionBy(group)` —
+    * shuffles the ENTIRE scored corpus into |groups| tasks, each
+    * sorting a corpus-sized partition that AQE cannot split: a
+    * fixed-parallelism sort whose wall grows linearly with corpus
+    * scale no matter how many executors exist (the r18 verdict's one
+    * remaining weak pattern). This form folds map-side per-partition
+    * heaps and exchanges only k-sized buffers per group, so the
+    * per-group work after the shuffle is O(partitions·k), independent
+    * of corpus size.
+    *
+    * Ordering contract: score DESC, id ASC on ties — exactly the
+    * window formulation's `orderBy(score.desc, id.asc)`, so the
+    * selected set and ranks are identical row-for-row (TopKAggSpec /
+    * the q39 oracle pin the equivalence). Scores must arrive as
+    * doubles; a caller ranking on an exact long score (q87's
+    * quantized ADC sum) may cast losslessly while |score| < 2^53.
+    *
+    * Output columns: (groupCol, "rank" INT 1-based, idCol, scoreCol).
+    */
+  def perGroupTopK(df: DataFrame, groupCol: String, scoreCol: String,
+                   idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(groupCol).cast("long"), col(scoreCol).cast("double"),
+        col(idCol).cast("long"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => Entry(t._2, t._3))
+      .agg(new TopKAgg(k).toColumn)
+      .flatMap { case (g, buf) =>
+        // buf.items is already best-first (trim sorts); index = rank-1
+        buf.items.iterator.zipWithIndex.map { case (e, i) =>
+          (g, i + 1, e.payload, e.sortKey)
+        }
+      }
+      .toDF(groupCol, "rank", idCol, scoreCol)
+  }
 }

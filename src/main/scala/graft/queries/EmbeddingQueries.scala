@@ -152,8 +152,13 @@ object EmbeddingQueries {
 
     // Brute-force cosine top-k — the exact baseline every ANN variant is
     // measured against. The tiny query side broadcasts against the corpus
-    // scan; each pair's cosine is a fused projection, so the only shuffle
-    // is the final per-query top-k window.
+    // scan; each pair's cosine is a fused projection, and the per-query
+    // cut folds through the partial-aggregable TopKAgg heap
+    // ([[graft.ext.TopKAgg.perGroupTopK]]): map-side per-partition heaps,
+    // k-sized exchange — never a window sorting the whole scored corpus
+    // through nQueries tasks (the r18 verdict's weak pattern; PlanAudit
+    // pins the shape). Ties break (cosine desc, cand_id asc), identical
+    // to the window formulation.
     "q45_ann_bruteforce_topk" -> Q(
       (s, d) => {
         val base = vecs(s, d)
@@ -162,8 +167,9 @@ object EmbeddingQueries {
         val cand = base.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
         val cos = cand.join(broadcast(q), col("cand_id") =!= col("query_id"))
           .withColumn("cosine", qdotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
-        val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id").asc)
-        cos.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+        graft.ext.TopKAgg.perGroupTopK(
+            cos.select(col("query_id"), col("cosine"), col("cand_id")),
+            "query_id", "cosine", "cand_id", 5)
           .select(col("query_id"), col("rank"), col("cand_id").as("neighbor_id"), col("cosine"))
           .orderBy(col("query_id"), col("rank"))
       },
@@ -999,15 +1005,31 @@ object EmbeddingQueries {
     require(k >= 1 && poolSize >= k, s"need 1 <= k <= poolSize, got k=$k pool=$poolSize")
     val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(qdotCol(col("v"), col("v"))))
+    mmrGreedy(bruteForcePool(base, nQueries, poolSize), nQueries, k, lambda, mu)
+  }
+
+  /** The brute-force relevance pool feeding [[mmrTopK]] (q110) —
+    * private[graft] so PlanAuditSpec can pin ITS plan the way it pins
+    * [[ivfPool]]'s (the registry entry's executed plan is the
+    * post-greedy-loop local relation). Input is the (vec_id, v, nrm)
+    * base frame; the cut folds through the partial-aggregable heap
+    * ([[graft.ext.TopKAgg.perGroupTopK]]) — never a per-query rank
+    * window over the scored corpus (the r18 weak pattern) — and the
+    * poolSize·nQueries winner ids re-attach their vectors from the
+    * narrow base scan via a broadcast join. */
+  private[graft] def bruteForcePool(base: DataFrame, nQueries: Int,
+                                    poolSize: Int): DataFrame = {
     val q = base.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       .where(col("query_id") < nQueries)
-    val pw = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("cand_id").asc)
-    val pool = base.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = base.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
       .join(broadcast(q), col("cand_id") =!= col("query_id"))
       .withColumn("rel", qdotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("pr", row_number().over(pw)).where(col("pr") <= poolSize)
+    val top = graft.ext.TopKAgg.perGroupTopK(
+      scored.select(col("query_id"), col("rel"), col("cand_id")),
+      "query_id", "rel", "cand_id", poolSize)
+    base.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(top.drop("rank")), Seq("cand_id"))
       .select(col("query_id"), col("cand_id"), col("cv"), col("cn"), col("rel"))
-    mmrGreedy(pool, nQueries, k, lambda, mu)
   }
 
   /** [[mmrTopK]] over an IVF-BOUNDED retrieval pool (q115) — the
@@ -1055,11 +1077,18 @@ object EmbeddingQueries {
       .withColumn("probe", explode(slice(reverse(array_sort(scored)), 1, nprobe)))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         (-col("probe.negk")).cast("long").as("cell"))
-    val pw = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("cand_id").asc)
-    cands.join(broadcast(qs), Seq("cell"))
+    val relScored = cands.join(broadcast(qs), Seq("cell"))
       .where(col("cand_id") =!= col("query_id"))
       .withColumn("rel", qdotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("pr", row_number().over(pw)).where(col("pr") <= poolSize)
+    // pool cut via the partial-aggregable heap (the probed slice is
+    // ~corpus·nprobe/nSeeds rows per query — corpus-proportional, the
+    // r18 weak pattern under a rank window); winners re-attach their
+    // vectors from the narrow base scan via a broadcast join
+    val top = graft.ext.TopKAgg.perGroupTopK(
+      relScored.select(col("query_id"), col("rel"), col("cand_id")),
+      "query_id", "rel", "cand_id", poolSize)
+    base.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(top.drop("rank")), Seq("cand_id"))
       .select(col("query_id"), col("cand_id"), col("cv"), col("cn"), col("rel"))
   }
 
@@ -1327,8 +1356,17 @@ object EmbeddingQueries {
     val cos = cands.join(broadcast(qs), Seq("cell"))
       .where(col("cand_id") =!= col("query_id"))
       .withColumn("cosine", qdotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id").asc)
-    cos.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // per-query cut through the partial-aggregable heap (a cell holds
+    // ~corpus/nSeeds members — corpus-proportional, so a per-query rank
+    // window would serialize it through nQueries sort tasks); the
+    // k·nQueries winners then re-attach their found-in cell from the
+    // cached assignment map via a broadcast join (each candidate lives
+    // in exactly one cell, so the join is 1:1)
+    val top = graft.ext.TopKAgg.perGroupTopK(
+      cos.select(col("query_id"), col("cosine"), col("cand_id")),
+      "query_id", "cosine", "cand_id", k)
+    assign.select(col("vec_id").as("cand_id"), col("cell"))
+      .join(broadcast(top), Seq("cand_id"))
       .select(col("query_id"), col("cell"), col("rank"),
         col("cand_id").as("neighbor_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
@@ -1418,10 +1456,18 @@ object EmbeddingQueries {
       .reduce(_ + _)
     val scoredPairs = enc.join(broadcast(qs), col("vec_id") =!= col("query_id"))
       .withColumn("sq", sq)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sq").desc, col("vec_id").asc)
-    scoredPairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // the top-k cut folds through the partial-aggregable heap, NOT a
+    // per-query rank window: PQ exists precisely to make full-corpus
+    // ADC scans cheap, so the cut must not re-serialize the scored
+    // corpus through nQueries sort tasks (the r18 verdict's weak
+    // pattern). The exact long score casts losslessly to the heap's
+    // double sort key: |sq| <= dim·1e12 = 6.4e13 << 2^53, so ordering
+    // and ties (lower vec_id first) are bit-identical to the window.
+    graft.ext.TopKAgg.perGroupTopK(
+        scoredPairs.select(col("query_id"), col("sq").cast("double").as("sqd"), col("vec_id")),
+        "query_id", "sqd", "vec_id", k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        (col("sq").cast("double") / lit(1e12)).as("approx_dot"))
+        (col("sqd") / lit(1e12)).as("approx_dot"))
       .orderBy(col("query_id"), col("rank"))
   }
 }

@@ -48,11 +48,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Generate"), "no explode in the signature path")
   }
 
-  test("q45 brute-force ann: fused dots — no explode, query side broadcasts") {
+  test("q45 brute-force ann: fused dots — no explode, query side broadcasts, heap cut") {
     val p = plan("q45_ann_bruteforce_topk")
     assert(!p.contains("Generate"), "dot products must not explode the vectors")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "the tiny query side must broadcast")
+    assertHeapTopKCut(p, "q45")
   }
 
   test("q01 flagship: aggregation is partial (map-side combine) before the shuffle") {
@@ -537,6 +538,24 @@ class PlanAuditSpec extends SparkSpec {
     * onto the band rows — never a count-over-window, which buffers the
     * hottest bucket's entire row set in one task and which AQE cannot
     * split (r17 verdict #1). */
+  /** The ANN family's per-query cut pin (r18 verdict's one remaining
+    * weak pattern, fixed r19): the top-k must fold through the
+    * partial-aggregable TopKAgg heap (map-side per-partition heaps,
+    * k-sized exchange), and NO window may rank a per-query frame — a
+    * window whose partition key is query_id co-locates and sorts the
+    * entire scored corpus in nQueries tasks, a fixed-parallelism sort
+    * AQE cannot split. Style of [[assertSkewSafeCap]], for the ANN
+    * family (q45/q47/q87 and the q110/q115 pool cuts). */
+  private def assertHeapTopKCut(p: String, q: String): Unit = {
+    val low = p.toLowerCase
+    assert(low.contains("partial_") && low.contains("topkagg"),
+      s"$q: the per-query cut must be a partial TopKAgg heap before the exchange")
+    val qWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("query_id")).toList
+    assert(qWindows.isEmpty,
+      s"$q: no window may partition the scored corpus by query_id:\n${qWindows.mkString("\n")}")
+  }
+
   private def assertSkewSafeCap(p: String, q: String): Unit = {
     val bkeyWindows = p.linesIterator.filter(l =>
       l.contains("windowspecdefinition") && l.contains("bkey")).toList
@@ -590,6 +609,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "the corpus must never shuffle for a join — probe side broadcasts")
     assert(p.contains("BroadcastHashJoin"), "the cell join must broadcast the probe side")
+    assertHeapTopKCut(p, "q115-pool")
+  }
+
+  test("q47 IVF top-k: heap cut, never all-pairs") {
+    // the probed slice is ~corpus·nprobe/nSeeds rows per query —
+    // corpus-proportional, so the cut must be the partial TopKAgg heap,
+    // never a per-query rank window
+    val p = plan("q47_ivf_topk")
+    assert(!p.contains("CartesianProduct"), "q47: never an all-pairs stage")
+    assertHeapTopKCut(p, "q47")
+  }
+
+  test("q110 brute-force MMR pool: heap cut over the scored corpus") {
+    // the registry entry's executed plan is the post-greedy-loop local
+    // relation, so the pin targets the POOL stage (the only corpus-scale
+    // plan in the composition) — the q115 pattern
+    spark.catalog.clearCache()
+    import org.apache.spark.sql.functions.{col, sqrt}
+    val base = graft.engine.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(col("vec_id").cast("double") + 1.0))
+    val pool = graft.queries.EmbeddingQueries.bruteForcePool(base, nQueries = 4, poolSize = 16)
+    pool.count()
+    val p = pool.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "q110-pool: never an unbroadcast all-pairs stage")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "q110-pool: the corpus must never shuffle for a join — query side and winners broadcast")
+    assertHeapTopKCut(p, "q110-pool")
   }
 
   test("q113 audio dup clusters: banded pairs + keyed closure joins, never all-pairs") {
@@ -643,7 +690,9 @@ class PlanAuditSpec extends SparkSpec {
       "no corpus-scale shuffle joins in the ADC path")
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length >= 2,
       "codebook and query-table packs must broadcast")
-    assert(p.contains("Window"), "per-query top-k is a window rank")
+    // PQ exists to make full-corpus ADC scans cheap — the cut must not
+    // re-serialize the scored corpus through nQueries sort tasks
+    assertHeapTopKCut(p, "q87")
   }
 
   test("lshProbe (streaming ingest): ONE banded join, never an all-pairs stage") {
