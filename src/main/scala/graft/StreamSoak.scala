@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * scanned), and the final trigger costs far less than the full-union
   * recuration the sink's scaladoc tells corpus-trained stages to use.
   *
-  * Usage: runMain graft.StreamSoak [srcSfDir] [workDir] [nBatches] [ooo]
+  * Usage: runMain graft.StreamSoak [srcSfDir] [workDir] [nBatches] [ooo|media]
   * With the optional 4th arg `ooo`, batches land with DECREASING id
   * offsets — every later batch is a LOWER-ID copy of everything
   * already admitted, the sink's out-of-order edge at full corpus
@@ -34,8 +34,19 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * post-run [[graft.streaming.Streaming.compactCuratedStore]] must
   * (measured) collapse it to the one-batch answer in one pass. In the
   * default monotone mode the same compact is the 0-deletion
-  * maintenance-scan floor. Dev harness — not part of the driver
-  * contract surface.
+  * maintenance-scan floor.
+  *
+  * With `media`, the soak drives the MULTIMODAL ingest store's same
+  * out-of-order edge ([[graft.streaming.Streaming.mediaNearDupSuppressSink]]
+  * + [[graft.streaming.Streaming.compactMediaStore]]): every batch is
+  * the whole mixed-format corpus at a DECREASING id offset — each
+  * later batch a byte-identical (same-fingerprint) lower-id copy of
+  * everything already admitted, which passes the strict-< probe, so
+  * the store accumulates multiply-admitted replica chains — then one
+  * measured compact must converge the admitted flags to the one-shot
+  * answer (checksummed against a fresh single-drain store over the
+  * union) and a rerun must demote 0. Dev harness — not part of the
+  * driver contract surface.
   */
 object StreamSoak {
 
@@ -47,6 +58,7 @@ object StreamSoak {
     val work = if (args.length > 1) args(1) else "/tmp/graft_streamsoak"
     val nBatches = if (args.length > 2) args(2).toInt else 12
     val ooo = args.length > 3 && args(3) == "ooo"
+    val media = args.length > 3 && args(3) == "media"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -64,6 +76,7 @@ object StreamSoak {
     val inDir = s"$work/in"; val ckpt = s"$work/ckpt"
     val curated = s"$work/curated"; val sigs = s"$work/seen"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    if (media) { runMediaOoo(spark, src, work, nBatches); spark.stop(); return }
     val docs = graft.engine.Tables.documents(spark, src).select("doc_id", "text")
     val stages = graft.queries.TextQueries.CurationStages()
 
@@ -153,5 +166,90 @@ object StreamSoak {
     println(f"STREAMSOAK summary first=${triggerS.head}%.2f last=${triggerS.last}%.2f " +
       f"median=${triggerS.sorted.apply(triggerS.size / 2)}%.2f control=$fullS%.2f compact=$compactS%.2f")
     spark.stop()
+  }
+
+  /** The `media` mode: the multimodal ingest store's out-of-order
+    * convergence, measured at corpus scale (see object scaladoc). */
+  private def runMediaOoo(spark: SparkSession, src: String, work: String,
+                          nBatches: Int): Unit = {
+    val mediaSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", org.apache.spark.sql.types.BinaryType)))
+    val inDir = s"$work/in"; val ckpt = s"$work/ckpt"; val store = s"$work/store"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val corpus = graft.queries.MultimodalQueries.mixedFpCorpus(
+      spark, graft.engine.Tables.documents(spark, src))
+
+    def landBatch(b: Int): Unit = {
+      // DECREASING offsets: batch b's rows are byte-identical (same-
+      // fingerprint) LOWER-id copies of batch b-1's — each passes the
+      // strict-< probe (crash-replay safety), so the store accumulates
+      // multiply-admitted replica chains: the exact divergence the
+      // compact must retire
+      val off = (nBatches - b).toLong * 10000000L
+      val stage = s"$work/stage_b$b"
+      corpus.select((col("doc_id") + lit(off)).as("doc_id"), col("media"))
+        .coalesce(4).write.mode("overwrite").parquet(stage)
+      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .filter(p => p.getFileName.toString.startsWith("part-")).iterator()
+      var i = 0
+      while (parts.hasNext) {
+        val p = parts.next()
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(inDir, s"b${b}_$i.parquet"))
+        i += 1
+      }
+    }
+
+    def chk(path: String): String = {
+      val s = graft.engine.Sinks.readUpsertStore(spark, path)
+        .agg(count(lit(1)),
+          sum(when(col("admitted"), 1L).otherwise(0L)),
+          sum(when(col("admitted"), col("doc_id")).otherwise(0L)),
+          sum(col("doc_id"))).collect().head
+      s.mkString(",")
+    }
+
+    val triggerS = (1 to nBatches).map { b =>
+      landBatch(b)
+      val t0 = System.nanoTime()
+      graft.streaming.Streaming.mediaNearDupSuppressSink(
+          spark.readStream.schema(mediaSchema)
+            .option("maxFilesPerTrigger", 4).parquet(inDir),
+          store, numBuckets = 16)
+        .option("checkpointLocation", ckpt).start().awaitTermination()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      val n = graft.engine.Sinks.readUpsertStore(spark, store).count()
+      println(f"STREAMSOAK media trigger $b%2d  dur $dt%7.2f s   store=$n%8d")
+      dt
+    }
+    println(s"STREAMSOAK media pre-compact  chk=(${chk(store)})")
+    // the one-shot control: all batches in ONE drain into a fresh store
+    val oneStore = s"$work/store_oneshot"
+    val t1 = System.nanoTime()
+    graft.streaming.Streaming.mediaNearDupSuppressSink(
+        spark.readStream.schema(mediaSchema)
+          .option("maxFilesPerTrigger", 4 * nBatches).parquet(inDir),
+        oneStore, numBuckets = 16)
+      .option("checkpointLocation", s"$work/ckpt_oneshot").start().awaitTermination()
+    val oneS = (System.nanoTime() - t1) / 1e9
+    spark.catalog.clearCache()
+    val oneChk = chk(oneStore)
+    // the compact, measured + its idempotence rerun
+    val c0 = System.nanoTime()
+    val nDem = graft.streaming.Streaming.compactMediaStore(spark, store)
+    val compactS = (System.nanoTime() - c0) / 1e9
+    spark.catalog.clearCache()
+    val c1 = System.nanoTime()
+    val nDem2 = graft.streaming.Streaming.compactMediaStore(spark, store)
+    val compact2S = (System.nanoTime() - c1) / 1e9
+    spark.catalog.clearCache()
+    val postChk = chk(store)
+    println(f"STREAMSOAK media compact dur $compactS%7.2f s demoted=$nDem%d; rerun dur $compact2S%7.2f s demoted=$nDem2%d")
+    println(s"STREAMSOAK media post-compact chk=($postChk) oneshot=($oneChk) " +
+      s"converged=${postChk == oneChk} oneshot_dur=${f"$oneS%.2f"}s")
+    println(f"STREAMSOAK media summary first=${triggerS.head}%.2f last=${triggerS.last}%.2f " +
+      f"median=${triggerS.sorted.apply(triggerS.size / 2)}%.2f compact=$compactS%.2f")
   }
 }

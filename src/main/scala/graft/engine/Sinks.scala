@@ -332,6 +332,23 @@ object Sinks {
     }
   }
 
+  /** [[upsertParquetPartitioned]] for callers already holding this
+    * store's fence (via [[withStoreFences]]) — e.g.
+    * [[graft.streaming.Streaming.compactMediaStore]], whose READ phase
+    * computes a demotion set from the same store the merge then
+    * rewrites: the whole read-compute-merge sequence must exclude
+    * concurrent writers, so the public entry point's re-acquisition
+    * would throw. `numBuckets` only applies on creation; an existing
+    * store's meta wins. */
+  private[graft] def upsertParquetPartitionedLocked(spark: SparkSession, batch: DataFrame,
+                                                    path: String, keys: Seq[String],
+                                                    orderCol: Option[String] = None,
+                                                    numBuckets: Int = 64): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    mergePartitionedLocked(spark, batch, path, keys, orderCol, numBuckets, dst, fs)
+  }
+
   /** Store-level + bucket-level crash recovery for a partition-scoped
     * store. Factored out of the merge so readers that gate behavior on
     * store existence ([[recoverUpsertStore]]) run the SAME recovery the

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.engine.Tables
+import graft.engine.{CacheScope, Tables}
 import graft.ext.Multimodal
 
 /** Multimodal-column operators (see graft.ext.Multimodal). q50 is the
@@ -230,6 +230,26 @@ object MultimodalQueries {
     }.toDF()
   }
 
+  /** Max (kind, band, bkey) bucket occupancy over the mixed corpus's
+    * fingerprints — q123's registration-time precondition: the capped
+    * streaming gate hashes against the CAPLESS one-shot oracle, which
+    * is only sound while no bucket exceeds the cap (q111's span-guard
+    * discipline: fail loudly at the source on a testdata change, not
+    * with a hash break far from its cause). One narrow decode pass +
+    * a partial-aggregable count — the same skew-safe occupancy shape
+    * the cap itself uses. */
+  private[graft] def maxMediaBandOccupancy(s: SparkSession, d: String): Long = {
+    val fp = Multimodal.mediaHashes(s,
+        mixedFpCorpus(s, Tables.documents(s, d))).toDF()
+      .where(col("fp").isNotNull)
+    fp.select(col("kind"),
+        explode(array((0 until 4).map(j => struct(lit(j).as("band"),
+          shiftright(col("fp"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("bk"))
+      .groupBy(col("kind"), col("bk.band"), col("bk.bkey"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head.getLong(0)
+  }
+
   /** Perceptual hashes of the decodable slice of the BMP corpus —
     * q84/q104's shared input (real decode path only; non-BMPs yield
     * null and sit out). */
@@ -292,14 +312,18 @@ object MultimodalQueries {
     * band rows, so hot-bucket rows are dropped map-side without ever
     * shuffling, and every bucket reaching the pair join holds <= cap
     * rows, making the join skew-free by construction. */
-  private[graft] def bandedHashPairs(hashes: DataFrame, cap: Int = 8): DataFrame = {
+  private[graft] def bandedHashPairs(hashes: DataFrame, cap: Int = 8,
+                                     scope: CacheScope = CacheScope.untracked): DataFrame = {
     require(cap >= 2, s"a pair needs bucket occupancy >= 2, got cap $cap")
     // the hash frame (a decode pipeline for every caller) now feeds
     // three subtrees — occupancy, a-side, b-side — so cache it unless
-    // the caller already did (ownership follows the established
-    // Bench/Verify clearCache contract, see CacheScope)
+    // the caller already did. Block ownership is the scope's: the
+    // registry entries run under the Bench/Verify clearCache contract
+    // (the untracked default); a long-lived-session embedder passes a
+    // tracking CacheScope and close() releases the blocks (r18 verdict
+    // #5 — the helper itself returns lazily and can never unpersist).
     val h = if (hashes.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      hashes.persist() else hashes
+      scope.persist(hashes) else hashes
     val bands = bandKeys(h)
     val keep = bandOccupancy(h).where(col("_n") <= cap)
       .select(col("band"), col("bkey"))

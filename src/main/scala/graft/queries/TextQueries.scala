@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.engine.{Parity, Tables}
+import graft.engine.{CacheScope, Parity, Tables}
 import graft.ext.TextOps
 import Parity.{davg, davg12, sqlDavg, sqlDavg12}
 import TextOps.{saltedHash, sqlSaltedHash, sqlTokens, tokens}
@@ -118,8 +118,9 @@ object TextQueries {
     * buckets fragment under a cap (documented recall trade, same family
     * as q60's df-cap). */
   def dupClusters(s: SparkSession, d: String,
-                  maxBucket: Option[Int] = None): DataFrame =
-    dupClustersOfSignatures(signatures(s, d), maxBucket)
+                  maxBucket: Option[Int] = None,
+                  scope: CacheScope = CacheScope.untracked): DataFrame =
+    dupClustersOfSignatures(signatures(s, d), maxBucket, scope)
 
   /** [[dupClusters]] over an arbitrary (doc_id, h0..h7) signature table —
     * the whole operator below the signature derivation, split out so the
@@ -127,7 +128,8 @@ object TextQueries {
     * a CONSTRUCTED signature table (controlled band collisions cannot be
     * produced through the text hash pipeline). */
   def dupClustersOfSignatures(sig: DataFrame,
-                              maxBucket: Option[Int] = None): DataFrame = {
+                              maxBucket: Option[Int] = None,
+                              scope: CacheScope = CacheScope.untracked): DataFrame = {
     val sigCols = (0 until nHashes).map(k => col(s"h$k"))
     // Skew-safe collapse (r17 verdict #1): rep + group size as a
     // PARTIAL-AGGREGABLE groupBy over the full signature, joined back.
@@ -144,17 +146,19 @@ object TextQueries {
     // treat NULL signature components as equal, so the join must too
     // or constructed null-keyed groups (see the spec's edge tables)
     // would silently vanish on the join.
+    // block ownership is the scope's (r18 verdict #5): registry entries
+    // run under the Bench/Verify clearCache contract (untracked
+    // default); a long-lived-session embedder passes a tracking
+    // CacheScope and close() releases all three persists
     val sigP = if (sig.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      sig.persist() else sig
-    val stats = sigP.groupBy(sigCols: _*)
+      scope.persist(sig) else sig
+    val stats = scope.persist(sigP.groupBy(sigCols: _*)
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("members"))
       .select((0 until nHashes).map(k => col(s"h$k").as(s"g$k")) :+
-        col("rep") :+ col("members"): _*)
-      .persist()
+        col("rep") :+ col("members"): _*))
     val joinCond = (0 until nHashes).map(k => col(s"h$k") <=> col(s"g$k")).reduce(_ && _)
-    val grouped = sigP.join(stats, joinCond)
-      .drop((0 until nHashes).map(k => s"g$k"): _*)
-      .persist()
+    val grouped = scope.persist(sigP.join(stats, joinCond)
+      .drop((0 until nHashes).map(k => s"g$k"): _*))
     // the rep-signature table IS the stats table (one row per distinct
     // signature, rep = its min doc_id) — no filter over the enrichment
     // join needed, so the band join's input never waits on it

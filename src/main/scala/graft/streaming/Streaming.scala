@@ -172,11 +172,17 @@ object Streaming {
         // shape (TextQueries' exact_dedup stage): a partial-aggregable
         // groupBy + semi-join, never a window on the content hash,
         // which is hot by construction on a storm batch (the r18
-        // skew-safe argument at batch scale)
-        val canon = sigged.select(col("doc_id"), col("th"))
+        // skew-safe argument at batch scale). The semi-join keeps
+        // every row of the winning doc_id, so a source that
+        // re-delivers a row twice inside one trigger must collapse to
+        // one copy FIRST (r18 ADVICE) — dropDuplicates on the key is
+        // exact here because a replayed delivery carries identical
+        // columns by the sink's key contract.
+        val uniq = sigged.dropDuplicates("doc_id")
+        val canon = uniq.select(col("doc_id"), col("th"))
           .groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))
-        val exactKept = sigged.join(canon, Seq("doc_id"), "left_semi").persist()
+        val exactKept = uniq.join(canon, Seq("doc_id"), "left_semi").persist()
         try {
           // 2. within-batch near-dups (null-sig docs have no bands to join)
           val batchSig = exactKept.where(col("h0").isNotNull)
@@ -294,6 +300,13 @@ object Streaming {
     * WHOLE corpus" — a pure function of the lower-id set, so batch
     * boundaries cannot move it. A crash-replayed batch recomputes the
     * identical decisions (strict-< probe) and re-upserts idempotently.
+    * Out-of-order ids relax exactly as the curation sink's do: the
+    * strict-< probe (which crash-replay safety requires) lets a LATE
+    * lower-id near-dup pass — the store then temporarily holds both
+    * copies admitted. Because every fingerprint ever observed is in
+    * the store, ONE [[compactMediaStore]] pass retro-converges the
+    * admitted flags to the one-shot answer (the curated store's
+    * compact, transplanted).
     *
     * `capPerBucket`: None (default) runs capless — the exact,
     * order-invariant contract the q122 gate hashes. Some(cap) bounds
@@ -318,8 +331,13 @@ object Streaming {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
+        // dropDuplicates BEFORE the decode: a twice-delivered row would
+        // pay the fingerprint kernel twice and double its store-upsert
+        // rows (replayed deliveries carry identical payloads by the
+        // sink's key contract, so the collapse is exact)
         val hashes = graft.ext.Multimodal.mediaHashes(s,
-          batch.select(col("doc_id"), col("media"))).toDF().persist()
+          batch.select(col("doc_id"), col("media")).dropDuplicates("doc_id"))
+          .toDF().persist()
         try {
           val fp = hashes.where(col("fp").isNotNull)
           val cut = (b: DataFrame) => capPerBucket.fold(b)(c => capBands(b, c))
@@ -328,9 +346,15 @@ object Streaming {
             .where(col("doc_a") < col("doc_b") &&
               bit_count(col("fa").bitwiseXOR(col("fb"))) <= 4)
             .select(col("doc_b").as("doc_id")).distinct()
-          val dst = new org.apache.hadoop.fs.Path(storePath)
-          val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
-          val probeHits = if (fs.exists(dst))
+          // committed-store check + crash recovery in one step (r18
+          // ADVICE, the incrementalCurationSink fix transplanted): a
+          // bare fs.exists(dst) reads a store stranded at <path>_old by
+          // a crashed merge as ABSENT — a crash-replayed batch would
+          // then silently skip cross-batch suppression and upsert wrong
+          // admitted=true flags — and a crashed half-creation (dir, no
+          // committed meta) as readable, wedging every retry on parquet
+          // schema inference
+          val probeHits = if (Sinks.recoverUpsertStore(s, storePath))
             mediaBandProbe(fp,
               Sinks.readUpsertStore(s, storePath).where(col("fp").isNotNull),
               capPerBucket)
@@ -479,11 +503,14 @@ object Streaming {
     // 2. exact dedup inside the batch, deterministic winner (min
     // doc_id per text hash) — the batch exact_dedup stage's canonical
     // groupBy + semi-join shape, not a window on the hot content hash
-    // (see nearDupSuppressSink's step 1)
-    val canon = sigged.select(col("doc_id"), col("th"))
+    // (see nearDupSuppressSink's step 1; the dropDuplicates guard
+    // there too — a twice-delivered row would survive the semi-join
+    // in both copies)
+    val uniq = sigged.dropDuplicates("doc_id")
+    val canon = uniq.select(col("doc_id"), col("th"))
       .groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val batchExact = sigged.join(canon, Seq("doc_id"), "left_semi")
+    val batchExact = uniq.join(canon, Seq("doc_id"), "left_semi")
     // committed-store check + crash recovery in one step: a bare
     // fs.exists(dir) would treat a crashed half-creation (no meta, no
     // committed footers) as readable and a store stranded at _old by a
@@ -630,6 +657,69 @@ object Streaming {
           if (n > 0) Sinks.deleteFromUpsertStoreLocked(spark, curatedPath, present)
           n
         } finally { present.unpersist(false); () }
+      }
+    }
+
+  /** Maintenance compact for [[mediaNearDupSuppressSink]]'s store —
+    * [[compactCuratedStore]]'s loser pass transplanted to the media
+    * seen store: the one-shot pairwise rule re-run over the ACCUMULATED
+    * fingerprints, with surviving `admitted=true` losers flipped to
+    * false. Compensates the sink's out-of-order admissions: the
+    * strict-< store probe (which crash-replay safety requires) lets a
+    * late arrival whose id is BELOW its already-admitted near-dup pass,
+    * so the store temporarily holds both copies admitted.
+    *
+    * Convergence argument (the media analogue of the curated store's):
+    * streamed admissions are a SUPERSET of the one-shot answer — every
+    * streamed suppression is witnessed by a lower-id same-kind
+    * fingerprint that is itself in the store (all rows upsert), so a
+    * streamed-suppressed doc is a pairwise loser over the final store
+    * too — and the excess is exactly the pairwise loser set computed
+    * here (admitted(x) is pure pairwise, never greedy/chained). One
+    * pass therefore converges the flags to the one-shot answer for any
+    * arrival order; a second pass finds the losers already demoted and
+    * returns 0 (idempotence).
+    *
+    * `capPerBucket` mirrors the sink's knob for storm corpora (the
+    * banded self-join's occupancy bound, same recall trade); leave None
+    * to converge the exact contract the q122 gate hashes.
+    *
+    * Cost shape: the loser pass is the kind-keyed banded self-join over
+    * the store — O(colliding candidates), never all-pairs — and the
+    * demotion rewrites only the buckets holding flipped rows. The
+    * ENTIRE pass (read, loser set, demote) runs under the store's
+    * writer fence, so a concurrent trigger's merge fails loudly instead
+    * of landing between the read and the flip. Returns the number of
+    * rows demoted. */
+  def compactMediaStore(spark: SparkSession, storePath: String,
+                        capPerBucket: Option[Int] = None): Long =
+    Sinks.withStoreFences(spark, Seq(storePath)) {
+      if (!Sinks.recoverUpsertStoreLocked(spark, storePath)) 0L
+      else {
+        val store = Sinks.readUpsertStore(spark, storePath)
+        val fp = store.where(col("fp").isNotNull)
+          .select(col("doc_id"), col("kind"), col("fp"))
+        val cut = (b: DataFrame) => capPerBucket.fold(b)(c => capBands(b, c))
+        val losers = cut(mediaBandKeys(fp, "doc_a", "fa"))
+          .join(cut(mediaBandKeys(fp, "doc_b", "fb")), Seq("kind", "band", "bkey"))
+          .where(col("doc_b") < col("doc_a") &&
+            bit_count(col("fa").bitwiseXOR(col("fb"))) <= 4)
+          .select(col("doc_a").as("doc_id")).distinct()
+        // persist + count materializes the demotion set BEFORE the
+        // merge mutates the files its lineage reads (the compact's
+        // established read-then-rewrite discipline)
+        val demote = store.join(losers, Seq("doc_id"), "left_semi")
+          .where(col("admitted"))
+          .select(col("doc_id"), col("kind"), col("fp"),
+            lit(false).as("admitted"))
+          .persist()
+        try {
+          val n = demote.count()
+          if (n > 0)
+            Sinks.upsertParquetPartitionedLocked(spark, demote, storePath,
+              Seq("doc_id"), orderCol = None)
+          n
+        } finally { demote.unpersist(false); () }
       }
     }
 

@@ -824,6 +824,31 @@ class CleaningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dupClustersOfSignatures / bandedHashPairs: a tracking CacheScope releases every internal persist on close") {
+    // r18 verdict #5: both helpers persist intermediates internally and
+    // return lazily, so THEY can never unpersist — ownership must be
+    // threadable to the caller. Under the untracked default the blocks
+    // fall to the Bench/Verify clearCache contract (unchanged); a
+    // tracking scope's close() must leave the context's persistent-RDD
+    // registry exactly as it found it.
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val sig = (1L to 20L).map(i =>
+        (i, i % 7, i % 5, i % 3, i % 2, 50L, 51L, 60L, 61L))
+      .toDF("doc_id", "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7")
+    val hashes = (1L to 20L).map(i => (i, i * 1024L + (i % 3)))
+      .toDF("doc_id", "dhash")
+    val n0 = spark.sparkContext.getPersistentRDDs.size
+    val scope = new graft.engine.CacheScope
+    graft.queries.TextQueries.dupClustersOfSignatures(sig, None, scope).count()
+    graft.queries.MultimodalQueries.bandedHashPairs(hashes, cap = 8, scope = scope).count()
+    assert(spark.sparkContext.getPersistentRDDs.size > n0,
+      "precondition: the helpers did persist intermediates")
+    scope.close()
+    assert(spark.sparkContext.getPersistentRDDs.size == n0,
+      "close() must release every block the helpers persisted")
+  }
+
   test("removeRepeatedLines: boilerplate drops corpus-wide, rare lines survive, all-boilerplate docs stay") {
     import spark.implicits._
     val boiler = "subscribe to the newsletter"

@@ -1269,6 +1269,86 @@ class StreamingSpec extends SparkSpec {
       s"capped: the hot bucket is dropped from both joins, so the storm is admitted: $capped")
   }
 
+  test("compactMediaStore: out-of-order admissions converge to the one-shot answer; rerun demotes 0") {
+    import graft.ext.Multimodal
+    import spark.implicits._
+    val upS = Array.tabulate(24)(i => (i * 10).toShort)
+    val dnS = Array.tabulate(24)(i => (240 - i * 10).toShort)
+    val wavA = Multimodal.encodeWav(upS, 1, 8000)
+    val wavB = Multimodal.encodeWav(dnS, 1, 8000)
+    def drive(root: java.nio.file.Path, batches: Seq[Seq[(Long, Array[Byte])]]): String = {
+      val in = s"$root/in"; val store = s"$root/store"; val ck = s"$root/ck"
+      batches.foreach { rows =>
+        rows.toDF("doc_id", "media").coalesce(1).write.mode("append").parquet(in)
+        val stream = spark.readStream
+          .schema(StructType(Seq(StructField("doc_id", LongType),
+            StructField("media", BinaryType))))
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        Streaming.mediaNearDupSuppressSink(stream, store, numBuckets = 2)
+          .option("checkpointLocation", ck)
+          .start().awaitTermination()
+      }
+      store
+    }
+    def snap(store: String): Seq[(Long, String, Option[Long], Boolean)] =
+      Sinks.readUpsertStore(spark, store).orderBy(col("doc_id")).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("kind"),
+          Option(r.getAs[java.lang.Long]("fp")).map(_.longValue),
+          r.getAs[Boolean]("admitted"))).toSeq
+    // OUT-OF-ORDER: doc 10 (wavA) and 11 (wavB) admitted first; doc 1 —
+    // a LOWER-id exact acoustic replica of 10 — arrives later and passes
+    // the strict-< probe (crash-replay safety), so both copies sit
+    // admitted: the divergence the compact exists to retire
+    val oooStore = drive(tmpDir("media_ooo"),
+      Seq(Seq(10L -> wavA, 11L -> wavB), Seq(1L -> wavA)))
+    assert(snap(oooStore).collect { case (id, _, _, true) => id } == Seq(1L, 10L, 11L),
+      s"pre-compact: the late lower-id copy AND its admitted twin both admitted: ${snap(oooStore)}")
+    val n = Streaming.compactMediaStore(spark, oooStore)
+    assert(n == 1L, s"exactly doc 10 must be demoted, got $n")
+    // the compacted flags must equal the ONE-SHOT answer over the union
+    val oneShot = drive(tmpDir("media_oneshot"),
+      Seq(Seq(1L -> wavA, 10L -> wavA, 11L -> wavB)))
+    assert(snap(oooStore) == snap(oneShot),
+      s"post-compact store must row-equal the one-shot run:\n${snap(oooStore)}\nvs\n${snap(oneShot)}")
+    assert(Streaming.compactMediaStore(spark, oooStore) == 0L,
+      "a second compact must find the losers already demoted")
+  }
+
+  test("mediaNearDupSuppressSink: a store stranded at _old is recovered; cross-batch suppression intact") {
+    // the r18 ADVICE failure mode: a crashed merge leaves the store at
+    // <path>_old — a bare fs.exists(dst) read it as ABSENT, silently
+    // skipping one batch's cross-batch suppression (wrong admitted=true
+    // flags, permanently). The sink must run the same recovery the
+    // writer would (Sinks.recoverUpsertStore).
+    import graft.ext.Multimodal
+    import spark.implicits._
+    val upS = Array.tabulate(24)(i => (i * 10).toShort)
+    val wavA = Multimodal.encodeWav(upS, 1, 8000)
+    val root = tmpDir("media_old_recover")
+    val in = s"$root/in"; val store = s"$root/store"; val ck = s"$root/ck"
+    def drain(rows: Seq[(Long, Array[Byte])]): Unit = {
+      rows.toDF("doc_id", "media").coalesce(1).write.mode("append").parquet(in)
+      val stream = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("media", BinaryType))))
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      Streaming.mediaNearDupSuppressSink(stream, store, numBuckets = 2)
+        .option("checkpointLocation", ck)
+        .start().awaitTermination()
+    }
+    drain(Seq(1L -> wavA))
+    // simulate the crash: the whole store stranded at _old
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + "_old")))
+    drain(Seq(2L -> wavA))
+    val flags = Sinks.readUpsertStore(spark, store).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("admitted")).toMap
+    assert(flags == Map(1L -> true, 2L -> false),
+      s"the recovered store must still suppress the cross-batch replica: $flags")
+  }
+
   test("mediaBandProbe: a SUPPRESSED stored doc still suppresses its own later near-replicas (seen-store semantics)") {
     // fp1 = 0; fp2 = bit 0 (near fp1: shared bands 1-3, Hamming 1 —
     // doc 2 was suppressed by doc 1 at ingest); fp3 = bits
