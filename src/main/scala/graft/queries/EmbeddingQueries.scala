@@ -656,7 +656,92 @@ object EmbeddingQueries {
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id AS vec_id,
          |       rel, maxsim, score
          |FROM (${(1 to 5).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")})
-         |ORDER BY query_id, rank""".stripMargin)
+         |ORDER BY query_id, rank""".stripMargin),
+
+    // The retrieval knob's RECALL CONTRACT as an artifact (r18 verdict
+    // #6, stretch): recall@3 of IVF vs the exact brute-force top-3,
+    // per (query, nprobe) at nprobe in {1, 2, 8} — the quantitative
+    // form of "nprobe trades recall for probe volume" that q47/q115
+    // only measure in specs. nprobe = 8 (= nSeeds) is the documented
+    // graceful degeneration to exact brute force, so its rows must
+    // read recall = 1.0 — the same family of in-artifact disclosure
+    // as q116/q117's cap-drop columns. Both sides re-derive the brute
+    // and probed selections under the tie-free quantized kernel, so
+    // every hit count is deterministic; a wrong cell, a leaked
+    // candidate, or a tie slip changes some n_hits and breaks the
+    // hash.
+    //
+    // Scale shape: the brute side is the disclosed exact-baseline
+    // control (q45's scan — a recall measurement NEEDS the exact
+    // answer; run it on a sampled query set in production); the IVF
+    // sides are the production shape (narrow assignment map, probe
+    // fan-out on the broadcast query side, heap cut). The hit join is
+    // k·nQueries rows against k·nQueries rows.
+    "q124_ivf_recall_disclosure" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val base = vecs(s, d)
+        val q = base.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+          .where(col("query_id") < nQueries)
+        val cand = base.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
+        val cos = cand.join(broadcast(q), col("cand_id") =!= col("query_id"))
+          .withColumn("cosine", qdotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        val brute = graft.ext.TopKAgg.perGroupTopK(
+            cos.select(col("query_id"), col("cosine"), col("cand_id")),
+            "query_id", "cosine", "cand_id", 3)
+          .select(col("query_id"), col("cand_id")).persist()
+        Seq(1, 2, 8).map { np =>
+          val ivf = ivfTopK(emb, nQueries, nSeeds, k = 3, nprobe = np)
+            .select(col("query_id"), col("neighbor_id").as("cand_id"),
+              lit(1).as("_m"))
+          brute.join(ivf, Seq("query_id", "cand_id"), "left")
+            .groupBy(col("query_id"))
+            .agg(sum(coalesce(col("_m"), lit(0))).as("n_hits"))
+            .select(col("query_id"), lit(np).as("nprobe"), col("n_hits"),
+              (col("n_hits") / lit(3.0)).as("recall"))
+        }.reduce(_ unionByName _)
+          .orderBy(col("query_id"), col("nprobe"))
+      },
+      s"""WITH $sqlVecsQ,
+         |brute AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${sqlQDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rn
+         |    FROM vecs q JOIN vecs c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id) z
+         |  WHERE rn <= 3),
+         |ccos AS (
+         |  SELECT x.vec_id AS v, c.vec_id AS cent,
+         |         ${sqlQDot("x.v", "c.v")} / (x.nrm * c.nrm) AS ccos
+         |  FROM vecs x JOIN vecs c ON c.vec_id < $nSeeds),
+         |assign AS (
+         |  SELECT v AS vec_id, cell
+         |  FROM (SELECT v, cent AS cell, row_number() OVER (PARTITION BY v ORDER BY ccos DESC, cent ASC) AS rn FROM ccos) z
+         |  WHERE rn = 1),
+         |qp AS (
+         |  SELECT v AS query_id, cent AS cell,
+         |         row_number() OVER (PARTITION BY v ORDER BY ccos DESC, cent ASC) AS pr
+         |  FROM ccos WHERE v < $nQueries),
+         |${Seq(1, 2, 8).map(np =>
+           s"""ivf$np AS (
+              |  SELECT query_id, cand_id FROM (
+              |    SELECT p.query_id, a.vec_id AS cand_id,
+              |           row_number() OVER (PARTITION BY p.query_id
+              |             ORDER BY ${sqlQDot("qv.v", "cv.v")} / (qv.nrm * cv.nrm) DESC, a.vec_id ASC) AS rn
+              |    FROM (SELECT query_id, cell FROM qp WHERE pr <= $np) p
+              |    JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+              |    JOIN vecs qv ON qv.vec_id = p.query_id
+              |    JOIN vecs cv ON cv.vec_id = a.vec_id) z
+              |  WHERE rn <= 3),
+              |hits$np AS (
+              |  SELECT b.query_id, $np AS nprobe, COUNT(i.cand_id) AS n_hits
+              |  FROM brute b LEFT JOIN ivf$np i
+              |    ON i.query_id = b.query_id AND i.cand_id = b.cand_id
+              |  GROUP BY 1)""".stripMargin).mkString(",\n")}
+         |SELECT query_id, CAST(nprobe AS INTEGER) AS nprobe, n_hits,
+         |       n_hits / 3.0e0 AS recall
+         |FROM (${Seq(1, 2, 8).map(np => s"SELECT * FROM hits$np").mkString(" UNION ALL ")})
+         |ORDER BY query_id, nprobe""".stripMargin)
   )
 
   /** One unrolled MMR greedy step as oracle CTEs: `ms\$j` is each pool
