@@ -41,7 +41,7 @@ object ScaleSoak {
     "q111_stream_sessionize",
     "q107_kmeans_fixpoint", "q108_bpe_train", "q109_bpe_encode",
     "q110_mmr_topk", "q112_audio_neardup_pairs", "q113_audio_dup_clusters",
-    "q114_surprisal_bands_approx", "q115_mmr_ivf_topk",
+    "q114_surprisal_bands_approx", "q115_mmr_ivf_topk", "q124_ivf_recall_disclosure",
     "q116_image_curation_manifest", "q117_audio_curation_manifest",
     "q119_multimodal_dedup_manifest", "q120_stream_session_timeout",
     "q121_image_neardup_cap256", "q122_stream_media_ingest",
