@@ -851,10 +851,12 @@ object EmbeddingQueries {
     * one cell and would otherwise square), at the price of missed
     * near-dups BETWEEN tail members — the same recall-for-boundedness
     * trade, deterministic and oracle-checkable, as the banded caps. The
-    * capped path pays one per-cell sort (a window over the persisted
-    * assignment) to buy the bounded join; at production scale nSeeds
-    * grows ~sqrt(N), so the window's partition count grows with the
-    * corpus and no single cell's sort dominates. */
+    * core cut folds through the partial-aggregable TopKAgg heap (r19):
+    * the skewed corpus where replicas concentrate in one cell is
+    * exactly what the cap exists for, so the cut must not itself
+    * serialize that cell through a single window-sort task — map-side
+    * c-entry heaps per cell, winner ids (bounded at cells·c) semi-join
+    * back onto the persisted assignment. */
   def semanticDedupInCells(assign0: DataFrame, tau: Double,
                            scope: CacheScope = CacheScope.untracked,
                            maxCellSize: Option[Int] = None): DataFrame = {
@@ -882,8 +884,21 @@ object EmbeddingQueries {
                             maxCellSize: Option[Int]): DataFrame = {
     val core = maxCellSize match {
       case Some(c) =>
-        val w = Window.partitionBy(col("cell")).orderBy(col("ccos").desc, col("vec_id"))
-        assign.withColumn("_cr", row_number().over(w)).where(col("_cr") <= c).drop("_cr")
+        // per-cell core cut through the partial-aggregable heap (r19,
+        // the ANN rank-window argument applied to cells): a window
+        // partitioned by cell serializes the hottest cell through ONE
+        // sort task — and the skewed corpus where exact replicas all
+        // land in one cell is exactly the corpus this cap exists for,
+        // so the cap's own gatekeeper must not be the bottleneck. The
+        // heap folds map-side (c-entry buffers per cell per partition)
+        // and the winner ids — bounded at cells·c rows — semi-join
+        // back onto the persisted assignment. Same (ccos desc, vec_id
+        // asc) tie-break as the window it replaces.
+        val winners = graft.ext.TopKAgg.perGroupTopK(
+            assign.select(col("cell"), col("ccos"), col("vec_id")),
+            "cell", "ccos", "vec_id", c)
+          .select(col("vec_id"))
+        assign.join(winners, Seq("vec_id"), "left_semi")
       case None => assign
     }
     val a = core.select(col("vec_id").as("id_a"), col("v").as("va"),

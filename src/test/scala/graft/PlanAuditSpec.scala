@@ -117,14 +117,24 @@ class PlanAuditSpec extends SparkSpec {
       "the cell self-join must read ONE cached evaluation of the assignment map")
   }
 
-  test("q76 capped semantic dedup: q72's plan shape plus the per-cell rank window") {
+  test("q76 capped semantic dedup: q72's plan shape plus the heap core cut") {
     val p = plan("q76_semantic_dedup_capped")
     assert(!p.contains("CartesianProduct"), "never an all-pairs stage")
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
       || p.contains("ShuffledHashJoin"),
       "the cell pair join must be an equi-join, not a nested loop")
-    assert(p.contains("Window") && p.contains("row_number"),
-      "the cap is a deterministic per-cell rank, not a sample")
+    // the cap is a deterministic per-cell rank cut, and it must be the
+    // partial-aggregable heap, NOT a window — replicas concentrate in
+    // ONE cell on exactly the skewed corpus the cap exists for, and a
+    // cell-partitioned window would serialize that cell's rows through
+    // a single sort task (r19, the ANN rank-window argument)
+    val low = p.toLowerCase
+    assert(low.contains("partial_") && low.contains("topkagg"),
+      "the core cut must be a partial TopKAgg heap")
+    val cellWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("cell")).toList
+    assert(cellWindows.isEmpty,
+      s"no window may partition by cell:\n${cellWindows.mkString("\n")}")
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
       "the core derivation must read the cached assignment map")
   }
@@ -460,8 +470,13 @@ class PlanAuditSpec extends SparkSpec {
     // the full iters+1 Lloyd sweep chain over the corpus
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
       "the pair join must read the cached refined assignment")
-    assert(p.contains("Window") && p.contains("row_number"),
-      "the cap is a deterministic per-cell rank, not a sample")
+    // the cap is a deterministic per-cell rank cut through the heap
+    // (r19) — never a cell-partitioned window (see the q76 pin)
+    assert(p.toLowerCase.contains("topkagg"),
+      "the core cut must be the partial TopKAgg heap")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition") && l.contains("cell")),
+      "no window may partition by cell")
     assert(p.contains("partial_sum"),
       "per-(cell, dim) centroid sums must combine map-side before the exchange")
   }
@@ -489,8 +504,8 @@ class PlanAuditSpec extends SparkSpec {
         "the cell pair join must be an equi-join, not a nested loop")
       assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
         "the pair join must read the cached survivor assignment")
-      assert(p.contains("Window") && p.contains("row_number"),
-        "the cap is a deterministic per-cell rank, not a sample")
+      assert(p.toLowerCase.contains("topkagg"),
+        "the core cut must be the partial TopKAgg heap (never a cell window, see the q76 pin)")
     } finally scope.close()
   }
 
