@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, isnan}
 
 /** Typed bounded top-k aggregator (SURVEY.md §2.8's Aggregator path):
   * keeps only the k best (sortKey, payload) pairs per group in the
@@ -60,10 +60,21 @@ object TopKAgg {
     *
     * Ordering contract: score DESC, id ASC on ties — exactly the
     * window formulation's `orderBy(score.desc, id.asc)`, so the
-    * selected set and ranks are identical row-for-row (TopKAggSpec /
-    * the q39 oracle pin the equivalence). Scores must arrive as
-    * doubles; a caller ranking on an exact long score (q87's
-    * quantized ADC sum) may cast losslessly while |score| < 2^53.
+    * selected set and ranks are identical row-for-row (TopKAggSpec and
+    * SkewSpec pin the equivalence directly; the q39 oracle pins it
+    * end-to-end). Scores must arrive as doubles; a caller ranking on
+    * an exact long score (q87's quantized ADC sum) may cast losslessly
+    * while |score| < 2^53.
+    *
+    * NaN scores are the one DELIBERATE exception to the window
+    * equivalence: Spark's DESC sort ranks NaN first (largest), while
+    * `better` never admits a NaN into a full buffer (every comparison
+    * against NaN is false) — so a NaN row's rank would depend on
+    * arrival order, not the contract. A NaN score is always a caller
+    * bug (0/0 from a zero-norm vector's cosine), never a meaningful
+    * rank, so this boundary FILTERS NaN rows out deterministically:
+    * no caller can observe the divergence (TopKAggSpec pins the
+    * behavior; r19 ADVICE).
     *
     * Output columns: (groupCol, "rank" INT 1-based, idCol, scoreCol).
     */
@@ -74,6 +85,7 @@ object TopKAgg {
     import s.implicits._
     df.select(col(groupCol).cast("long"), col(scoreCol).cast("double"),
         col(idCol).cast("long"))
+      .where(!isnan(col(scoreCol)))
       .as[(Long, Double, Long)]
       .groupByKey(_._1)
       .mapValues(t => Entry(t._2, t._3))

@@ -690,8 +690,14 @@ object EmbeddingQueries {
             cos.select(col("query_id"), col("cosine"), col("cand_id")),
             "query_id", "cosine", "cand_id", 3)
           .select(col("query_id"), col("cand_id")).persist()
+        // ONE persisted corpus assignment shared by all three probe
+        // evaluations (r19 ADVICE): the nprobe knob only widens the
+        // broadcast query side, so nothing corpus-sized needs
+        // re-deriving or re-caching per setting
+        val (ibase, cents, assign) = ivfParts(emb, nSeeds)
         Seq(1, 2, 8).map { np =>
-          val ivf = ivfTopK(emb, nQueries, nSeeds, k = 3, nprobe = np)
+          val ivf = ivfProbeTopK(ibase, cents, assign, nSeeds, nQueries,
+              k = 3, nprobe = np)
             .select(col("query_id"), col("neighbor_id").as("cand_id"),
               lit(1).as("_m"))
           brute.join(ivf, Seq("query_id", "cand_id"), "left")
@@ -1431,18 +1437,40 @@ object EmbeddingQueries {
     */
   def ivfTopK(emb: DataFrame, nQueries: Int, nSeeds: Int = 8, k: Int = 3,
               nprobe: Int = 1): DataFrame = {
-    require(nprobe >= 1 && nprobe <= nSeeds, s"nprobe must be in [1, $nSeeds]")
+    val (base, cents, assign) = ivfParts(emb, nSeeds)
+    ivfProbeTopK(base, cents, assign, nSeeds, nQueries, k, nprobe)
+  }
+
+  /** [[ivfTopK]]'s shared preparation: the normalized base scan, the
+    * 1-row centroid pack, and the PERSISTED corpus assignment map.
+    * Factored out so a caller evaluating several nprobe settings over
+    * one corpus (q124's recall disclosure) derives and caches the
+    * corpus-sized assignment ONCE and threads it through every probe —
+    * three probe evaluations otherwise hold three simultaneous
+    * corpus-scale caches (each carrying the full embedding vectors)
+    * until the harness clearCache, tripling q47's memory footprint for
+    * no reason (r19 ADVICE). */
+  private def ivfParts(emb: DataFrame, nSeeds: Int): (DataFrame, DataFrame, DataFrame) = {
     val base = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(qdotCol(col("v"), col("v"))))
     val cents = centsPack(base, nSeeds)
-    def scored = scoredCells(nSeeds, qdotCol)
     // cached: the corpus-sized candidate side reads ONE evaluation of
     // the (nSeeds dots per row) assignment map — narrow, cell only
     val assign = base.crossJoin(broadcast(cents))
-      .withColumn("best", array_max(scored))
+      .withColumn("best", array_max(scoredCells(nSeeds, qdotCol)))
       .select(col("vec_id"), col("v"), col("nrm"), (-col("best.negk")).cast("long").as("cell"))
       .persist()
+    (base, cents, assign)
+  }
+
+  /** The probe leg of [[ivfTopK]] over a prepared ([[ivfParts]]) corpus:
+    * everything downstream of the assignment map, parameterized on
+    * nprobe so repeated evaluations share one persisted corpus cache. */
+  private def ivfProbeTopK(base: DataFrame, cents: DataFrame, assign: DataFrame,
+                           nSeeds: Int, nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nSeeds, s"nprobe must be in [1, $nSeeds]")
+    def scored = scoredCells(nSeeds, qdotCol)
     val cands = assign
       .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"), col("cell"))
     // query side: re-derive scores on the filtered (tiny) scan and take

@@ -32,6 +32,28 @@ object Streaming {
   def parquetFileStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** Collapse re-delivered rows to one copy per `key`, GUARDING the key
+    * contract the collapse relies on: replayed deliveries must carry
+    * IDENTICAL payloads, because `dropDuplicates(key)` otherwise keeps
+    * an arbitrary copy — a nondeterministic pick that can differ
+    * between a crashed attempt and its replay, quietly breaking the
+    * foreachBatch sinks' replayed-batch-recomputes-identical-decisions
+    * idempotence instead of failing loudly (r19 ADVICE). One aggregate
+    * pass (distinct keys vs distinct (key, payload-hash) pairs) detects
+    * any key delivered with two different payloads and fails the batch
+    * at the source. StreamingSpec pins both arms. */
+  private[graft] def dropRedeliveries(batch: DataFrame, key: String): DataFrame = {
+    val payload = xxhash64(batch.columns.sorted.map(col): _*)
+    val counts = batch.agg(
+      countDistinct(col(key)).as("k"),
+      countDistinct(col(key), payload).as("kp")).head()
+    val (ks, kps) = (counts.getLong(0), counts.getLong(1))
+    require(ks == kps, s"sink key contract violated: ${kps - ks} '$key' " +
+      "value(s) delivered twice with DIFFERENT payloads in one batch — " +
+      "a replayed delivery must be byte-identical for the collapse to be exact")
+    batch.dropDuplicates(key)
+  }
+
   /** Exactly-once-per-key ingestion: watermark + dropDuplicates on the
     * business key (the reference's ON CONFLICT (city,time) key,
     * ETL_Multi_Lvl_API/load.py:117-163). Late events beyond the
@@ -161,7 +183,13 @@ object Streaming {
         require(clash.isEmpty,
           s"nearDupSuppressSink reserves columns ${clash.mkString(",")} for signature state")
         val sigCols = (0 until 8).map(k => col(s"h$k"))
-        val sigged = batch
+        // re-delivery collapse FIRST (and guarded — see
+        // [[dropRedeliveries]]): before the collapse was exact-by-
+        // contract only; now a contract violation fails the batch
+        // loudly, and collapsing before the signature kernel means a
+        // twice-delivered row pays minhash once, not twice
+        val uniq0 = dropRedeliveries(batch, "doc_id")
+        val sigged = uniq0
           .withColumn("sig", graft.expressions.Exprs.minhashSig(col("text")))
           .select(col("*") +: col("sig") +: (0 until 8).map(k =>
             element_at(col("sig"), k + 1).as(s"h$k")): _*)
@@ -173,12 +201,9 @@ object Streaming {
         // groupBy + semi-join, never a window on the content hash,
         // which is hot by construction on a storm batch (the r18
         // skew-safe argument at batch scale). The semi-join keeps
-        // every row of the winning doc_id, so a source that
-        // re-delivers a row twice inside one trigger must collapse to
-        // one copy FIRST (r18 ADVICE) — dropDuplicates on the key is
-        // exact here because a replayed delivery carries identical
-        // columns by the sink's key contract.
-        val uniq = sigged.dropDuplicates("doc_id")
+        // every row of the winning doc_id — hence the one-copy-per-key
+        // collapse above.
+        val uniq = sigged
         val canon = uniq.select(col("doc_id"), col("th"))
           .groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))
@@ -331,12 +356,13 @@ object Streaming {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        // dropDuplicates BEFORE the decode: a twice-delivered row would
-        // pay the fingerprint kernel twice and double its store-upsert
-        // rows (replayed deliveries carry identical payloads by the
-        // sink's key contract, so the collapse is exact)
+        // re-delivery collapse BEFORE the decode: a twice-delivered row
+        // would pay the fingerprint kernel twice and double its
+        // store-upsert rows; guarded ([[dropRedeliveries]]) so a key
+        // delivered with two different payloads fails loudly instead
+        // of nondeterministically picking one
         val hashes = graft.ext.Multimodal.mediaHashes(s,
-          batch.select(col("doc_id"), col("media")).dropDuplicates("doc_id"))
+          dropRedeliveries(batch.select(col("doc_id"), col("media")), "doc_id"))
           .toDF().persist()
         try {
           val fp = hashes.where(col("fp").isNotNull)
@@ -494,7 +520,13 @@ object Streaming {
       else graft.queries.CurationQueries.urlFilter(batch, stages.blockedDomains)
         .where(col("n_blocked") === 0)
         .select(inputCols.map(col): _*)
-    val sigged = filtered
+    // re-delivery collapse first, guarded ([[dropRedeliveries]] — a
+    // twice-delivered row would survive the exact-dedup semi-join in
+    // both copies; a key re-delivered with a DIFFERENT payload fails
+    // the batch loudly), and pre-signature so re-deliveries never pay
+    // the minhash kernel twice
+    val uniq = dropRedeliveries(filtered, "doc_id")
+    val sigged = uniq
       .withColumn("sig", graft.expressions.Exprs.minhashSig(col("text")))
       .select(col("*") +: (0 until 8).map(k =>
         element_at(col("sig"), k + 1).as(s"h$k")): _*)
@@ -503,14 +535,11 @@ object Streaming {
     // 2. exact dedup inside the batch, deterministic winner (min
     // doc_id per text hash) — the batch exact_dedup stage's canonical
     // groupBy + semi-join shape, not a window on the hot content hash
-    // (see nearDupSuppressSink's step 1; the dropDuplicates guard
-    // there too — a twice-delivered row would survive the semi-join
-    // in both copies)
-    val uniq = sigged.dropDuplicates("doc_id")
-    val canon = uniq.select(col("doc_id"), col("th"))
+    // (see nearDupSuppressSink's step 1)
+    val canon = sigged.select(col("doc_id"), col("th"))
       .groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val batchExact = uniq.join(canon, Seq("doc_id"), "left_semi")
+    val batchExact = sigged.join(canon, Seq("doc_id"), "left_semi")
     // committed-store check + crash recovery in one step: a bare
     // fs.exists(dir) would treat a crashed half-creation (no meta, no
     // committed footers) as readable and a store stranded at _old by a

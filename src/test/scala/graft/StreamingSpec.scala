@@ -1369,4 +1369,34 @@ class StreamingSpec extends SparkSpec {
     assert(hits.toSeq == Seq(3L),
       s"the suppressed stored fingerprint must suppress the replica: ${hits.mkString(",")}")
   }
+
+  test("dropRedeliveries: identical re-deliveries collapse; divergent payloads fail loudly") {
+    import spark.implicits._
+    // happy arm: byte-identical re-delivery (the crash-replay shape)
+    // collapses to one copy per key
+    val replay = Seq((1L, "a", 1.5), (1L, "a", 1.5), (2L, "b", 2.5))
+      .toDF("doc_id", "text", "w")
+    val out = Streaming.dropRedeliveries(replay, "doc_id")
+    assert(out.count() == 2 &&
+      out.orderBy("doc_id").as[(Long, String, Double)].collect().toSeq ==
+        Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+    // guard arm: the SAME key with a DIFFERENT payload is a key-contract
+    // violation — dropDuplicates would keep a nondeterministic copy, so
+    // the batch must fail at the source instead (r19 ADVICE)
+    val divergent = Seq((1L, "a", 1.5), (1L, "a-CHANGED", 1.5))
+      .toDF("doc_id", "text", "w")
+    val e = intercept[IllegalArgumentException] {
+      Streaming.dropRedeliveries(divergent, "doc_id")
+    }
+    assert(e.getMessage.contains("key contract violated"))
+    // binary payloads (the media sink's shape) hash and guard too
+    val media = Seq((7L, Array[Byte](1, 2, 3)), (7L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "media")
+    assert(Streaming.dropRedeliveries(media, "doc_id").count() == 1)
+    val mediaBad = Seq((7L, Array[Byte](1, 2, 3)), (7L, Array[Byte](9, 9, 9)))
+      .toDF("doc_id", "media")
+    intercept[IllegalArgumentException] {
+      Streaming.dropRedeliveries(mediaBad, "doc_id")
+    }
+  }
 }
