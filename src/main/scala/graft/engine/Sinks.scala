@@ -56,6 +56,69 @@ object Sinks {
     }
   }
 
+  /** S11 (wire-protocol flavor) — keyed UPSERT against a REAL JDBC
+    * warehouse, executed from the executors: each partition opens one
+    * connection and drives a parameterized `INSERT … ON CONFLICT … DO
+    * UPDATE` / ANSI `MERGE` in `batchSize`-row round-trips — the exact
+    * network shape of the reference's batched Supabase upsert
+    * (ETL_Multi_Lvl_API/load.py:117-163, on_conflict="city,time",
+    * BATCH_SIZE pages). The parquet-store [[upsertParquet]] family is
+    * the in-engine equivalent; this is the path for loading INTO a
+    * Postgres-class system of record.
+    *
+    * Scale/correctness shape:
+    *  - the batch is repartitioned ON THE KEYS first, so no two tasks
+    *    ever upsert the same key concurrently — no row-lock deadlocks
+    *    between our own writers, and no lost-update races (the one
+    *    shuffle this sink needs, and it's key-hash, the cheapest kind);
+    *  - retry is Spark's OWN task retry: the statement is a keyed
+    *    upsert, so replaying a failed task converges to the same final
+    *    row — idempotent by construction, no sleep loops inside
+    *    executors (the reference's retry loop, load.py:121-144, guards
+    *    a single-process client; a task attempt IS that loop here);
+    *  - per-batch commits bound the warehouse transaction to
+    *    `batchSize` rows, the same reason the reference pages.
+    *
+    * Caller contract: one row per key (the staged layer's A4 grain) —
+    * with duplicate keys in one batch the last write within a task
+    * wins, which is exactly Postgres's executeBatch semantics but not
+    * deterministic across retries. JdbcSpec exercises the MERGE dialect
+    * end-to-end against embedded Derby (insert arm, update arm, mixed,
+    * parallel partitions) and pins the ON CONFLICT statement shape. */
+  def upsertJdbc(df: DataFrame, url: String, table: String, keys: Seq[String],
+                 batchSize: Int = 500,
+                 dialect: UpsertDialect = UpsertDialect.OnConflict): Unit = {
+    val cols = df.columns.toSeq
+    require(keys.nonEmpty && keys.forall(cols.contains),
+      s"upsert keys ${keys.mkString(",")} must be columns of the batch (${cols.mkString(",")})")
+    require(cols.exists(!keys.contains(_)),
+      "upsert needs at least one non-key column to update")
+    val stmt = dialect.statement(table, cols, keys)
+    val binds = dialect.bindOrder(cols, keys).map(cols.indexOf).toArray
+    df.repartition(keys.map(col): _*).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.nonEmpty) {
+          val conn = java.sql.DriverManager.getConnection(url)
+          try {
+            conn.setAutoCommit(false)
+            val ps = conn.prepareStatement(stmt)
+            try {
+              var n = 0
+              rows.foreach { r =>
+                var i = 0
+                while (i < binds.length) {
+                  ps.setObject(i + 1, r.get(binds(i))); i += 1
+                }
+                ps.addBatch(); n += 1
+                if (n % batchSize == 0) { ps.executeBatch(); conn.commit() }
+              }
+              if (n % batchSize != 0) { ps.executeBatch(); conn.commit() }
+            } finally ps.close()
+          } finally conn.close()
+        }
+    }
+  }
+
   /** Restore a whole-table store stranded at `<path>_old` by a writer
     * that crashed between its two swap renames. Shared by
     * [[upsertWholeTableLocked]] and every fenced caller that READS the
@@ -647,5 +710,56 @@ object Sinks {
       throw new java.io.IOException(s"rebucket: cannot move $tmp into place")
     }
     fs.delete(orphan, true)
+  }
+}
+
+/** The wire dialect for [[Sinks.upsertJdbc]]: how a warehouse spells
+  * "insert or update on these keys" and the parameter bind order its
+  * spelling implies. Two public spellings cover the reference's targets
+  * and the test harness; both are plain parameterized SQL — no
+  * driver-specific API. */
+sealed trait UpsertDialect {
+  /** The parameterized upsert statement for one row. */
+  def statement(table: String, cols: Seq[String], keys: Seq[String]): String
+  /** Column name bound at each `?` position, in order. */
+  def bindOrder(cols: Seq[String], keys: Seq[String]): Seq[String]
+}
+
+object UpsertDialect {
+
+  /** Postgres-family `INSERT … ON CONFLICT (keys) DO UPDATE SET c =
+    * EXCLUDED.c` — the statement Supabase's upsert issues under the
+    * reference's on_conflict="city,time" (ETL_Multi_Lvl_API/
+    * load.py:126). One bind per column, insert order. Requires the key
+    * to be a unique index on the target (Postgres's own precondition
+    * for ON CONFLICT arbitration). */
+  case object OnConflict extends UpsertDialect {
+    def statement(table: String, cols: Seq[String], keys: Seq[String]): String = {
+      val sets = cols.filterNot(keys.contains)
+        .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      s"INSERT INTO $table (${cols.mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+        s"ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET $sets"
+    }
+    def bindOrder(cols: Seq[String], keys: Seq[String]): Seq[String] = cols
+  }
+
+  /** ANSI `MERGE INTO … USING <one-row table>` — Derby 10.11+ / DB2
+    * spelling (SYSIBM.SYSDUMMY1 is the standard one-row source both
+    * ship), exercised end-to-end by JdbcSpec against embedded Derby.
+    * Binds: keys (ON clause), then non-keys (UPDATE SET), then every
+    * column again (INSERT VALUES). */
+  case object Merge extends UpsertDialect {
+    def statement(table: String, cols: Seq[String], keys: Seq[String]): String = {
+      val nonKeys = cols.filterNot(keys.contains)
+      val on = keys.map(k => s"t.$k = ?").mkString(" AND ")
+      val sets = nonKeys.map(c => s"t.$c = ?").mkString(", ")
+      s"MERGE INTO $table t USING SYSIBM.SYSDUMMY1 ON $on " +
+        s"WHEN MATCHED THEN UPDATE SET $sets " +
+        s"WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    }
+    def bindOrder(cols: Seq[String], keys: Seq[String]): Seq[String] =
+      keys ++ cols.filterNot(keys.contains) ++ cols
   }
 }

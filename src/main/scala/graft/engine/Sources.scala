@@ -112,4 +112,87 @@ object Sources {
     }
     throw last
   }
+
+  /** One fetch's outcome — the reference's per-city result dict
+    * (ETL_Multi_Lvl_API/extract.py:89,106): a failed key reports its
+    * error and does NOT abort the run. */
+  final case class FetchResult(key: String, success: Boolean,
+                               rawPath: Option[String], error: Option[String])
+
+  /** S1 — the HTTP JSON extract: GET each (key, url, query-params)
+    * request with bounded exponential-backoff retry ([[retry]]'s
+    * 2^(n-1)-second schedule, extract.py:76-106) and land every
+    * response as `<key>_raw_<utc-timestamp>.json` under `rawDir` —
+    * exactly the raw layer the engine boundary starts at (S3/S4 scan
+    * these files; SURVEY.md §2.1). Non-JSON bodies land wrapped as
+    * `{"raw_text": …}` (extract.py:85-86), so the raw layer is always
+    * valid JSON for the downstream multiLine scan.
+    *
+    * Driver-side and sequential BY DESIGN: the reference paces a public
+    * API politely (SLEEP_BETWEEN_CALLS) and the request list is a
+    * handful of cities — distribution belongs to the scan that follows,
+    * not the fetch. The transport is injectable (url, timeoutMs) ⇒ body
+    * — FetchSpec drives every arm (retry schedule, exhaustion,
+    * non-JSON wrap, param encoding) without a network; the default is a
+    * JDK HttpClient GET that raises on non-2xx like requests'
+    * raise_for_status (extract.py:80-81). `rawDir` resolves through the
+    * Hadoop FileSystem of its scheme, so the raw layer can be local
+    * (the reference's data/raw) or hdfs://-/s3a://-style storage. */
+  def fetchJsonToRaw(requests: Seq[(String, String, Map[String, String])],
+                     rawDir: String,
+                     transport: (String, Int) => String = httpGet,
+                     maxRetries: Int = 3,
+                     timeoutMs: Int = 10000,
+                     sleep: Long => Unit = ms => Thread.sleep(ms),
+                     now: () => java.time.Instant = () => java.time.Instant.now(),
+                     hadoopConf: org.apache.hadoop.conf.Configuration =
+                       new org.apache.hadoop.conf.Configuration()): Seq[FetchResult] = {
+    val dir = new Path(rawDir)
+    val fs = FileSystem.get(dir.toUri, hadoopConf)
+    fs.mkdirs(dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+    requests.map { case (key, url, params) =>
+      val full =
+        if (params.isEmpty) url
+        else url + "?" + params.toSeq.sortBy(_._1).map { case (k, v) =>
+          java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+            java.net.URLEncoder.encode(v, "UTF-8")
+        }.mkString("&")
+      try {
+        val body = retry(maxRetries, sleep)(transport(full, timeoutMs))
+        val payload =
+          try { mapper.readTree(body); body }
+          catch { case _: java.io.IOException =>
+            mapper.writeValueAsString(
+              mapper.createObjectNode().put("raw_text", body))
+          }
+        val name = s"${key.replace(' ', '_').toLowerCase(java.util.Locale.ROOT)}" +
+          s"_raw_${stamp.format(now())}.json"
+        val out = new Path(dir, name)
+        val os = fs.create(out, true)
+        try os.write(payload.getBytes("UTF-8")) finally os.close()
+        FetchResult(key, success = true, Some(out.toString), None)
+      } catch {
+        case e: Exception =>
+          FetchResult(key, success = false, None, Some(e.toString))
+      }
+    }
+  }
+
+  /** The default [[fetchJsonToRaw]] transport: a JDK HttpClient GET
+    * with per-request timeout, following redirects, raising on any
+    * non-2xx status (requests.raise_for_status). */
+  def httpGet(url: String, timeoutMs: Int): String = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(s"HTTP ${resp.statusCode()} for $url")
+    resp.body()
+  }
 }

@@ -60,6 +60,52 @@ class JdbcSpec extends SparkSpec {
     assert(par.exceptAll(weather).count() == 0)
   }
 
+  test("S11 wire flavor: upsertJdbc MERGE — insert arm, update arm, mixed batch, parallel partitions") {
+    import graft.engine.{Sinks, UpsertDialect}
+    val ddl = "id BIGINT NOT NULL, city VARCHAR(32), temp_c DOUBLE, humidity INT, PRIMARY KEY (id)"
+    Sources.ensureJdbcTable(url, "weather_upsert", ddl)
+    // insert arm: empty table → all 500 rows land (batched, 4 partitions)
+    Sinks.upsertJdbc(weather.repartition(4), url, "weather_upsert",
+      keys = Seq("id"), batchSize = 100, dialect = UpsertDialect.Merge)
+    val afterInsert = Sources.warehouseRead(spark, url, "weather_upsert")
+    assert(afterInsert.count() == 500)
+    assert(afterInsert.exceptAll(weather).count() == 0)
+    // update arm: same keys, changed measures → row count unchanged,
+    // values replaced (the ON CONFLICT DO UPDATE semantics)
+    val changed = weather.withColumn("temp_c", col("temp_c") + 100.0)
+    Sinks.upsertJdbc(changed, url, "weather_upsert",
+      keys = Seq("id"), batchSize = 64, dialect = UpsertDialect.Merge)
+    val afterUpdate = Sources.warehouseRead(spark, url, "weather_upsert")
+    assert(afterUpdate.count() == 500)
+    assert(afterUpdate.exceptAll(changed).count() == 0 &&
+      changed.exceptAll(afterUpdate).count() == 0)
+    // mixed batch: 250 updates + 250 new keys → 750 rows, both arms right
+    val mixed = weather.where(col("id") <= 250)
+      .withColumn("humidity", col("humidity") + 1)
+      .unionByName(weather.where(col("id") > 250)
+        .withColumn("id", col("id") + 1000L))
+    Sinks.upsertJdbc(mixed, url, "weather_upsert",
+      keys = Seq("id"), dialect = UpsertDialect.Merge)
+    val afterMixed = Sources.warehouseRead(spark, url, "weather_upsert")
+    assert(afterMixed.count() == 750)
+    assert(afterMixed.where(col("id") <= 250)
+      .exceptAll(mixed.where(col("id") <= 250)).count() == 0)
+    assert(afterMixed.where(col("id") > 1000)
+      .exceptAll(mixed.where(col("id") > 1000)).count() == 0)
+  }
+
+  test("S11 wire flavor: ON CONFLICT statement shape and bind order (Postgres dialect)") {
+    import graft.engine.UpsertDialect
+    val cols = Seq("city", "time", "pm25", "aqi")
+    val keys = Seq("city", "time")
+    assert(UpsertDialect.OnConflict.statement("air_quality", cols, keys) ==
+      "INSERT INTO air_quality (city, time, pm25, aqi) VALUES (?, ?, ?, ?) " +
+        "ON CONFLICT (city, time) DO UPDATE SET pm25 = EXCLUDED.pm25, aqi = EXCLUDED.aqi")
+    assert(UpsertDialect.OnConflict.bindOrder(cols, keys) == cols)
+    assert(UpsertDialect.Merge.bindOrder(cols, keys) ==
+      Seq("city", "time", "pm25", "aqi", "city", "time", "pm25", "aqi"))
+  }
+
   test("S13 catalog flavor: CREATE TABLE IF NOT EXISTS over a parquet location, idempotent") {
     val loc = s"/tmp/graft-ddl-${System.nanoTime()}"
     weather.write.mode(SaveMode.Overwrite).parquet(loc)
