@@ -103,11 +103,22 @@ object Sinks {
             conn.setAutoCommit(false)
             val ps = conn.prepareStatement(stmt)
             try {
+              // NULLs need a TYPED setNull (Derby rejects an untyped
+              // null setObject); parameter metadata knows each slot's
+              // SQL type — fall back to VARCHAR for drivers that can't
+              // describe parameters without a server round-trip
+              val pTypes = (1 to binds.length).map { i =>
+                try ps.getParameterMetaData.getParameterType(i)
+                catch { case _: java.sql.SQLException => java.sql.Types.VARCHAR }
+              }.toArray
               var n = 0
               rows.foreach { r =>
                 var i = 0
                 while (i < binds.length) {
-                  ps.setObject(i + 1, r.get(binds(i))); i += 1
+                  val v = r.get(binds(i))
+                  if (v == null) ps.setNull(i + 1, pTypes(i))
+                  else ps.setObject(i + 1, v)
+                  i += 1
                 }
                 ps.addBatch(); n += 1
                 if (n % batchSize == 0) { ps.executeBatch(); conn.commit() }

@@ -92,6 +92,13 @@ class JdbcSpec extends SparkSpec {
       .exceptAll(mixed.where(col("id") <= 250)).count() == 0)
     assert(afterMixed.where(col("id") > 1000)
       .exceptAll(mixed.where(col("id") > 1000)).count() == 0)
+    // NULL measures upsert too (typed setNull — Derby rejects untyped)
+    val withNull = weather.where(col("id") === 1)
+      .withColumn("city", lit(null).cast("string"))
+    Sinks.upsertJdbc(withNull, url, "weather_upsert",
+      keys = Seq("id"), dialect = UpsertDialect.Merge)
+    assert(Sources.warehouseRead(spark, url, "weather_upsert")
+      .where(col("id") === 1 && col("city").isNull).count() == 1)
   }
 
   test("S11 wire flavor: ON CONFLICT statement shape and bind order (Postgres dialect)") {
