@@ -38,20 +38,31 @@ object Streaming {
     * an arbitrary copy — a nondeterministic pick that can differ
     * between a crashed attempt and its replay, quietly breaking the
     * foreachBatch sinks' replayed-batch-recomputes-identical-decisions
-    * idempotence instead of failing loudly (r19 ADVICE). One aggregate
-    * pass (distinct keys vs distinct (key, payload-hash) pairs) detects
-    * any key delivered with two different payloads and fails the batch
-    * at the source. StreamingSpec pins both arms. */
+    * idempotence instead of failing loudly (r19 ADVICE).
+    *
+    * Fused into ONE keyed aggregation (the same single shuffle a bare
+    * dropDuplicates costs — a first cut as a separate countDistinct
+    * pre-pass re-scanned and re-shuffled every micro-batch, +30% on the
+    * q120/q122/q123 clean benches): per key, keep min/max of a
+    * full-row hash plus `first(struct(*))`, and gate the output through
+    * an `assert_true` FILTER (a filter cannot be pruned away, unlike a
+    * projected assertion column) that raises with the offending key
+    * when the hashes diverge. When the guard passes, every row of the
+    * key is byte-identical, so `first` is deterministic — exactly the
+    * collapse the contract promises. StreamingSpec pins both arms. */
   private[graft] def dropRedeliveries(batch: DataFrame, key: String): DataFrame = {
     val payload = xxhash64(batch.columns.sorted.map(col): _*)
-    val counts = batch.agg(
-      countDistinct(col(key)).as("k"),
-      countDistinct(col(key), payload).as("kp")).head()
-    val (ks, kps) = (counts.getLong(0), counts.getLong(1))
-    require(ks == kps, s"sink key contract violated: ${kps - ks} '$key' " +
-      "value(s) delivered twice with DIFFERENT payloads in one batch — " +
-      "a replayed delivery must be byte-identical for the collapse to be exact")
-    batch.dropDuplicates(key)
+    batch
+      .groupBy(col(key)).agg(
+        min(payload).as("_pmin"), max(payload).as("_pmax"),
+        first(struct(batch.columns.map(col): _*)).as("_row"))
+      .where(assert_true(col("_pmin") === col("_pmax"),
+        concat(lit(s"sink key contract violated: '$key'="),
+          col(key).cast("string"),
+          lit(" delivered twice with DIFFERENT payloads in one batch — " +
+            "a replayed delivery must be byte-identical for the collapse " +
+            "to be exact"))).isNull)
+      .select(col("_row.*"))
   }
 
   /** Exactly-once-per-key ingestion: watermark + dropDuplicates on the

@@ -1382,21 +1382,26 @@ class StreamingSpec extends SparkSpec {
         Seq((1L, "a", 1.5), (2L, "b", 2.5)))
     // guard arm: the SAME key with a DIFFERENT payload is a key-contract
     // violation — dropDuplicates would keep a nondeterministic copy, so
-    // the batch must fail at the source instead (r19 ADVICE)
+    // the batch must fail loudly instead (r19 ADVICE); the assert_true
+    // gate raises at first consumption, naming the offending key
     val divergent = Seq((1L, "a", 1.5), (1L, "a-CHANGED", 1.5))
       .toDF("doc_id", "text", "w")
-    val e = intercept[IllegalArgumentException] {
-      Streaming.dropRedeliveries(divergent, "doc_id")
+    val e = intercept[Exception] {
+      Streaming.dropRedeliveries(divergent, "doc_id").count()
     }
-    assert(e.getMessage.contains("key contract violated"))
+    def chainMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString("; ")
+    assert(chainMsg(e).contains("key contract violated") &&
+      chainMsg(e).contains("'doc_id'=1"), chainMsg(e))
     // binary payloads (the media sink's shape) hash and guard too
     val media = Seq((7L, Array[Byte](1, 2, 3)), (7L, Array[Byte](1, 2, 3)))
       .toDF("doc_id", "media")
     assert(Streaming.dropRedeliveries(media, "doc_id").count() == 1)
     val mediaBad = Seq((7L, Array[Byte](1, 2, 3)), (7L, Array[Byte](9, 9, 9)))
       .toDF("doc_id", "media")
-    intercept[IllegalArgumentException] {
-      Streaming.dropRedeliveries(mediaBad, "doc_id")
+    intercept[Exception] {
+      Streaming.dropRedeliveries(mediaBad, "doc_id").count()
     }
   }
 }
