@@ -160,6 +160,57 @@ object SkewProbe {
       graft.ext.TopKAgg.perGroupTopK(scored, "query_id", "score", "cand_id", 5)
     }
     scored.unpersist()
+
+    // ---- site 4: the text-LM hot context (r20 verdict lead item) --------
+    // The distinct-bigram frame with ONE dominant context: hotN distinct
+    // successors under context "the" (a web corpus's hottest token keeps
+    // a vocabulary-sized successor list) + hotN singleton contexts (the
+    // benign tail). The control is the pre-r21 q91 shape — sum +
+    // row_number windows partitioned by context, which co-locate and
+    // sort the hot context's entire successor list in ONE task AQE
+    // cannot split. Engine forms: q91's fused sum+TopKStrAgg heap
+    // aggregation (k-sized buffers exchange; map-side combine) and
+    // q97's groupBy total + broadcast join-back.
+    val bigrams = spark.range(hotN).select(lit("the").as("context"),
+        concat(lit("t"), col("id")).as("next_tok"),
+        (xxhash64(col("id")) % 97L + 49L).as("n_pair"))
+      .unionAll(spark.range(hotN, 2 * hotN).select(
+        concat(lit("c"), col("id")).as("context"),
+        lit("x").as("next_tok"), lit(1L).as("n_pair")))
+      .repartition(32).persist()
+    bigrams.count()
+    // CONTROL: the pre-r21 shape — window sum + rank over the context.
+    measure(spark, "lmctx_window_CONTROL") {
+      import org.apache.spark.sql.expressions.Window
+      val byCtx = Window.partitionBy(col("context"))
+      bigrams
+        .withColumn("n_ctx", sum(col("n_pair")).over(byCtx))
+        .withColumn("rk", row_number().over(
+          byCtx.orderBy(col("n_pair").desc, col("next_tok"))))
+        .where(col("n_ctx") >= 50 && col("rk") <= 3)
+        .select(col("context"), col("next_tok"), col("n_pair"), col("n_ctx"),
+          (col("n_pair").cast("double") / col("n_ctx")).as("p"))
+    }
+    // ENGINE (q91 form): ONE fused partial-aggregable sum + heap cut.
+    measure(spark, "lmctx_heap_ENGINE") {
+      val topk = org.apache.spark.sql.functions.udaf(new graft.ext.TopKStrAgg(3),
+        org.apache.spark.sql.Encoders.product[graft.ext.TopKAgg.SEntry])
+      bigrams.groupBy(col("context"))
+        .agg(sum(col("n_pair")).as("n_ctx"),
+          topk(col("n_pair").cast("double"), col("next_tok")).as("tk"))
+        .where(col("n_ctx") >= 50)
+        .select(col("context"), col("n_ctx"), explode(col("tk.items")).as("e"))
+        .select(col("context"), col("e.payload").as("next_tok"),
+          col("e.sortKey").cast("long").as("n_pair"), col("n_ctx"),
+          (col("e.sortKey").cast("long").cast("double") / col("n_ctx")).as("p"))
+    }
+    // ENGINE (q97 form): groupBy context total, broadcast join-back —
+    // the n_ctx attachment without re-shuffling the pair frame.
+    measure(spark, "lmctx_joinback_ENGINE") {
+      val ctx = bigrams.groupBy(col("context")).agg(sum(col("n_pair")).as("n_ctx"))
+      bigrams.join(broadcast(ctx), Seq("context"))
+    }
+    bigrams.unpersist()
     spark.stop()
   }
 }

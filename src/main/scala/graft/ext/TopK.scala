@@ -41,9 +41,60 @@ class TopKAgg(k: Int) extends Aggregator[TopKAgg.Entry, TopKAgg.Buf, TopKAgg.Buf
   override def outputEncoder: Encoder[Buf] = Encoders.product[Buf]
 }
 
+/** String-payload sibling of [[TopKAgg]] for the text-LM family (q91
+  * successor ranks, q102 per-source term ranks), where the ranked id is
+  * a token, not a long. Same buffer invariant and k·ln(n) insert bound
+  * as [[TopKAgg]]; the tie-break compares payloads in Unicode
+  * CODE-POINT order — the order Spark's UTF8String binary comparison
+  * (and therefore the window formulation's `orderBy(id.asc)`) imposes.
+  * java.lang.String's natural order is UTF-16 code-unit order, which
+  * disagrees exactly on supplementary-plane characters, so the
+  * comparison walks code points instead (LmSpec pins the equivalence
+  * on a supplementary-char corpus).
+  *
+  * Callers rank on exact long counts cast losslessly to double
+  * (|count| < 2^53); NaN cannot arise from a count, so this variant
+  * carries no NaN boundary. */
+class TopKStrAgg(k: Int) extends Aggregator[TopKAgg.SEntry, TopKAgg.SBuf, TopKAgg.SBuf] {
+  import TopKAgg.{SBuf, SEntry}
+
+  private def better(a: SEntry, b: SEntry): Boolean =
+    a.sortKey > b.sortKey ||
+      (a.sortKey == b.sortKey && TopKAgg.codePointLess(a.payload, b.payload))
+
+  private def trim(l: Seq[SEntry]): Seq[SEntry] = l.sortWith(better).take(k)
+
+  override def zero: SBuf = SBuf(Vector.empty)
+  override def reduce(buf: SBuf, in: SEntry): SBuf =
+    if (buf.items.length >= k && !better(in, buf.items.last)) buf
+    else SBuf(trim(in +: buf.items))
+  override def merge(a: SBuf, b: SBuf): SBuf = SBuf(trim(a.items ++ b.items))
+  override def finish(buf: SBuf): SBuf = buf
+  override def bufferEncoder: Encoder[SBuf] = Encoders.product[SBuf]
+  override def outputEncoder: Encoder[SBuf] = Encoders.product[SBuf]
+}
+
 object TopKAgg {
   final case class Entry(sortKey: Double, payload: Long)
   final case class Buf(items: Seq[Entry])
+  final case class SEntry(sortKey: Double, payload: String)
+  final case class SBuf(items: Seq[SEntry])
+
+  /** Strict less-than in Unicode code-point order — equals the order of
+    * UTF-8 encoded bytes, which is how Spark's UTF8String (and the
+    * window formulation's string `orderBy`) compares. */
+  private[graft] def codePointLess(a: String, b: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    i >= a.length && j < b.length
+  }
 
   /** Per-group bounded top-k over a (group, score, id) frame — the
     * DataFrame-level tail shared by the ANN family (q45 brute force,
@@ -83,9 +134,13 @@ object TopKAgg {
     require(k >= 1, s"top-k needs k >= 1, got $k")
     val s = df.sparkSession
     import s.implicits._
+    // NULL scores are excluded along with NaN — explicitly, not as a
+    // side effect of `!isnan` evaluating to NULL (r20 ADVICE): a NULL
+    // score would otherwise fail the non-nullable Double encoding
+    // below, and like NaN it is a caller bug, never a meaningful rank.
     df.select(col(groupCol).cast("long"), col(scoreCol).cast("double"),
         col(idCol).cast("long"))
-      .where(!isnan(col(scoreCol)))
+      .where(col(scoreCol).isNotNull && !isnan(col(scoreCol)))
       .as[(Long, Double, Long)]
       .groupByKey(_._1)
       .mapValues(t => Entry(t._2, t._3))

@@ -542,9 +542,21 @@ object TextQueries {
     * least `minCtx` times, the `topK` successors by exact occurrence
     * count with the conditional probability n_pair/n_ctx (one IEEE
     * division of two exact longs — engine-independent). See the q91
-    * registry comment for the published shape and scale analysis. */
+    * registry comment for the published shape and scale analysis.
+    *
+    * r21 shape: the per-context total and the top-k cut are ONE fused
+    * partial-aggregable aggregation on the context key — sum(n_pair)
+    * plus a bounded [[graft.ext.TopKStrAgg]] heap — replacing the
+    * prior sum+row_number windows over the context partition. A window
+    * partition is co-located and buffered in ONE task that AQE cannot
+    * split, so a hot context ("the", vocabulary-sized successor list
+    * at web scale) serialized its whole frame through a single
+    * straggler sort; the heap form combines map-side to k entries per
+    * (partition, context) and exchanges only k-sized buffers (same
+    * ordering contract: n_pair DESC, next_tok ASC — LmSpec pins the
+    * window equivalence, SkewProbe's hotctx site measures the
+    * straggler). */
   def bigramLmTop(docs: DataFrame, minCtx: Long, topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = docs
       .select(tokens(col("text")).as("tk"))
       .where(size(col("tk")) >= 2)
@@ -553,14 +565,17 @@ object TextQueries {
         .as("b"))
       .groupBy(col("b.w1").as("context"), col("b.w2").as("next_tok"))
       .agg(count(lit(1)).as("n_pair"))
-    val byCtx = Window.partitionBy(col("context"))
+    val topk = udaf(new graft.ext.TopKStrAgg(topK),
+      org.apache.spark.sql.Encoders.product[graft.ext.TopKAgg.SEntry])
     counts
-      .withColumn("n_ctx", sum(col("n_pair")).over(byCtx))
-      .withColumn("rk", row_number().over(
-        byCtx.orderBy(col("n_pair").desc, col("next_tok"))))
-      .where(col("n_ctx") >= minCtx && col("rk") <= topK)
-      .select(col("context"), col("next_tok"), col("n_pair"), col("n_ctx"),
-        (col("n_pair").cast("double") / col("n_ctx")).as("p"))
+      .groupBy(col("context"))
+      .agg(sum(col("n_pair")).as("n_ctx"),
+        topk(col("n_pair").cast("double"), col("next_tok")).as("tk"))
+      .where(col("n_ctx") >= minCtx)
+      .select(col("context"), col("n_ctx"), explode(col("tk.items")).as("e"))
+      .select(col("context"), col("e.payload").as("next_tok"),
+        col("e.sortKey").cast("long").as("n_pair"), col("n_ctx"),
+        (col("e.sortKey").cast("long").cast("double") / col("n_ctx")).as("p"))
   }
 
   /** Bigram-LM surprisal scores (q97): the CCNet-shaped perplexity
@@ -579,15 +594,23 @@ object TextQueries {
     * percentiles — deliberately NOT a global ntile here, which would
     * be a single-reducer sort over the doc frame at corpus scale.
     *
-    * Scale shape: the LM is one map-side-combined count over DISTINCT
-    * bigrams (vocabulary², not corpus-sized) plus a context-partitioned
-    * window over that distinct frame (partition size = a context's
-    * successor count); scoring is ONE keyed join of exploded doc
-    * bigrams against the LM on (w1, w2); per-doc sums combine
+    * Scale shape: the LM is TWO map-side-combined counts over the
+    * persisted bigram frame — per-(w1, w2) pair counts
+    * (vocabulary²-sized after the combine) and per-w1 context totals
+    * (vocabulary-sized) — stitched by ONE broadcast join on w1, so the
+    * pair-count frame never re-shuffles. The prior form computed n_ctx
+    * as sum() OVER (PARTITION BY w1): a window partition is co-located
+    * in ONE task AQE cannot split, so a hot context's vocabulary-sized
+    * successor list serialized through a single straggler (r20 verdict
+    * lead item; SkewProbe's hotctx site measures it). The context-total
+    * side is one 16-byte-scale row per distinct context — broadcastable
+    * far past any realistic vocabulary; if a corpus ever exceeds that,
+    * drop the hint and the keyed join degrades to the window's
+    * co-location, never worse. Scoring is ONE keyed join of exploded
+    * doc bigrams against the LM on (w1, w2); per-doc sums combine
     * map-side. */
   def lmSurprisal(docs: DataFrame,
                   scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // persisted: the exploded bigram frame feeds both LM training and
     // doc scoring
     val bg = scope.persist(docs.select(col("doc_id"), tokens(col("text")).as("tk"))
@@ -595,8 +618,9 @@ object TextQueries {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+    val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("n_ctx"))
     val lm = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
-      .withColumn("n_ctx", sum(col("n_pair")).over(Window.partitionBy(col("w1"))))
+      .join(broadcast(ctx), Seq("w1"))
     bg.join(lm, Seq("w1", "w2"))
       .withColumn("s", (length(bin(expr("n_ctx div n_pair"))) - 1).cast("long"))
       .groupBy(col("doc_id"))
@@ -665,12 +689,16 @@ object TextQueries {
     *
     * Scale shape: tf is one map-side-combined count; df is a distinct
     * (doc, term) exchange then a vocabulary-sized count; the join is
-    * keyed on term; N broadcasts as a one-row pack; the rank window
-    * partitions by source over the per-source VOCABULARY frame, never
-    * doc rows. */
+    * keyed on term; N broadcasts as a one-row pack; the k-cut is a
+    * bounded [[graft.ext.TopKStrAgg]] heap per source — the prior
+    * row_number window partitioned by source funneled the whole
+    * per-source VOCABULARY through ~|sources| sort tasks (~5 here, and
+    * ~20 at corpus scale) that AQE cannot split; the heap combines
+    * map-side to k entries per (partition, source) and the k·|sources|
+    * winner frame broadcasts back to recover tf/df/qidf (same ordering
+    * contract: score DESC, term ASC — LmSpec pins the equivalence). */
   def tfidfTopTerms(docs: DataFrame, k: Int,
                     scope: graft.engine.CacheScope = graft.engine.CacheScope.untracked): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // two consumers: tf and df
     val toks = scope.persist(docs.select(col("source"), col("doc_id"),
       explode(tokens(col("text"))).as("term")))
@@ -678,12 +706,21 @@ object TextQueries {
     val dfq = toks.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
-    tf.join(dfq, Seq("term")).crossJoin(broadcast(n)) // one-row scalar pack
-      .withColumn("qidf", (length(bin(expr("n_docs div df"))) - 1).cast("long"))
-      .withColumn("score", col("tf") * col("qidf"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("source")).orderBy(col("score").desc, col("term").asc)))
-      .where(col("rk") <= k)
+    // scored vocabulary frame — persisted: the heap cut consumes it to
+    // pick winners, then the winner join reads it again for the
+    // carried columns (both vocabulary-sized, never doc rows)
+    val sc = scope.persist(
+      tf.join(dfq, Seq("term")).crossJoin(broadcast(n)) // one-row scalar pack
+        .withColumn("qidf", (length(bin(expr("n_docs div df"))) - 1).cast("long"))
+        .withColumn("score", col("tf") * col("qidf")))
+    val topk = udaf(new graft.ext.TopKStrAgg(k),
+      org.apache.spark.sql.Encoders.product[graft.ext.TopKAgg.SEntry])
+    val top = sc.groupBy(col("source"))
+      .agg(topk(col("score").cast("double"), col("term")).as("tk"))
+      .select(col("source"), posexplode(col("tk.items")).as(Seq("_p", "e")))
+      .select(col("source"), col("e.payload").as("term"),
+        (col("_p") + 1).cast("int").as("rk"))
+    sc.join(broadcast(top), Seq("source", "term"))
       .select(col("source"), col("term"), col("tf"), col("df"),
         col("qidf"), col("score"), col("rk"))
       .orderBy(col("source"), col("rk"))
@@ -2063,10 +2100,11 @@ object TextQueries {
     // probability as ONE IEEE division of two exact longs (identical on
     // both engines). Scale shape: the bigram count is a map-side-combined
     // shuffle of (w1, w2) keys over DISTINCT bigrams (vocabulary², not
-    // corpus-sized, after the combine); the per-context total and rank
-    // are windows over the distinct-bigram frame partitioned by context
-    // — partition size is bounded by a context's distinct-successor
-    // count, never its occurrence count. (n_pair DESC, next_tok ASC)
+    // corpus-sized, after the combine); the per-context total and the
+    // 3-cut are ONE fused partial-aggregable aggregation on the context
+    // key (sum + bounded TopKStrAgg heap — never a window, whose
+    // partition a hot context would serialize through one un-splittable
+    // task; see [[bigramLmTop]]). (n_pair DESC, next_tok ASC)
     // totally orders successors, so the 3-cut is deterministic.
     "q91_bigram_lm_top" -> Q(
       (s, d) => bigramLmTop(Tables.documents(s, d), minCtx = 50, topK = 3)
@@ -2277,8 +2315,12 @@ object TextQueries {
     },
 
     // Quantized TF-IDF (see [[tfidfTopTerms]]): the oracle restates tf,
-    // doc-frequency, the bin() idf quantization, and the windowed k-cut
-    // under the (score DESC, term ASC) total order — top-5 per source.
+    // doc-frequency, the bin() idf quantization, and the k-cut under the
+    // (score DESC, term ASC) total order — top-5 per source. The engine
+    // cut is the bounded per-source heap (the window form would funnel
+    // the whole vocabulary through ~|sources| sort tasks); the oracle
+    // states the same cut as a window because DuckDB's optimizer, not
+    // this engine, owns that plan.
     "q102_tfidf_terms" -> Q(
       (s, d) => tfidfTopTerms(Tables.documents(s, d), 5),
       s"""WITH tk AS (SELECT source, doc_id, unnest($sqlToks) AS term FROM documents),

@@ -268,15 +268,23 @@ class PlanAuditSpec extends SparkSpec {
       "the k-cut must be a TakeOrdered, not a global sort + limit")
   }
 
-  test("q91 bigram LM: map-side-combined count; windows partition by context over the distinct-bigram frame; no join") {
+  test("q91 bigram LM: map-side-combined count; the total+rank is a fused partial heap aggregation — no window, no join") {
     val p = plan("q91_bigram_lm_top")
     assert(!p.contains("Join"), "bigram counting needs no join")
     assert(p.contains("partial_count"),
       "the bigram count must combine map-side before the shuffle")
-    val globals = p.linesIterator.filter(l =>
-      l.contains("windowspecdefinition") && !l.contains("context")).toList
-    assert(globals.isEmpty,
-      s"every window must partition by context — never global:\n${globals.mkString("\n")}")
+    // r21: the per-context total and the top-k cut must be ONE fused
+    // partial-aggregable aggregation (sum + TopKStrAgg heap, an
+    // ObjectHashAggregate) — a window partitioned by context would
+    // serialize a hot context's vocabulary-sized successor list through
+    // one task AQE cannot split (the ANN rank-window argument, r20
+    // verdict lead item)
+    assert(!p.contains("windowspecdefinition"),
+      "no window may touch the vocabulary frame — the cut is the heap")
+    assert(p.contains("ObjectHashAggregate"),
+      "the fused sum+heap aggregation must be an ObjectHashAggregate")
+    assert("partial_sum".r.findFirstIn(p).isDefined,
+      "the context total must combine map-side (fused with the heap)")
   }
 
   test("q67 cluster reps: rep choice is a partial struct-max, not a per-cluster window sort") {
@@ -400,18 +408,36 @@ class PlanAuditSpec extends SparkSpec {
       "both rank passes must range-shard in rank order")
   }
 
-  test("q97 lm surprisal: LM windows touch only the distinct-bigram frame; scoring is one keyed join") {
+  test("q97 lm surprisal: no window anywhere — n_ctx is a broadcast join-back; scoring is one keyed join") {
     val p = plan("q97_lm_surprisal")
-    // the n_ctx window partitions by w1 over the DISTINCT-bigram frame —
-    // no window may order doc-level rows here at all
-    val docWindows = p.linesIterator.filter(l =>
-      l.contains("windowspecdefinition") && l.contains("doc_id")).toList
-    assert(docWindows.isEmpty,
-      s"no window may touch the doc frame:\n${docWindows.mkString("\n")}")
+    // r21: the n_ctx side must be a partial-aggregable groupBy whose
+    // vocabulary-sized total frame BROADCASTS back onto the pair counts
+    // — the prior sum() OVER (PARTITION BY w1) window co-located a hot
+    // context's whole successor list in one task AQE cannot split (r20
+    // verdict lead item; SkewProbe hotctx measures the straggler)
+    assert(!p.contains("windowspecdefinition"),
+      "no window may touch the vocabulary frame — n_ctx is a groupBy+join-back")
+    assert(p.contains("BroadcastHashJoin"),
+      "the context-total frame must broadcast back onto the pair counts")
     assert("partial_count".r.findFirstIn(p).isDefined,
       "LM training must combine map-side")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "scoring is a keyed join on (w1, w2)")
+  }
+
+  test("q102 tf-idf: the k-cut is the bounded per-source heap, winners broadcast back — no window") {
+    val p = plan("q102_tfidf_terms")
+    // r21: a row_number window partitioned by source would funnel the
+    // whole vocabulary through ~|sources| un-splittable sort tasks; the
+    // heap combines map-side and only the k·|sources| winner frame
+    // travels (broadcast) to recover tf/df/qidf
+    assert(!p.contains("windowspecdefinition"),
+      "no window may rank the vocabulary frame — the cut is the heap")
+    assert(p.contains("ObjectHashAggregate"),
+      "the heap cut must be a partial-aggregable ObjectHashAggregate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the winner frame must broadcast back onto the scored vocabulary")
+    assert(!p.contains("CartesianProduct"), "never an all-pairs stage")
   }
 
   test("q98 hopping window: one aggregation, no join — the fan-out is the window expression itself") {
