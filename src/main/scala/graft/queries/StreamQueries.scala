@@ -65,6 +65,45 @@ object StreamQueries {
   private def freshDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(sessionRoot, s"graft_$tag").toString
 
+  /** Scale-adaptive state-partition count for the stateful streaming
+    * gates (guide §2: derive partitioning from input size, never a
+    * constant tuned for one deployment): ~32 MB of source input per
+    * state partition, floor 1. A stateful query's shuffle-partition
+    * count is frozen into its checkpoint at first start and EVERY
+    * micro-batch and restart then pays per-partition state-store costs
+    * (open, delta file, commit, snapshot maintenance, sink files) on
+    * all of them — at sf-scale inputs (single-digit MB) the prior
+    * session value (32 = local cores) meant 32 near-empty HDFS-backed
+    * stores × batches × restarts of pure file-op overhead, while a
+    * 100 TB events table derives ~3M-partition granularity the same
+    * way a scan does. Results are partition-count invariant (state is
+    * keyed by user hash; PropertySpec's invariance arm covers the
+    * hash-gated batch queries, StreamingSpec the session sets). */
+  private def statePartitionsFor(s: SparkSession, sourceDir: String): Int = {
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(sourceDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+    math.max(1L, bytes / (32L << 20)).min(Int.MaxValue.toLong).toInt
+  }
+
+  /** Run `body` (the stream-driving loop) with `spark.sql.shuffle.partitions`
+    * set to the input-derived state-partition count, restoring the
+    * session value after — the knob is only read at stateful-checkpoint
+    * creation, so scoping it to the drive loop keeps every batch query
+    * in the session on the session's own setting. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, n.toString)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Streaming HLL register store (see [[Streaming.hllRegisterSink]]):
@@ -83,8 +122,10 @@ object StreamQueries {
         val dir = freshDir("q105")
         val store = s"$dir/store/regs"
         val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-        Streaming.hllRegisterSink(splitStream(s, docs, dir), "text", store, b = 8)
-          .option("checkpointLocation", s"$dir/ck").start().awaitTermination()
+        withStatePartitions(s, statePartitionsFor(s, s"$d/documents.parquet")) {
+          Streaming.hllRegisterSink(splitStream(s, docs, dir), "text", store, b = 8)
+            .option("checkpointLocation", s"$dir/ck").start().awaitTermination()
+        }
         s.read.parquet(store)
           .select(posexplode(col("regs")).as(Seq("reg_idx", "rho")))
           .orderBy(col("reg_idx"))
@@ -124,10 +165,12 @@ object StreamQueries {
         // a comfortable task read): 4 buckets for a sf-scale corpus —
         // every interleaved trigger touches all buckets, so the bucket
         // count is a pure per-trigger file-op multiplier here
-        Streaming.incrementalCurationSink(splitStream(s, docs, dir), curated, sig,
-            numBuckets = 4)
-          .option("checkpointLocation", s"$dir/ck").start().awaitTermination()
-        Streaming.compactCuratedStore(s, curated, sig)
+        withStatePartitions(s, statePartitionsFor(s, s"$d/documents.parquet")) {
+          Streaming.incrementalCurationSink(splitStream(s, docs, dir), curated, sig,
+              numBuckets = 4)
+            .option("checkpointLocation", s"$dir/ck").start().awaitTermination()
+          Streaming.compactCuratedStore(s, curated, sig)
+        }
         Sinks.readUpsertStore(s, curated)
           .select(col("doc_id"), md5(col("text")).as("text_hash"),
             col("lang"), col("source"), col("n_chars"), col("quality"))
@@ -189,7 +232,12 @@ object StreamQueries {
         val dir = freshDir("q111")
         val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
         val gapUs = 30L * 60 * 1000000
+        // persisted: the events frame feeds the span guard, three
+        // tertile-slice writes of the SAME window frame, and the late
+        // slice — uncached, each drive-loop job re-read and re-windowed
+        // the parquet from scratch (unpersisted after the drains below)
         val ev = Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts"))
+          .persist()
         // q111's semantics DEPEND on the corpus span staying under the
         // 40-day watermark delay (else drain 4's late batch falls below
         // the state horizon, timeouts fire, and the stream emits
@@ -202,21 +250,26 @@ object StreamQueries {
           s"q111 requires corpus span + gap < the 40-day watermark delay, got ${span}us")
         val late = col("user_id") % 37 === 3
         val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        val tert = ev.where(!late).withColumn("_t", ntile(3).over(wOrd))
-        (1 to 4).foreach { i =>
-          val slice =
-            if (i <= 3) tert.where(col("_t") === i).select(col("user_id"), col("ts"))
-            else ev.where(late).select(col("user_id"), col("ts"))
-          slice.coalesce(1).write.mode("append").parquet(in)
-          val stream = s.readStream.schema(slice.schema)
-            .option("maxFilesPerTrigger", 1).parquet(in)
-          Streaming.sessionize(s, stream, "user_id", "ts",
-              watermark = "40 days", gapUs = gapUs)
-            .writeStream.format("parquet").option("path", out)
-            .option("checkpointLocation", ck)
-            .outputMode("append").trigger(Trigger.AvailableNow())
-            .start().awaitTermination()
+        val tert = ev.where(!late).withColumn("_t", ntile(3).over(wOrd)).persist()
+        val stateParts = statePartitionsFor(s, s"$d/events.parquet")
+        withStatePartitions(s, stateParts) {
+          (1 to 4).foreach { i =>
+            val slice =
+              if (i <= 3) tert.where(col("_t") === i).select(col("user_id"), col("ts"))
+              else ev.where(late).select(col("user_id"), col("ts"))
+            slice.coalesce(1).write.mode("append").parquet(in)
+            val stream = s.readStream.schema(slice.schema)
+              .option("maxFilesPerTrigger", 1).parquet(in)
+            Streaming.sessionize(s, stream, "user_id", "ts",
+                watermark = "40 days", gapUs = gapUs)
+              .writeStream.format("parquet").option("path", out)
+              .option("checkpointLocation", ck)
+              .outputMode("append").trigger(Trigger.AvailableNow())
+              .start().awaitTermination()
+          }
         }
+        tert.unpersist(false)
+        ev.unpersist(false)
         s.read.parquet(out)
           .select(col("key").cast("long").as("user_id"),
             col("sessionStartUs").as("session_start_us"),
@@ -290,7 +343,10 @@ object StreamQueries {
         val dir = freshDir("q120")
         val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
         val gapUs = 30L * 60 * 1000000
-        val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+        // persisted: the min/max guard plus the three tertile slice
+        // writes each re-scanned the parquet (unpersisted after the
+        // drains below)
+        val ev = Tables.events(s, d).select(col("user_id"), col("ts")).persist()
         val mm = ev.agg(unix_micros(min(col("ts"))).as("lo"),
           unix_micros(max(col("ts"))).as("hi")).head
         val (lo, hi) = (mm.getLong(0), mm.getLong(1))
@@ -303,17 +359,20 @@ object StreamQueries {
             timestamp_micros(lit(hi + 100 * dayUs)).as("ts")),
           ev.sparkSession.range(1).select(lit(-1L).as("user_id"),
             timestamp_micros(lit(hi + 200 * dayUs)).as("ts")))
-        slices.foreach { slice =>
-          slice.coalesce(1).write.mode("append").parquet(in)
-          val stream = s.readStream.schema(slice.schema)
-            .option("maxFilesPerTrigger", 1).parquet(in)
-          Streaming.sessionize(s, stream, "user_id", "ts",
-              watermark = "1 hour", gapUs = gapUs)
-            .writeStream.format("parquet").option("path", out)
-            .option("checkpointLocation", ck)
-            .outputMode("append").trigger(Trigger.AvailableNow())
-            .start().awaitTermination()
+        withStatePartitions(s, statePartitionsFor(s, s"$d/events.parquet")) {
+          slices.foreach { slice =>
+            slice.coalesce(1).write.mode("append").parquet(in)
+            val stream = s.readStream.schema(slice.schema)
+              .option("maxFilesPerTrigger", 1).parquet(in)
+            Streaming.sessionize(s, stream, "user_id", "ts",
+                watermark = "1 hour", gapUs = gapUs)
+              .writeStream.format("parquet").option("path", out)
+              .option("checkpointLocation", ck)
+              .outputMode("append").trigger(Trigger.AvailableNow())
+              .start().awaitTermination()
+          }
         }
+        ev.unpersist(false)
         s.read.parquet(out)
           .select(col("key").cast("long").as("user_id"),
             col("sessionStartUs").as("session_start_us"),
@@ -398,19 +457,26 @@ object StreamQueries {
     import org.apache.spark.sql.streaming.Trigger
     val dir = freshDir("q122")
     val in = s"$dir/in"; val store = s"$dir/store"
-    val media = MultimodalQueries.mixedFpCorpus(s, Tables.documents(s, d))
+    // persisted: the synthesized media corpus (a typed encode pass over
+    // every document) feeds the max-id guard plus FOUR range-slice
+    // writes — uncached, each drive-loop job re-ran the whole synthesis
+    // (unpersisted after the slices land)
+    val media = MultimodalQueries.mixedFpCorpus(s, Tables.documents(s, d)).persist()
     val hi = media.agg(max(col("doc_id"))).head.getLong(0) + 1
-    (0 until 4).foreach { k =>
-      media.where(col("doc_id") >= lit(hi * k / 4) &&
-          col("doc_id") < lit(hi * (k + 1) / 4))
-        .coalesce(1).write.mode("append").parquet(in)
-      val stream = s.readStream.schema(media.schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-      Streaming.mediaNearDupSuppressSink(stream, store, numBuckets = 4,
-          capPerBucket = capPerBucket)
-        .option("checkpointLocation", s"$dir/ck")
-        .start().awaitTermination()
+    withStatePartitions(s, statePartitionsFor(s, s"$d/documents.parquet")) {
+      (0 until 4).foreach { k =>
+        media.where(col("doc_id") >= lit(hi * k / 4) &&
+            col("doc_id") < lit(hi * (k + 1) / 4))
+          .coalesce(1).write.mode("append").parquet(in)
+        val stream = s.readStream.schema(media.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        Streaming.mediaNearDupSuppressSink(stream, store, numBuckets = 4,
+            capPerBucket = capPerBucket)
+          .option("checkpointLocation", s"$dir/ck")
+          .start().awaitTermination()
+      }
     }
+    media.unpersist(false)
     Sinks.readUpsertStore(s, store)
       .select(col("doc_id"), col("kind"), col("fp"), col("admitted"))
       .orderBy(col("doc_id"))
