@@ -67,10 +67,14 @@ object Sinks {
     * Postgres-class system of record.
     *
     * Scale/correctness shape:
-    *  - the batch is repartitioned ON THE KEYS first, so no two tasks
-    *    ever upsert the same key concurrently — no row-lock deadlocks
-    *    between our own writers, and no lost-update races (the one
-    *    shuffle this sink needs, and it's key-hash, the cheapest kind);
+    *  - the batch is repartitioned ON THE KEYS first, so no two TASKS
+    *    upsert the same key concurrently. That is a per-task, not
+    *    per-attempt, guarantee (r20 ADVICE): speculative execution (or
+    *    a zombie attempt outliving its retry) runs two attempts of the
+    *    same partition against the same keys — each attempt converges
+    *    to the same final row (the statement is a keyed upsert), but
+    *    they can contend on row locks; disable speculation for jobs
+    *    driving this sink;
     *  - retry is Spark's OWN task retry: the statement is a keyed
     *    upsert, so replaying a failed task converges to the same final
     *    row — idempotent by construction, no sleep loops inside
@@ -125,6 +129,14 @@ object Sinks {
               }
               if (n % batchSize != 0) { ps.executeBatch(); conn.commit() }
             } finally ps.close()
+          } catch {
+            // roll back the uncommitted tail explicitly rather than
+            // relying on driver-specific close() semantics (r20
+            // ADVICE); the task retry then replays the whole partition
+            case t: Throwable =>
+              try conn.rollback()
+              catch { case scala.util.control.NonFatal(_) => () }
+              throw t
           } finally conn.close()
         }
     }

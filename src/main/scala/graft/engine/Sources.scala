@@ -150,7 +150,13 @@ object Sources {
     val dir = new Path(rawDir)
     val fs = FileSystem.get(dir.toUri, hadoopConf)
     fs.mkdirs(dir)
+    // FAIL_ON_TRAILING_TOKENS: readTree otherwise accepts
+    // '{"a":1}garbage' (it stops at the first complete tree), landing a
+    // partially-JSON body verbatim and breaking the raw layer's
+    // "always valid JSON for the multiLine scan" contract (r20 ADVICE)
+    // — such bodies must take the raw_text wrap path instead.
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      .enable(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
     val stamp = java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
     requests.map { case (key, url, params) =>
@@ -168,7 +174,12 @@ object Sources {
             mapper.writeValueAsString(
               mapper.createObjectNode().put("raw_text", body))
           }
-        val name = s"${key.replace(' ', '_').toLowerCase(java.util.Locale.ROOT)}" +
+        // sanitize to a safe charset, not just spaces: a key containing
+        // path separators ('a/b', '../x') would resolve OUTSIDE rawDir
+        // via new Path(dir, name) and silently land files out of the
+        // raw layer (r20 ADVICE)
+        val name = s"${key.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("[^a-z0-9._-]", "_")}" +
           s"_raw_${stamp.format(now())}.json"
         val out = new Path(dir, name)
         val os = fs.create(out, true)

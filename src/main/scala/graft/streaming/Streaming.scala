@@ -51,7 +51,14 @@ object Streaming {
     * key is byte-identical, so `first` is deterministic — exactly the
     * collapse the contract promises. StreamingSpec pins both arms. */
   private[graft] def dropRedeliveries(batch: DataFrame, key: String): DataFrame = {
-    val payload = xxhash64(batch.columns.sorted.map(col): _*)
+    // xxhash64 SKIPS null inputs (the seed passes through unchanged), so
+    // two divergent payloads whose non-null values shift across
+    // same-type columns — (text=NULL, url="x") vs (text="x", url=NULL) —
+    // would hash identically and the guard would silently pass (r20
+    // ADVICE). Interleaving a never-null isnull flag per column makes
+    // the null PATTERN part of the hash; still one codegen'd expression.
+    val cols = batch.columns.sorted
+    val payload = xxhash64(cols.map(col) ++ cols.map(c => isnull(col(c))): _*)
     batch
       .groupBy(col(key)).agg(
         min(payload).as("_pmin"), max(payload).as("_pmax"),

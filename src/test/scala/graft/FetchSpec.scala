@@ -74,6 +74,37 @@ class FetchSpec extends SparkSpec {
     assert(landed == """{"raw_text":"<html>not json</html>"}""")
   }
 
+  test("trailing-garbage body takes the raw_text wrap path, not the verbatim path (r20 ADVICE)") {
+    val dir = tmp
+    // readTree without FAIL_ON_TRAILING_TOKENS would accept this as
+    // valid JSON and land it verbatim — breaking the 'raw layer is
+    // always valid JSON for the multiLine scan' contract
+    val res = Sources.fetchJsonToRaw(Seq(("t", "http://x.test/t", Map.empty)),
+      dir, transport = (_, _) => """{"a":1}garbage""")
+    val landed = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      res.head.rawPath.get.stripPrefix("file:"))), "UTF-8")
+    assert(landed == """{"raw_text":"{\"a\":1}garbage"}""")
+    assert(spark.read.option("multiLine", true)
+      .json(res.head.rawPath.get).count() == 1)
+  }
+
+  test("path-separator keys sanitize into the raw layer, never out of it (r20 ADVICE)") {
+    val dir = tmp
+    val res = Sources.fetchJsonToRaw(
+      Seq(("a/b", "http://x.test/1", Map.empty),
+        ("../escape", "http://x.test/2", Map.empty)),
+      dir, transport = (_, _) => weatherBody)
+    assert(res.forall(_.success))
+    res.foreach { r =>
+      val p = r.rawPath.get
+      val parent = java.nio.file.Paths.get(p.stripPrefix("file:"))
+        .getParent.toAbsolutePath.normalize.toString
+      assert(parent == java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString,
+        s"landed file must stay inside rawDir: $p")
+    }
+    assert(res.map(_.rawPath.get).distinct.size == 2)
+  }
+
   test("glue: landed files feed the S4 multi-file JSON scan") {
     val dir = tmp
     // distinct keys → distinct filenames even within one timestamp second

@@ -1403,5 +1403,21 @@ class StreamingSpec extends SparkSpec {
     intercept[Exception] {
       Streaming.dropRedeliveries(mediaBad, "doc_id").count()
     }
+    // null-shift arm (r20 ADVICE): xxhash64 skips NULL inputs, so two
+    // divergent payloads whose non-null values shift across same-type
+    // columns — (text=NULL, url="x") vs (text="x", url=NULL) — hashed
+    // identically before the isnull-flag interleave; the guard must
+    // catch them, not silently pick one
+    val nullShift = Seq((3L, Option.empty[String], Option("x")),
+      (3L, Option("x"), Option.empty[String]))
+      .toDF("doc_id", "text", "url")
+    val e2 = intercept[Exception] {
+      Streaming.dropRedeliveries(nullShift, "doc_id").count()
+    }
+    assert(chainMsg(e2).contains("key contract violated"), chainMsg(e2))
+    // and an identical-including-nulls replay still collapses
+    val nullSame = Seq((4L, Option.empty[String], Option("x")),
+      (4L, Option.empty[String], Option("x"))).toDF("doc_id", "text", "url")
+    assert(Streaming.dropRedeliveries(nullSame, "doc_id").count() == 1)
   }
 }
