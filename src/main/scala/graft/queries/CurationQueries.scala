@@ -438,7 +438,14 @@ object CurationQueries {
     // every source's selections span nearly the whole order).
     "q100_pretraining_recipe" -> Q(
       (s, d) => {
-        val kept = TextQueries.curatedDocs(s, d)
+        // pinned: the curated frame is consumed TWICE (the allocator's
+        // scoring pass and the per-source curated counts) and its
+        // lineage is the whole exact-dedup -> banded-LSH -> quality
+        // chain — uncached, both consumers re-ran the chain end to end
+        // (r21; the sel frame's own reuse is covered by unimaxSelect's
+        // internal persists). Released by the harness clearCache like
+        // every untracked-scope persist in this registry.
+        val kept = TextQueries.curatedDocs(s, d).persist()
         val sel = unimaxSelect(kept, recipeBudget)
         val mani = interleaveManifest(sel.select(col("source"), col("doc_id")))
         val perCur = kept.groupBy(col("source")).agg(count(lit(1)).as("n_curated"))

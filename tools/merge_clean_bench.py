@@ -7,7 +7,16 @@ Each input is the full-fidelity sidecar graft.Bench writes per session
 against the driver's BENCH_r*.json, plus per-session totals and
 per-query samples so the medians are auditable.
 
-Usage: merge_clean_bench.py OUT.json SESSION1.json SESSION2.json ...
+Usage: merge_clean_bench.py [--max-rq-ms N] OUT.json SESSION1.json ...
+
+--max-rq-ms N (r20 verdict #5, contention-gated sessions): refuse to
+merge any session whose summed in-JVM run-queue delay exceeds N ms —
+the caller discards it and redraws a fresh session, so the published
+medians are medians of QUIET sessions instead of carrying a disturbed
+window (r20 kept a 549 s session in the median; its q123 sample read
+122.6 s vs 14.3/15.9 in the quiet sessions). The per-session gauges
+are emitted as session_rq_ms either way, so the quietness claim is
+auditable off the artifact.
 """
 import json
 import statistics
@@ -17,7 +26,12 @@ import sys
 def main() -> None:
     if len(sys.argv) < 3:
         sys.exit("usage: merge_clean_bench.py OUT.json SESSION1.json [SESSION2.json ...]")
-    out_path, *session_paths = sys.argv[1:]
+    args = sys.argv[1:]
+    max_rq_ms = None
+    if args[0] == "--max-rq-ms":
+        max_rq_ms = float(args[1])
+        args = args[2:]
+    out_path, *session_paths = args
     sessions = [json.load(open(p)) for p in session_paths]
     names = [q["name"] for q in sessions[0]["queries"]]
     for s in sessions[1:]:
@@ -26,6 +40,15 @@ def main() -> None:
         # table silently and misstate the published config
         assert s["sf"] == sessions[0]["sf"], "sessions ran different sf dirs"
         assert s.get("iters") == sessions[0].get("iters"), "sessions ran different iters"
+    session_rq = [round(sum(max(q["rq_ms"], 0.0) for q in s["queries"]), 1)
+                  for s in sessions]
+    if max_rq_ms is not None:
+        noisy = [(p, rq) for p, rq in zip(session_paths, session_rq)
+                 if rq > max_rq_ms]
+        if noisy:
+            sys.exit("contended sessions exceed --max-rq-ms=%g — discard and "
+                     "redraw: %s" % (max_rq_ms, ", ".join(
+                         f"{p} (rq={rq} ms)" for p, rq in noisy)))
     per_query = {
         n: [q["dur_s"] for s in sessions for q in s["queries"] if q["name"] == n]
         for n in names
@@ -42,6 +65,8 @@ def main() -> None:
                  "driver config (sf0.1, local[32], iters=1); value = sum of "
                  "medians. session_totals are each session's own sum."),
         "session_totals": [round(s["total_s"], 3) for s in sessions],
+        "session_rq_ms": session_rq,
+        "rq_gate_ms": max_rq_ms,
         "sf": sessions[0]["sf"],
         "queries": {short(n): medians[n] for n in names},
         "samples": {short(n): per_query[n] for n in names},
