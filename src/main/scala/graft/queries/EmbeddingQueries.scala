@@ -597,7 +597,9 @@ object EmbeddingQueries {
     // declaratively — a single wrong greedy pick anywhere cascades
     // into every later step's selection and breaks the hash.
     "q110_mmr_topk" -> Q(
-      (s, d) => mmrTopK(Tables.embeddings(s, d)),
+      // AQE off for the greedy driver loop (the q103/q107 device, r21):
+      // each of the 5 picks is a collect over the pool-sized frame
+      (s, d) => graft.Q.withAqeOff(s)(mmrTopK(Tables.embeddings(s, d))),
       s"""WITH $sqlVecsQ,
          |pool AS (
          |  SELECT query_id, cand_id, cv, cn, rel FROM (
@@ -626,7 +628,8 @@ object EmbeddingQueries {
     // from an unprobed cell, or one greedy slip anywhere breaks the
     // hash transitively.
     "q115_mmr_ivf_topk" -> Q(
-      (s, d) => mmrTopKIvf(Tables.embeddings(s, d)),
+      // AQE off for the greedy driver loop (r21, as q110)
+      (s, d) => graft.Q.withAqeOff(s)(mmrTopKIvf(Tables.embeddings(s, d))),
       s"""WITH $sqlVecsQ,
          |ccos AS (
          |  SELECT x.vec_id AS v, c.vec_id AS cent,

@@ -1571,6 +1571,11 @@ object TextQueries {
     // same closure as a recursive CTE. Output: one row per clustered
     // doc with its cluster id (= min doc_id in the component).
     "q49_dup_clusters" -> Q(
+      // NOT wrapped in withAqeOff (measured, r21): unlike q103/q107's
+      // node-/pack-scale loops, the eager phase here includes the
+      // corpus-scale banded pair generation, where AQE's runtime
+      // coalescing buys more than its per-stage barriers cost
+      // (subset A/B read 2.75 -> 3.38 s with AQE off)
       (s, d) => dupClusters(s, d),
       s"""WITH RECURSIVE $sqlSigCtes,
          |$sqlClusterCtes
@@ -2354,6 +2359,8 @@ object TextQueries {
     // (overlap handling, the tie order, a merge that leaked across
     // symbol boundaries) diverges the merge table from that step on.
     "q108_bpe_train" -> Q(
+      // NOT wrapped in withAqeOff (measured, r21: 2.92 -> 3.24 s with
+      // AQE off — the vocab-frame sweeps benefit from coalescing)
       (s, d) => bpeTrain(Tables.documents(s, d), maxMerges = 24, minCount = 2L)
         .orderBy(col("step")),
       s"""WITH RECURSIVE
