@@ -204,6 +204,14 @@ object SkewProbe {
           col("e.sortKey").cast("long").as("n_pair"), col("n_ctx"),
           (col("e.sortKey").cast("long").cast("double") / col("n_ctx")).as("p"))
     }
+    // CONTROL for the q97 shape (all rows keep their n_ctx — no rank,
+    // no filter, so the output volume matches the joinback engine form
+    // below and walls compare apples-to-apples)
+    measure(spark, "lmctx_ctxsum_window_CONTROL") {
+      import org.apache.spark.sql.expressions.Window
+      bigrams.withColumn("n_ctx",
+        sum(col("n_pair")).over(Window.partitionBy(col("context"))))
+    }
     // ENGINE (q97 form): groupBy context total, broadcast join-back —
     // the n_ctx attachment without re-shuffling the pair frame.
     measure(spark, "lmctx_joinback_ENGINE") {
