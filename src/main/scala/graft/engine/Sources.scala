@@ -177,9 +177,16 @@ object Sources {
         // sanitize to a safe charset, not just spaces: a key containing
         // path separators ('a/b', '../x') would resolve OUTSIDE rawDir
         // via new Path(dir, name) and silently land files out of the
-        // raw layer (r20 ADVICE)
+        // raw layer (r20 ADVICE). The sanitizer is lossy ('a/b', 'a b',
+        // 'a:b' all map to 'a_b') and fs.create(out, overwrite=true)
+        // would let same-second distinct keys silently clobber each
+        // other's payloads (r21 ADVICE) — an 8-hex digest of the RAW
+        // key keeps distinct keys on distinct files.
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8")).take(4)
+          .map(b => f"${b & 0xff}%02x").mkString
         val name = s"${key.toLowerCase(java.util.Locale.ROOT)
-          .replaceAll("[^a-z0-9._-]", "_")}" +
+          .replaceAll("[^a-z0-9._-]", "_")}_$tag" +
           s"_raw_${stamp.format(now())}.json"
         val out = new Path(dir, name)
         val os = fs.create(out, true)

@@ -438,17 +438,26 @@ object CurationQueries {
     // every source's selections span nearly the whole order).
     "q100_pretraining_recipe" -> Q(
       (s, d) => {
-        // pinned: the curated frame is consumed TWICE (the allocator's
-        // scoring pass and the per-source curated counts) and its
-        // lineage is the whole exact-dedup -> banded-LSH -> quality
-        // chain — uncached, both consumers re-ran the chain end to end
-        // (r21; the sel frame's own reuse is covered by unimaxSelect's
-        // internal persists). Released by the harness clearCache like
-        // every untracked-scope persist in this registry.
-        val kept = TextQueries.curatedDocs(s, d).persist()
-        val sel = unimaxSelect(kept, recipeBudget)
+        // pinned NARROW (r22, prove-or-revert of r21's wide persist):
+        // the curated chain is consumed twice (the allocator's scoring
+        // pass and the per-source curated counts), but both consumers
+        // only need (source, doc_id, n_tok, quality) — the same scored
+        // projection unimaxSelect pins internally anyway. Persisting
+        // THAT (instead of the text-bearing curated frame, r21's form,
+        // which was the 8c driver run's worst reading) runs the
+        // exact-dedup -> banded-LSH -> quality chain once and caches 4
+        // scalar columns instead of the corpus text. Row-identical for
+        // the counts: every curated doc has n_tok > 0 (the quality
+        // floor ran), so withQuality's zero-token filter drops nothing.
+        // Released by the harness clearCache like every untracked-scope
+        // persist in this registry.
+        val scored = TextQueries.withQuality(TextQueries.curatedDocs(s, d))
+          .select(col("source"), col("doc_id"),
+            col("n_tok").cast("long").as("n_tok"), col("quality"))
+          .persist()
+        val sel = unimaxSelectScored(scored, recipeBudget)
         val mani = interleaveManifest(sel.select(col("source"), col("doc_id")))
-        val perCur = kept.groupBy(col("source")).agg(count(lit(1)).as("n_curated"))
+        val perCur = scored.groupBy(col("source")).agg(count(lit(1)).as("n_curated"))
         val perSel = sel.groupBy(col("source")).agg(
           min(col("tot_tokens")).as("tot_tokens"),
           min(col("cap_tokens")).as("cap_tokens"),
@@ -1804,14 +1813,28 @@ object CurationQueries {
   def unimaxSelect(docs: org.apache.spark.sql.DataFrame,
                    totalBudget: Long,
                    maxEpochs: Long = 1L,
-                   scope: CacheScope = CacheScope.untracked): org.apache.spark.sql.DataFrame = {
+                   scope: CacheScope = CacheScope.untracked): org.apache.spark.sql.DataFrame =
+    // persisted before the range exchange (see mixtureSelect)
+    unimaxSelectScored(scope.persist(TextQueries.withQuality(docs)
+        .select(col("source"), col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+          col("quality"))),
+      totalBudget, maxEpochs, scope)
+
+  /** [[unimaxSelect]] for callers that already hold the scored NARROW
+    * frame — exactly (source, doc_id, n_tok BIGINT, quality), one row
+    * per candidate doc, ALREADY pinned (it feeds the allocation
+    * aggregate and the fill's range exchange). q100 shares one such
+    * persist between this allocator and its per-source curated counts
+    * instead of pinning the whole text-bearing curated frame (r21
+    * verdict: the wide persist was the 8c run's worst reading; the
+    * narrow one caches 4 scalar columns instead of the corpus text). */
+  private[graft] def unimaxSelectScored(scored0: org.apache.spark.sql.DataFrame,
+                                        totalBudget: Long,
+                                        maxEpochs: Long = 1L,
+                                        scope: CacheScope = CacheScope.untracked): org.apache.spark.sql.DataFrame = {
     require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
     require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
-    val nShards = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // persisted before the range exchange (see mixtureSelect)
-    val scored0 = scope.persist(TextQueries.withQuality(docs)
-      .select(col("source"), col("doc_id"), col("n_tok").cast("long").as("n_tok"),
-        col("quality")))
+    val nShards = scored0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val wAll = Window.partitionBy(lit(1))
     val wAsc = Window.partitionBy(lit(1)).orderBy(col("cap").asc, col("source").asc)
     val alloc = scored0.groupBy(col("source")).agg(sum(col("n_tok")).as("tot"))

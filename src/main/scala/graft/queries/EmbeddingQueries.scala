@@ -1348,6 +1348,17 @@ object EmbeddingQueries {
     var cur = collectPack(centsPack(base, nSeeds))
     var iters = 0
     var delta = Double.PositiveInfinity
+    // state-scale shuffle sizing for the loop (guide §2.2, q103's
+    // discipline): the ONLY exchange per sweep is the (cell, dim)
+    // quantized-sum aggregate, whose map side partial-combines to
+    // ≤ nSeeds·dim rows per task — the reduce width derives from that
+    // pack size (~2M rows per partition, floor 1), not the session's
+    // core-count default, which with AQE scoped off ran every sweep's
+    // reduce at full width on pack-scale rows.
+    val dim = cur.headOption.map(_._2._1.length).getOrElse(1)
+    val loopParts = math.max(1L, nSeeds.toLong * dim / (2L << 20))
+      .min(Int.MaxValue.toLong).toInt
+    graft.Q.withShufflePartitions(s, loopParts) {
     while (iters < maxIters && delta > tol) {
       // one job per sweep: the fused assignment + per-(cell, dim)
       // quantized-long sums, collected as the nSeeds·dim pack-scale
@@ -1385,6 +1396,7 @@ object EmbeddingQueries {
       }.max
       cur = next
       iters += 1
+    }
     }
     val assign = base.crossJoin(broadcast(literalPack(s, cur)))
       .withColumn("best", array_max(scoredCells(nSeeds, qdotCol)))

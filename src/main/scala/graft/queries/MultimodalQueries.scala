@@ -324,8 +324,15 @@ object MultimodalQueries {
     // #5 — the helper itself returns lazily and can never unpersist).
     val h = if (hashes.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       scope.persist(hashes) else hashes
+    pairsUnderCap(h, bandOccupancy(h), cap)
+  }
+
+  /** The pair-join tail of [[bandedHashPairs]] over a precomputed
+    * occupancy frame — shared with [[bandedPairsWithDropStats]] so one
+    * occupancy pass can feed both the cap and the disclosure. */
+  private def pairsUnderCap(h: DataFrame, occ: DataFrame, cap: Int): DataFrame = {
     val bands = bandKeys(h)
-    val keep = bandOccupancy(h).where(col("_n") <= cap)
+    val keep = occ.where(col("_n") <= cap)
       .select(col("band"), col("bkey"))
     val capped = bands.join(broadcast(keep), Seq("band", "bkey"))
     val a = capped.select(col("doc_id").as("doc_a"), col("dhash").as("ha"),
@@ -338,6 +345,27 @@ object MultimodalQueries {
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
       .distinct()
       .where(col("hamming") <= 4)
+  }
+
+  /** [[bandedHashPairs]] and [[capDropStats]] from ONE occupancy pass
+    * (r22, guide §5): the manifest queries (q116/q117/q119) consume
+    * both over the same hash frame, and each helper re-ran the
+    * scan+groupBy occupancy aggregate for its own side of the cap. The
+    * occupancy frame is bounded at 262,144 rows by the 16-bit keyspace,
+    * so pinning it costs nothing; the keep cut, the hot cut, and the
+    * disclosure doc count all read the one cached aggregate. Returns
+    * (pairs, 1-row drop stats). */
+  private[graft] def bandedPairsWithDropStats(hashes: DataFrame, cap: Int = 8,
+      scope: CacheScope = CacheScope.untracked): (DataFrame, DataFrame) = {
+    require(cap >= 2, s"a pair needs bucket occupancy >= 2, got cap $cap")
+    val h = if (hashes.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      scope.persist(hashes) else hashes
+    val occ = scope.persist(bandOccupancy(h))
+    val hot = occ.where(col("_n") > cap).select(col("band"), col("bkey"))
+    val nHot = hot.agg(count(lit(1)).as("n_dropped_buckets"))
+    val nDocs = bandKeys(h).join(broadcast(hot), Seq("band", "bkey"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_in_dropped"))
+    (pairsUnderCap(h, occ, cap), nHot.crossJoin(nDocs))
   }
 
   /** Cap-drop disclosure for the dedup manifests (r17 verdict #3): one
@@ -1035,8 +1063,8 @@ object MultimodalQueries {
     "q116_image_curation_manifest" -> Q(
       (s, d) => {
         val hashes = decodedHashes(s, d).persist()
-        val pairs = bandedHashPairs(hashes)
-        val drops = capDropStats(hashes)
+        // one occupancy pass feeds the cap AND the disclosure (r22)
+        val (pairs, drops) = bandedPairsWithDropStats(hashes)
         val comps = graft.ext.Graph.connectedComponents(pairs, "doc_a", "doc_b")
           .select(col("node").as("doc_id"), col("component").as("cluster_id"))
         val best = max(struct(bit_count(col("dhash")).as("detail"),
@@ -1105,8 +1133,8 @@ object MultimodalQueries {
     "q117_audio_curation_manifest" -> Q(
       (s, d) => {
         val hashes = decodedAudioHashes(s, d).persist()
-        val pairs = bandedHashPairs(hashes)
-        val drops = capDropStats(hashes) // q116's disclosure pack, audio chain
+        // one occupancy pass feeds the cap AND the disclosure (r22)
+        val (pairs, drops) = bandedPairsWithDropStats(hashes) // q116's pack, audio chain
         val comps = graft.ext.Graph.connectedComponents(pairs, "doc_a", "doc_b")
           .select(col("node").as("doc_id"), col("component").as("cluster_id"))
         val best = max(struct(bit_count(col("dhash")).as("detail"),
@@ -1187,12 +1215,14 @@ object MultimodalQueries {
         val perKind = Seq("bmp", "ico", "wav")
           .map(k => k -> hashes.where(col("kind") === k)
             .select(col("doc_id"), col("dhash")).persist())
-        val pairs = perKind.map { case (_, h) => bandedHashPairs(h) }
-          .reduce(_ unionByName _)
-        // per-MODALITY cap-drop disclosure (fingerprint spaces never
-        // mix, so neither may their accounting): 3 rows, joined on kind
-        val drops = perKind
-          .map { case (k, h) => capDropStats(h).withColumn("kind", lit(k)) }
+        // per-MODALITY pair join + cap-drop disclosure from ONE
+        // occupancy pass per kind (r22; fingerprint spaces never mix,
+        // so neither may their accounting): 3 disclosure rows, joined
+        // on kind
+        val rep = perKind.map { case (k, h) => k -> bandedPairsWithDropStats(h) }
+        val pairs = rep.map(_._2._1).reduce(_ unionByName _)
+        val drops = rep
+          .map { case (k, (_, d)) => d.withColumn("kind", lit(k)) }
           .reduce(_ unionByName _)
         val comps = graft.ext.Graph.connectedComponents(pairs, "doc_a", "doc_b")
           .select(col("node").as("doc_id"), col("component").as("cluster_id"))

@@ -51,13 +51,52 @@ object StreamQueries {
     root
   }
 
+  /** Write each slice as exactly ONE parquet file under `in`, named
+    * `sliceNN.parquet` with strictly increasing modification times —
+    * FileStreamSource admits new files oldest-mtime-first (latestFirst
+    * defaults false), so a maxFilesPerTrigger=1 stream over `in`
+    * drains them in slice order within ONE stream lifetime. The slice
+    * writes are independent jobs and run CONCURRENTLY (guide §2.6 —
+    * the prior drive loops paid nSplits sequential single-task encodes
+    * of the same source frame); the rename+setTimes pass afterwards is
+    * pure driver-side FS metadata, so the pinned order costs nothing. */
+  private def writeOrderedSlices(s: SparkSession, slices: Seq[DataFrame],
+                                 in: String): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val inPath = new org.apache.hadoop.fs.Path(in)
+    val fs = inPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(inPath)
+    val staged = slices.zipWithIndex.map { case (df, k) =>
+      Future {
+        val tmp = new org.apache.hadoop.fs.Path(s"$in/_slice$k")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        // exactly one data file by coalesce(1)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).head
+        (k, tmp, part)
+      }
+    }
+    val t0 = System.currentTimeMillis
+    staged.map(Await.result(_, Duration.Inf)).sortBy(_._1).foreach {
+      case (k, tmp, part) =>
+        val dst = new org.apache.hadoop.fs.Path(inPath, f"slice$k%02d.parquet")
+        if (!fs.rename(part, dst))
+          throw new java.io.IOException(s"cannot move slice $part to $dst")
+        fs.delete(tmp, true)
+        // 1 s apart: far above any FS mtime granularity, so the admission
+        // order is never left to a listing tie-break
+        fs.setTimes(dst, t0 + k * 1000L, -1)
+    }
+  }
+
   /** Write `docs` as `nSplits` interleaved parquet files under
     * `dir`/in and return a one-file-per-trigger stream over them. */
   private def splitStream(s: SparkSession, docs: DataFrame, dir: String): DataFrame = {
     val in = s"$dir/in"
-    (0 until nSplits).foreach(i =>
-      docs.where(col("doc_id") % nSplits === i).coalesce(1)
-        .write.mode("append").parquet(in))
+    writeOrderedSlices(s,
+      (0 until nSplits).map(i => docs.where(col("doc_id") % nSplits === i)), in)
     s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
   }
@@ -84,7 +123,19 @@ object StreamQueries {
       val p = new org.apache.hadoop.fs.Path(sourceDir)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
-    } catch { case scala.util.control.NonFatal(_) => 0L }
+    } catch {
+      case scala.util.control.NonFatal(t) =>
+        // fall back to the SESSION's value, loudly (r21 ADVICE): a
+        // stateful checkpoint freezes the count at first start, so a
+        // transient FS error silently deriving floor-1 would pin a
+        // production stream to ONE state partition forever
+        val fallback = s.conf.get("spark.sql.shuffle.partitions").toInt
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"statePartitionsFor: cannot size $sourceDir ($t); " +
+          s"falling back to session shuffle.partitions=$fallback — a stateful " +
+          "checkpoint freezes this count at first start")
+        return fallback
+    }
     math.max(1L, bytes / (32L << 20)).min(Int.MaxValue.toLong).toInt
   }
 
@@ -463,18 +514,24 @@ object StreamQueries {
     // (unpersisted after the slices land)
     val media = MultimodalQueries.mixedFpCorpus(s, Tables.documents(s, d)).persist()
     val hi = media.agg(max(col("doc_id"))).head.getLong(0) + 1
+    // all 4 range slices land up front with PINNED mtime order (see
+    // [[writeOrderedSlices]]), so ONE stream lifetime drains them one
+    // per trigger in the same monotone-id sequence the sink's
+    // equivalence contract needs. r21 restarted the stream once per
+    // slice — each restart replayed checkpoint state reload + source
+    // listing + sink setup, a per-restart constant that dominated the
+    // gate at sf-scale inputs (r21 verdict #3) and is pure overhead at
+    // any scale: the admitted batch sequence is identical either way.
+    writeOrderedSlices(s, (0 until 4).map(k =>
+      media.where(col("doc_id") >= lit(hi * k / 4) &&
+        col("doc_id") < lit(hi * (k + 1) / 4))), in)
     withStatePartitions(s, statePartitionsFor(s, s"$d/documents.parquet")) {
-      (0 until 4).foreach { k =>
-        media.where(col("doc_id") >= lit(hi * k / 4) &&
-            col("doc_id") < lit(hi * (k + 1) / 4))
-          .coalesce(1).write.mode("append").parquet(in)
-        val stream = s.readStream.schema(media.schema)
-          .option("maxFilesPerTrigger", 1).parquet(in)
-        Streaming.mediaNearDupSuppressSink(stream, store, numBuckets = 4,
-            capPerBucket = capPerBucket)
-          .option("checkpointLocation", s"$dir/ck")
-          .start().awaitTermination()
-      }
+      val stream = s.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      Streaming.mediaNearDupSuppressSink(stream, store, numBuckets = 4,
+          capPerBucket = capPerBucket)
+        .option("checkpointLocation", s"$dir/ck")
+        .start().awaitTermination()
     }
     media.unpersist(false)
     Sinks.readUpsertStore(s, store)

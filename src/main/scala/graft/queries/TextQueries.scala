@@ -706,13 +706,17 @@ object TextQueries {
     val dfq = toks.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
-    // scored vocabulary frame — persisted: the heap cut consumes it to
-    // pick winners, then the winner join reads it again for the
-    // carried columns (both vocabulary-sized, never doc rows)
-    val sc = scope.persist(
+    // scored vocabulary frame — NOT persisted (r22 A/B, r21 verdict #4):
+    // both consumers (the heap cut and the winner join-back) recompute
+    // the tf⋈df join from the pinned token explode above; caching the
+    // joined frame cost more than the recompute at bench scale
+    // (min-of-5 1.99 → 1.53 s, med 2.42 → 2.24) because the persist
+    // serializes the vocabulary rows through the block store between two
+    // consumers that each need one cheap hash join from cache.
+    val sc =
       tf.join(dfq, Seq("term")).crossJoin(broadcast(n)) // one-row scalar pack
         .withColumn("qidf", (length(bin(expr("n_docs div df"))) - 1).cast("long"))
-        .withColumn("score", col("tf") * col("qidf")))
+        .withColumn("score", col("tf") * col("qidf"))
     val topk = udaf(new graft.ext.TopKStrAgg(k),
       org.apache.spark.sql.Encoders.product[graft.ext.TopKAgg.SEntry])
     val top = sc.groupBy(col("source"))

@@ -385,11 +385,19 @@ object Streaming {
         try {
           val fp = hashes.where(col("fp").isNotNull)
           val cut = (b: DataFrame) => capPerBucket.fold(b)(c => capBands(b, c))
-          val batchLosers = cut(mediaBandKeys(fp, "doc_a", "fa"))
-            .join(cut(mediaBandKeys(fp, "doc_b", "fb")), Seq("kind", "band", "bkey"))
-            .where(col("doc_a") < col("doc_b") &&
-              bit_count(col("fa").bitwiseXOR(col("fb"))) <= 4)
-            .select(col("doc_b").as("doc_id")).distinct()
+          // within-batch self-join + store probe FUSED into ONE
+          // kind-keyed band join (r22, guide §2.4): both losers are
+          // "∃ same-kind fingerprint with a LOWER id within Hamming 4
+          // through a shared band" — the only difference was where the
+          // witness lived (batch vs store), so the b-side is simply the
+          // union of the two witness frames and the suppression set is
+          // identical (the old self-join's doc_a < doc_b with loser
+          // doc_b is this orientation's doc_b < doc_a with loser doc_a).
+          // The occupancy cap stays PER SIDE — cut(batch) and
+          // cut(store) exactly as before — so the capped (q123) path's
+          // storm-flip semantics are bit-identical; what disappears is
+          // one whole join + distinct + union per trigger.
+          //
           // committed-store check + crash recovery in one step (r18
           // ADVICE, the incrementalCurationSink fix transplanted): a
           // bare fs.exists(dst) reads a store stranded at <path>_old by
@@ -398,12 +406,17 @@ object Streaming {
           // admitted=true flags — and a crashed half-creation (dir, no
           // committed meta) as readable, wedging every retry on parquet
           // schema inference
-          val probeHits = if (Sinks.recoverUpsertStore(s, storePath))
-            mediaBandProbe(fp,
+          val bBatch = cut(mediaBandKeys(fp, "doc_b", "fb"))
+          val bSide = if (Sinks.recoverUpsertStore(s, storePath))
+            bBatch.unionByName(cut(mediaBandKeys(
               Sinks.readUpsertStore(s, storePath).where(col("fp").isNotNull),
-              capPerBucket)
-          else hashes.limit(0).select(col("doc_id"))
-          val suppressed = batchLosers.unionByName(probeHits).distinct()
+              "doc_b", "fb")))
+          else bBatch
+          val suppressed = cut(mediaBandKeys(fp, "doc_a", "fa"))
+            .join(bSide, Seq("kind", "band", "bkey"))
+            .where(col("doc_b") < col("doc_a") &&
+              bit_count(col("fa").bitwiseXOR(col("fb"))) <= 4)
+            .select(col("doc_a").as("doc_id")).distinct()
             .withColumn("_s", lit(true))
           val out = hashes.join(suppressed, Seq("doc_id"), "left")
             .select(col("doc_id"), col("kind"), col("fp"),
@@ -593,27 +606,35 @@ object Streaming {
       Sinks.upsertParquetPartitioned(s,
         exactKept.select(col("doc_id") +: col("th") +: sigCols: _*),
         sigPath, Seq("doc_id"), orderCol = None, numBuckets = numBuckets)
-      // 5. within-batch near-dups among the exact survivors
-      val batchSig = exactKept.where(col("h0").isNotNull)
-        .select(col("doc_id") +: sigCols: _*)
-      val batchLosers = graft.queries.TextQueries.lshPairsOf(batchSig)
-        .select(col("doc_b").as("doc_id")).distinct()
-      val afterBatch = exactKept.join(batchLosers, Seq("doc_id"), "left_anti")
-      // 6. probe the seen store (pre-batch entries have lower ids than
-      // every batch doc under the monotone-arrival contract; the
-      // explicit doc_b < doc_a guard makes crash replays — whose own
-      // earlier-attempt entries are NOT lower — no-ops, same family as
-      // lshProbe's self-pair exclusion)
-      val survivors = if (seenExists) {
+      // 5+6 FUSED (r22, guide §2.4 — remove a whole join subtree): the
+      // seen store was upserted in step 4, so it now holds EVERY batch
+      // exact survivor's signature alongside the pre-batch entries. One
+      // banded probe of that post-merge store under the strict
+      // doc_b < doc_a guard therefore yields exactly the union of the
+      // old step 5 (within-batch pairs: both endpoints are store rows
+      // now, higher id loses — the same rule) and the old step 6
+      // (lower-id PRE-batch witness), because a witness needs only to
+      // EXIST in the store, not to itself survive: suppression sets are
+      // witness-monotone, so removal order never changes them. The
+      // separate lshPairsOf self-join the sink ran per trigger was
+      // computing a strict subset of what this probe already sees —
+      // 3-4 redundant exchanges (band explode ×2, pair join, distinct)
+      // per trigger. Crash-replay safety is unchanged: a replayed
+      // batch's own earlier-attempt entries carry the SAME ids, which
+      // the strict < excludes (lshProbe's self-pair family).
+      // (store still absent here ⇔ it did not exist AND this batch was
+      // empty — step 4's merge refuses to create a zero-file store; an
+      // empty batch has nothing to suppress)
+      val survivors = if (Sinks.recoverUpsertStore(s, sigPath)) {
         val storeSig = Sinks.readUpsertStore(s, sigPath)
           .where(col("h0").isNotNull).select(col("doc_id") +: sigCols: _*)
         val nearHits = graft.queries.TextQueries.lshProbe(
-            afterBatch.where(col("h0").isNotNull).select(col("doc_id") +: sigCols: _*),
+            exactKept.where(col("h0").isNotNull).select(col("doc_id") +: sigCols: _*),
             storeSig)
           .where(col("doc_b") < col("doc_a"))
           .select(col("doc_a").as("doc_id")).distinct()
-        afterBatch.join(nearHits, Seq("doc_id"), "left_anti")
-      } else afterBatch
+        exactKept.join(nearHits, Seq("doc_id"), "left_anti")
+      } else exactKept
       // 7. quality floor, then the curated output merge
       val curated = graft.queries.TextQueries.withQuality(survivors)
         .where(col("quality") >= stages.qualityFloor)

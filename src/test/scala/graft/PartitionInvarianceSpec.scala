@@ -27,6 +27,11 @@ class PartitionInvarianceSpec extends SparkSpec {
       // cold plan per sweep: a cached frame from the previous partition
       // count would make the sweep vacuous
       spark.catalog.clearCache()
+      // the delimiter is U+0001 (a control char no testdata field
+      // carries — unlike '|', which appears in text), so a divergence
+      // shifting bytes across adjacent field boundaries cannot compare
+      // equal (the r21 ADVICE concern; the char renders invisibly,
+      // hence this note)
       SparkEntry.queries(q)(spark, sf).collect().map(_.mkString("")).toSeq.sorted
     } finally {
       prev match {

@@ -16,6 +16,7 @@ is an apples-to-apples single-node throughput comparison against a
 state-of-the-art embedded OLAP engine. Dev-only tool (driver-side
 python deps); not part of the engine.
 """
+import glob
 import json
 import os
 import sys
@@ -23,6 +24,38 @@ import threading
 import time
 
 import duckdb
+
+
+def _run_delay_ns() -> int:
+    """Sum of run-queue delay (ns runnable-but-waiting) across THIS
+    process's threads — the same /proc/self/task/*/schedstat gauge
+    graft.Bench samples, so the DuckDB sessions carry a contention
+    gauge symmetric to the Spark sessions' rq_ms (r21 ADVICE: a
+    one-sided gate could only bias the published ratio). -1 off-Linux."""
+    try:
+        total = 0
+        for p in glob.glob("/proc/self/task/*/schedstat"):
+            try:
+                total += int(open(p).read().split()[1])
+            except (OSError, IndexError, ValueError):
+                pass
+        return total
+    except OSError:
+        return -1
+
+
+def _box_self_jiffies():
+    """(box busy jiffies, box total jiffies, self utime+stime) for the
+    ext_cpu estimate (CPUs held by OTHER processes), mirroring Bench."""
+    try:
+        f = open("/proc/stat").readline().split()[1:]
+        f = [int(x) for x in f]
+        idle = f[3] + f[4]
+        s = open("/proc/self/stat").read()
+        rest = s[s.rindex(")") + 2:].split(" ")
+        return sum(f) - idle, sum(f), int(rest[11]) + int(rest[12])
+    except (OSError, ValueError, IndexError):
+        return -1, -1, -1
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -50,6 +83,8 @@ def main(sf_dir: str, out_dir: str, threads: int = 32,
             sys.exit(f"unknown oracle queries: {sorted(unknown)}")
     names = sorted(oracle) if subset is None else [n for n in sorted(oracle) if n in subset]
     times, failed, timed_out = {}, {}, {}
+    rq_ms, ext_cpu = {}, {}
+    n_cpu = os.cpu_count() or 0
     for name in names:
         timer, fired = None, threading.Event()
         if timeout_s:
@@ -58,6 +93,8 @@ def main(sf_dir: str, out_dir: str, threads: int = 32,
                 con.interrupt()
             timer = threading.Timer(timeout_s, _interrupt)
             timer.start()
+        rd0 = _run_delay_ns()
+        bb0, bt0, sj0 = _box_self_jiffies()
         t0 = time.time()
         try:
             con.sql(oracle[name]).fetchall()
@@ -67,6 +104,11 @@ def main(sf_dir: str, out_dir: str, threads: int = 32,
         except Exception as e:
             failed[name] = f"{type(e).__name__}: {e}"
         finally:
+            rd1 = _run_delay_ns()
+            rq_ms[name] = round(max(rd1 - rd0, 0) / 1e6, 1) if rd0 >= 0 and rd1 >= 0 else -1.0
+            bb1, bt1, sj1 = _box_self_jiffies()
+            ext_cpu[name] = (round(max((bb1 - bb0) - (sj1 - sj0), 0) * n_cpu / (bt1 - bt0), 2)
+                             if bb0 >= 0 and bb1 >= 0 and n_cpu > 0 and bt1 > bt0 else -1.0)
             if timer:
                 timer.cancel()
                 timer.join()
@@ -82,7 +124,14 @@ def main(sf_dir: str, out_dir: str, threads: int = 32,
     total = sum(times.values())
     print(json.dumps({"metric": "duckdb_total", "value": total, "unit": "sec",
                       "threads": threads, "queries": times, "failed": failed,
-                      "timeout": timed_out, "sf": sf_dir}))
+                      "timeout": timed_out, "sf": sf_dir,
+                      # symmetric contention gauges (r21 ADVICE): the Spark
+                      # side's rq gate now has a DuckDB-side counterpart, so
+                      # a window contended only during DuckDB's turns is
+                      # visible in the artifact instead of silently
+                      # inflating the ratio's denominator
+                      "rq_ms": rq_ms, "session_rq_ms": round(sum(v for v in rq_ms.values() if v > 0), 1),
+                      "ext_cpu": ext_cpu}))
     return 0
 
 

@@ -40,8 +40,17 @@ def main() -> None:
         # table silently and misstate the published config
         assert s["sf"] == sessions[0]["sf"], "sessions ran different sf dirs"
         assert s.get("iters") == sessions[0].get("iters"), "sessions ran different iters"
-    session_rq = [round(sum(max(q["rq_ms"], 0.0) for q in s["queries"]), 1)
+    # q.get(): sidecars predating the per-query rq gauge must still merge
+    # when the gate is not requested (r21 ADVICE — a bare q["rq_ms"] was a
+    # silent tightening of the accepted input format)
+    session_rq = [round(sum(max(q.get("rq_ms", 0.0), 0.0) for q in s["queries"]), 1)
                   for s in sessions]
+    if max_rq_ms is not None:
+        missing = [p for p, s in zip(session_paths, sessions)
+                   if any("rq_ms" not in q for q in s["queries"])]
+        if missing:
+            sys.exit("--max-rq-ms needs the per-query rq_ms gauge; missing in: "
+                     + ", ".join(missing))
     if max_rq_ms is not None:
         noisy = [(p, rq) for p, rq in zip(session_paths, session_rq)
                  if rq > max_rq_ms]
